@@ -1,0 +1,62 @@
+"""Query registry: the engine's public query surface.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame``
+with (where expressible) an equivalent DuckDB/ANSI SQL oracle string
+over the same parquet tables. The driver's correctness gate runs
+both and hash-compares values, so every computed column is aliased
+identically on both sides, and double-typed aggregates go through a
+DECIMAL accumulator cast back to DOUBLE to make the result exact and
+partitioning-independent (a plain double sum is order-dependent and
+would hash-mismatch between engines).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+PLAN_MODULES = [
+    "relational",
+    "timeseries",
+    "dedup",
+    "text",
+    "similarity",
+    "multimodal",
+    "streaming",
+]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: add a query to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every plan module (registering its queries) and return
+    the full registry."""
+    for mod in PLAN_MODULES:
+        try:
+            importlib.import_module(f"{__name__}.{mod}")
+        except ModuleNotFoundError as exc:
+            if f"plans.{mod}" not in str(exc):
+                raise
+    return REGISTRY

@@ -1,0 +1,48 @@
+"""Every registered query runs on Spark and (when an oracle exists)
+hash-matches DuckDB on the same parquet — mirrors the driver's gate
+at sf0.001 for speed."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.check_correctness import canon, frame_digest
+
+
+def _all_names():
+    return sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", _all_names())
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    fn = entrymod.queries()[name]
+    oracle = entrymod.oracle_sql().get(name)
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert srows is not None
+    if oracle is None:
+        return  # rows-only check: it ran and produced a frame
+    res = duck.execute(oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    sh, slines = frame_digest(sdf.columns, srows)
+    oh, olines = frame_digest(ocols, orows)
+    if sh != oh:
+        only_s = [x for x in slines if x not in set(olines)][:3]
+        only_o = [x for x in olines if x not in set(slines)][:3]
+        pytest.fail(f"value hash mismatch; spark-only={only_s} oracle-only={only_o}")
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_canon_stability():
+    assert canon(None) == "NULL"
+    assert canon(1.5) == "1.5"
+    assert canon([1, None]) == "[1,NULL]"
