@@ -1,0 +1,191 @@
+"""Deduplication operators over the ``documents`` corpus.
+
+The four dedup families a training-data pipeline needs, each as a
+Catalyst plan with a DuckDB oracle:
+
+- exact (content-hash groupBy)
+- n-gram Jaccard (shingle self-join — calibration/verification path)
+- MinHash + LSH banding (the sub-quadratic scale path)
+- SimHash (bitwise-majority fingerprint + banded Hamming pairs)
+
+Embedding-cosine near-dup lives in ``plans/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import textops
+from ..tables import load_table
+from . import register
+
+JACCARD_THRESHOLD = 0.5
+
+_SQL_SHINGLES = textops.sql_shingles("documents")
+
+_SQL_PAIR_JACCARD = f"""
+    shingles AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+    overlap AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pair_jaccard AS (
+        SELECT doc_a, doc_b, n_common,
+               n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+        FROM overlap
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    )
+"""
+
+
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle frame, computed once and persisted: it feeds both
+    sides of two self-joins plus the signature aggregation, and
+    without persistence Catalyst re-runs the tokenize+window subtree
+    for every copy. At 100 TB the same principle applies — shingles
+    (or better, signatures) are materialized once, not recomputed
+    per consumer."""
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _SHINGLE_CACHE[key] = textops.shingles_df(docs).persist()
+    return _SHINGLE_CACHE[key]
+
+
+def _shingle_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_common, jaccard) for every pair sharing ≥1
+    shingle. The shingle equi-join is the only shuffle; rare shingles
+    keep the pair fan-out near-linear for natural text."""
+    sh = _shingles_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    overlap = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        overlap.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest id.
+    Scale: md5 computes map-side; the shuffle carries one 32-byte key
+    per row — this is the cheapest possible full-corpus dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_PAIR_JACCARD}
+    SELECT doc_a, doc_b, n_common, jaccard
+    FROM pair_jaccard
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 5-token-shingle Jaccard ≥ 0.5. The
+    exact path: used to verify/calibrate the MinHash-LSH variant.
+    Scale: pair fan-out is bounded by shared-shingle frequency; for
+    100 TB the LSH variant below is the production path and this one
+    runs on samples."""
+    return _shingle_pair_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_PAIR_JACCARD},
+    sigs AS (
+        SELECT doc_id,
+           {textops.sql_minhash_aggs()}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        {textops.sql_band_selects('sigs')}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT pj.doc_a, pj.doc_b, pj.jaccard
+    FROM candidates c
+    JOIN pair_jaccard pj ON c.doc_a = pj.doc_a AND c.doc_b = pj.doc_b
+    WHERE pj.jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=12) + LSH banding (4 bands × 3 rows):
+    candidate pairs share a band bucket, then exact Jaccard verifies.
+    This is the 100 TB dedup path: signatures reduce each doc to k
+    hashes map-side, the band join shuffles only (band, bucket) keys,
+    and exact verification touches only candidates — never all pairs.
+    Min-hash uses lexicographic MIN over md5 hex strings, identical
+    in both engines."""
+    sh = _shingles_cached(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(*textops.minhash_agg_cols())
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*textops.band_cols())).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _shingle_pair_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return candidates.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
