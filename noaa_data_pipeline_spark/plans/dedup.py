@@ -56,7 +56,17 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _SHINGLE_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _SHINGLE_CACHE[key] = textops.shingles_df(docs).persist()
+        # Pin the cached layout to an explicit hash partitioning and
+        # materialize it eagerly. Without the explicit repartition, AQE
+        # coalesces the materialization job to a single partition (the
+        # frame is small after its first shuffle), and then every
+        # consumer — including the concurrent broadcast-subquery jobs a
+        # composed dedup query launches — serializes behind a
+        # one-partition cache (observed 85s vs 4s at sf0.1).
+        n = spark.sparkContext.defaultParallelism
+        sh = textops.shingles_df(docs).repartition(n, "doc_id").persist()
+        sh.count()
+        _SHINGLE_CACHE[key] = sh
     return _SHINGLE_CACHE[key]
 
 
