@@ -199,3 +199,163 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.join(verified, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"
     )
+
+
+# --- SimHash ----------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8-bit bands
+SIMHASH_MAX_HAMMING = 6
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS ({textops.sql_tokens('documents')}),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {' + '.join(f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)" for j in range(32))} AS sig
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, sig, b.range AS band, (sig >> (b.range * 8)) & 255 AS bucket
+        FROM sigs, range({4}) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit bitwise-majority fingerprint over
+    md5-hashed tokens, banded into 4x8-bit buckets for candidate
+    generation, Hamming distance <= 6 verifies. Scale: the signature
+    is one map-side-combined groupBy (32 conditional sums, no
+    per-bit row explosion); the band join shuffles only (band,
+    bucket) keys; verification is an O(1) xor per candidate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens_df(docs)
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    sigs = sums.select("doc_id", sig.alias("sig"))
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.shiftright(F.col("sig"), k * 8).bitwiseAND(F.lit(255)).alias("bucket"),
+        )
+        for k in range(SIMHASH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- embedding-cosine near-dup ---------------------------------------
+
+EMB_COSINE_MIN = 0.3
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt(CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(x * x AS DECIMAL(38,15)))) AS DOUBLE)) AS norm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_sum(list_transform(list_zip(a.emb, b.emb),
+                x -> CAST(x[1] * x[2] AS DECIMAL(38,15)))) AS DOUBLE)
+               / (a.norm * b.norm) AS cosine
+    FROM emb a JOIN emb b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(list_sum(list_transform(list_zip(a.emb, b.emb),
+              x -> CAST(x[1] * x[2] AS DECIMAL(38,15)))) AS DOUBLE)
+              / (a.norm * b.norm) >= {EMB_COSINE_MIN}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with blocking: pairs are generated
+    only within a blocking key (label — standing in for an LSH/IVF
+    cell id) and kept when cosine >= {EMB_COSINE_MIN}. Scale: the
+    self-join shuffles on the block key, so cost is sum of per-block
+    squares, not corpus-squared; decimal accumulation keeps the score
+    bit-identical across partitionings."""
+    from .similarity import _dot, _embeddings
+
+    emb = _embeddings(spark, sf_dir)
+    a = emb.select(
+        F.col("label").alias("blk"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = emb.select(
+        F.col("label").alias("blk"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= EMB_COSINE_MIN)
+    )

@@ -1,0 +1,172 @@
+"""Multimodal-column operators: binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic stub (documented inline); everything Spark-side — the
+binary column handling, metadata struct schema, Arrow-batched
+``mapInPandas`` plumbing, batch shapes, and the relational
+frame-sampling plan — is real and oracle-checked where SQL can
+express it.
+
+Data: payloads are derived deterministically from the ``documents``
+corpus (text bytes stand in for encoded media), so both engines see
+identical binary content.
+
+Scale notes: binary columns ride through Spark as opaque byte arrays
+(no row-level Python until an explicit mapInPandas stage); metadata
+lives in a sibling struct column so pruning a query to metadata never
+touches payload bytes — at 100 TB that's the difference between a
+metadata-only scan and a full-corpus read.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import load_table
+from . import register
+
+FRAME_EVERY = 7  # sample every 7th frame
+
+
+def _with_payload(docs: DataFrame) -> DataFrame:
+    """Attach a binary payload + typed media metadata to each doc.
+
+    The payload is the utf8 encoding of the text (deterministic stand-
+    in for encoded media bytes); metadata mimics an image header:
+    format from source, width/height derived from doc_id.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("format"),
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+            (F.col("n_chars") % 120 + 1).cast("int").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+@register(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,  -- payload IS the utf8 text bytes
+           source AS format,
+           CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 480 + 16 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary column + typed metadata struct: byte length and
+    content hash compute JVM-side without any Python. Scale: pure
+    map-side projection; metadata queries prune the payload column
+    entirely (ReadSchema shows only the referenced fields)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = _with_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("max_byte", T.IntegerType()),
+        T.StructField("n_batch_rows", T.LongType()),
+    ]
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over binary payloads.
+
+    A real deployment would decode the media here (PIL/librosa/ffmpeg
+    are not in this container — the byte-level stats below are the
+    deterministic stand-in for a decode + feature step). The batch
+    shape is the part that matters at scale: one pandas frame per
+    Arrow batch, vectorized numpy over each payload, no per-row
+    Python function calls.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [a.size for a in arrs],
+                "mean_byte": [float(a.mean()) if a.size else 0.0 for a in arrs],
+                "max_byte": [int(a.max()) if a.size else 0 for a in arrs],
+                # batch-shape witness: lets tests assert Arrow batching
+                # actually happened (rows per batch > 1)
+                "n_batch_rows": [len(pdf)] * len(pdf),
+            }
+        )
+
+
+@register("mm_feature_extract_pandas", oracle=None)
+def mm_feature_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract stage as ``mapInPandas``: payload bytes
+    -> numeric features via vectorized numpy per Arrow batch (decode
+    itself stubbed — no codecs in this container). No SQL oracle: the
+    driver's rows-only check applies; tests/test_multimodal.py pins
+    the values instead. Scale: Arrow transfer batches ~10k rows, so
+    Python crossing cost is per-batch, not per-row; the stage
+    preserves partitioning (no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = _with_payload(docs).select("doc_id", "payload")
+    return mm.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id, frame_idx,
+           md5(md5(text) || '|' || frame_idx) AS frame_key
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(n_chars % 120 + 1 AS BIGINT), {FRAME_EVERY})) AS frame_idx
+        FROM documents
+    ) s
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling as a relational plan: every {FRAME_EVERY}th
+    frame index per clip via sequence()+explode, with a deterministic
+    frame key (md5 of payload-hash + index) standing in for the
+    decoded frame. Scale: the explode fan-out is bounded by
+    n_frames/{FRAME_EVERY} per row and never shuffles; downstream
+    per-frame stages inherit the partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = _with_payload(docs)
+    frames = mm.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("media_meta.n_frames") - 1).cast("long"),
+                F.lit(FRAME_EVERY).cast("long"),
+            )
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.concat_ws("|", "payload_md5", "frame_idx")).alias("frame_key"),
+    )

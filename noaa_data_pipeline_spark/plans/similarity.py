@@ -1,0 +1,309 @@
+"""Similarity search over the ``embeddings`` vector table.
+
+Three operators, from exact baseline to the two classic scale paths:
+
+- ``sim_cosine_topk_brute`` — exact top-k by cosine for a query set
+  (the correctness baseline; at 100 TB this is what you run for a
+  small query batch against a broadcastable corpus shard).
+- ``sim_ann_lsh_hyperplane`` — random-hyperplane (signed random
+  projection) LSH: vectors sharing a sign-bucket become candidate
+  pairs, exact cosine verifies. Sub-quadratic: the only shuffle keys
+  are (bucket) — never all pairs.
+- ``sim_ivf_probe1`` — IVF: centroids from the label partition
+  (k-means assignment stand-in), queries probe only their own cell.
+
+Determinism: every dot product / squared norm accumulates in
+DECIMAL(38,15) (associative, identical in Spark and DuckDB) and only
+then casts to DOUBLE, so partial aggregation order can't change the
+result; hyperplane components derive from md5, identical both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+LSH_PLANES = 3
+LSH_COSINE_MIN = 0.3
+DIM = 64
+
+_DEC = "decimal(38,15)"
+_SQL_DEC = "DECIMAL(38,15)"
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact double dot product via decimal accumulation."""
+    prods = F.zip_with(a, b, lambda x, y: (x * y).cast(_DEC))
+    # the merge re-cast keeps Spark from widening the accumulator to
+    # DECIMAL(38,14) (scale loss would diverge from the DuckDB twin);
+    # values here are <= DIM so the cast can't overflow
+    return F.aggregate(
+        prods, F.lit(0).cast(_DEC), lambda acc, v: (acc + v).cast(_DEC)
+    ).cast("double")
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] * x[2] AS {_SQL_DEC}))) AS DOUBLE)"
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, emb float64[], norm) — norms precomputed once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        "label",
+        e.alias("emb"),
+        F.sqrt(_dot(e, e)).alias("norm"),
+    )
+
+
+_SQL_EMB = f"""
+        SELECT vec_id, label,
+               CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt({_sql_dot('CAST(embedding AS DOUBLE[])', 'CAST(embedding AS DOUBLE[])')}) AS norm
+        FROM embeddings
+"""
+
+
+@register(
+    "sim_cosine_topk_brute",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.emb', 'c.emb')} / (q.norm * c.norm) AS cosine
+        FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{TOP_K} for the query set. Scale: the query
+    batch broadcasts against the corpus (one scan, no corpus
+    self-shuffle); per-query top-k is a WindowGroupLimit, not a full
+    sort."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _sql_planes() -> str:
+    return f"""
+        SELECT p.range AS plane, d.range + 1 AS dim,
+               (CAST(('0x' || substr(md5(p.range || '|' || (d.range + 1)), 1, 8)) AS BIGINT)
+                % 2001 - 1000) / 1000.0 AS comp
+        FROM range({LSH_PLANES}) p, range({DIM}) d
+    """
+
+
+def _planes(spark: SparkSession) -> DataFrame:
+    """(plane, dim 1-based, comp in [-1,1]) — md5-derived pseudo-random
+    hyperplanes, identical to the SQL twin."""
+    return (
+        spark.range(LSH_PLANES)
+        .select(F.col("id").alias("plane"))
+        .crossJoin(spark.range(DIM).select((F.col("id") + 1).alias("dim")))
+        .select(
+            "plane",
+            "dim",
+            (
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat_ws("|", "plane", "dim")), 1, 8), 16, 10
+                    ).cast("long")
+                    % 2001
+                    - 1000
+                )
+                / 1000.0
+            ).alias("comp"),
+        )
+    )
+
+
+@register(
+    "sim_ann_lsh_hyperplane",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    planes AS ({_sql_planes()}),
+    comps AS (
+        SELECT vec_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+        FROM emb
+    ),
+    sigs AS (
+        SELECT c.vec_id, p.plane,
+               CASE WHEN SUM(CAST(c.val * p.comp AS {_SQL_DEC})) > 0 THEN '1' ELSE '0' END AS bit
+        FROM comps c JOIN planes p ON c.dim = p.dim
+        GROUP BY c.vec_id, p.plane
+    ),
+    buckets AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
+        FROM sigs GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           {_sql_dot('ea.emb', 'eb.emb')} / (ea.norm * eb.norm) AS cosine
+    FROM cand
+    JOIN emb ea ON vec_a = ea.vec_id
+    JOIN emb eb ON vec_b = eb.vec_id
+    WHERE {_sql_dot('ea.emb', 'eb.emb')} / (ea.norm * eb.norm) >= {LSH_COSINE_MIN}
+    """,
+)
+def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH: {LSH_PLANES} md5-derived
+    hyperplanes give each vector a sign bucket; same-bucket pairs are
+    candidates; exact cosine >= {LSH_COSINE_MIN} verifies. Scale: the
+    plane table broadcasts, signatures are one map-side-combined
+    groupBy, and the candidate join shuffles bucket keys only — the
+    corpus never self-joins all-pairs."""
+    emb = _embeddings(spark, sf_dir)
+    comps = emb.select(
+        "vec_id", F.posexplode("emb").alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    sigs = (
+        comps.join(F.broadcast(_planes(spark)), "dim")
+        .groupBy("vec_id", "plane")
+        .agg(
+            F.when(
+                F.sum((F.col("val") * F.col("comp")).cast(_DEC)) > 0, F.lit("1")
+            )
+            .otherwise(F.lit("0"))
+            .alias("bit")
+        )
+    )
+    buckets = sigs.groupBy("vec_id").agg(
+        F.concat_ws(
+            "", F.transform(F.sort_array(F.collect_list(F.struct("plane", "bit"))), lambda s: s.bit)
+        ).alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("norm").alias("norm_b")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= LSH_COSINE_MIN)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+@register(
+    "sim_ivf_probe1",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    comps AS (
+        SELECT vec_id, label, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+        FROM emb
+    ),
+    centroids AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(val AS {_SQL_DEC})) AS DOUBLE) / COUNT(*) AS cval
+        FROM comps GROUP BY label, dim
+    ),
+    assign AS (
+        SELECT vec_id, label AS cell FROM emb
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.emb', 'c.emb')} / (q.norm * c.norm) AS cosine
+        FROM emb q
+        JOIN assign qa ON q.vec_id = qa.vec_id
+        JOIN assign ca ON ca.cell = qa.cell AND ca.vec_id <> q.vec_id
+        JOIN emb c ON c.vec_id = ca.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_ivf_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with probe=1: vectors are partitioned into cells (the
+    label column stands in for the k-means assignment; the centroid
+    CTE shows the assignment recomputation), each query searches only
+    its own cell. Scale: search cost drops by the cell fan-out; cells
+    are hash-partitioned so each query's probe is one partition-local
+    top-k."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_cell"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

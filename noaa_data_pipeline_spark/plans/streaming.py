@@ -1,0 +1,197 @@
+"""Structured Streaming operators over the ``events`` stream.
+
+The reference's "streaming" is an hourly micro-batch pull loop
+(daemon/src/main.rs:33-50) plus filename-time pruning; the Spark
+shape for that is a file-source stream with an ``availableNow``
+trigger (SURVEY §2.8). Three operators:
+
+- ``stream_windowed_counts`` — watermark + tumbling event-time window
+  aggregate (oracle-checked: one availableNow pass over a static
+  dataset must equal the batch aggregate).
+- ``stream_dedup_keys`` — streaming dropDuplicates (state-backed
+  exact dedup; oracle-checked against DISTINCT).
+- ``stream_sessionize_state`` — custom stateful operator via
+  ``applyInPandasWithState`` (30-min-gap sessionization; no SQL
+  oracle — rows-only check + pytest golden values).
+
+Scale notes: file-source streams list only new files per trigger;
+watermarks bound the window state store; dropDuplicates state is
+per-key and pruned by the watermark when keyed on event time. On a
+real cluster the same code runs continuously with
+``trigger(processingTime=...)`` — availableNow here makes runs
+hermetic and deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..tables import load_table, table_path
+from . import register
+
+WINDOW_HOURS = 6
+SESSION_GAP_MIN = 30
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with the same
+    nanosecond-timestamp normalization as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = load_table(spark, sf_dir, "events").schema
+    raw = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.LongType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("props", T.StringType()),
+                ]
+            )
+        )
+        .option("mergeSchema", "true")
+        # the file stream source wants a directory: stream the lake
+        # dir and glob-filter to the events table file(s)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    del schema
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming frame to completion (availableNow) into a
+    uniquely-named memory sink and return the materialized table."""
+    spark = df.sparkSession
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_windowed_counts",
+    oracle=f"""
+    SELECT to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / {WINDOW_HOURS * 3600})
+               * {WINDOW_HOURS * 3600}) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate as a Structured Stream,
+    run with trigger(availableNow) over the static lake — the Spark
+    formulation of the reference's hourly rollup loop. Scale: the
+    10-minute watermark bounds state; partial aggregation still
+    happens map-side per micro-batch."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", f"{WINDOW_HOURS} hours"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via state-backed dropDuplicates — the
+    streaming twin of dedup_exact. Scale: state is one entry per
+    distinct key; keying on (event-time, key) + watermark would bound
+    it for unbounded streams."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return _run_to_memory(deduped, "append")
+
+
+_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType([T.StructField("n_sessions", T.LongType())])
+
+
+def _sessionize(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """30-min-gap sessionization per user. State carries the session
+    count across micro-batches (a single availableNow batch sees all
+    rows, so output is deterministic; the state round-trip is still
+    exercised)."""
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    gaps = rows["ts"].diff().dt.total_seconds().fillna(0)
+    session_ids = (gaps > SESSION_GAP_MIN * 60).cumsum()
+    out = rows.groupby(session_ids).agg(
+        session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "size")
+    )
+    (n_prev,) = state.get if state.exists else (0,)
+    state.update((n_prev + len(out),))
+    out["user_id"] = key[0]
+    yield out[["user_id", "session_start", "session_end", "n_events"]]
+
+
+@register("stream_sessionize_state", oracle=None)
+def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user 30-min-gap
+    sessionization via applyInPandasWithState (the Spark form of a
+    hand-rolled stateful stream operator). Rows-only check here;
+    tests/test_streaming.py pins golden session counts. Scale: state
+    is per-user and Arrow-batched; a processing-time timeout would
+    evict idle users on an unbounded stream."""
+    ev = _events_stream(spark, sf_dir)
+    sessions = (
+        ev.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(sessions, "update")

@@ -1,0 +1,272 @@
+"""Text-analysis operators over the ``documents`` corpus.
+
+The four text primitives a training-data pipeline needs — token
+counting, quality scoring, language identification, and document
+fingerprinting — each as a pure-Catalyst plan (no Python UDFs: every
+expression is JVM-side and codegen-able) with a DuckDB oracle.
+
+Scale notes: all four are embarrassingly parallel map-side transforms
+(tokenize -> per-doc aggregate); the only shuffles are the per-doc
+groupBys, which partition on doc_id and combine map-side. At 100 TB
+none of these operators ever joins the corpus against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import textops
+from ..tables import load_table
+from . import register
+
+# BPE-ish tokenizer: letter runs, digit runs, or single punctuation
+# marks — the classic pre-tokenization split used before byte-pair
+# merges. Identical regex semantics in Java (Spark) and RE2 (DuckDB).
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Stopword profiles for the n-gram/stopword language heuristic.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "to", "and", "is", "in"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "de", "et", "est"],
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"]
+
+FP_GRAM = 4  # tokens per fingerprint k-gram
+FP_WINDOW = 5  # winnowing window (k-grams per window)
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex pre-tokenization.
+    Scale: pure map-side projection, no shuffle; both counts are
+    single-pass JVM regex ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(textops.norm_text(F.col("text")), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{BPE_RE}', 0)"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def _quality_cols(text: Column) -> list[Column]:
+    norm = textops.norm_text(text)
+    toks = F.split(norm, " ")
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    alnum_chars = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", "")).cast("long")
+    mean_tok_len = F.length(F.regexp_replace(norm, " ", "")).cast("double") / n_tokens
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    return [
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        (alnum_chars.cast("double") / n_chars).alias("alnum_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        (n_uniq.cast("double") / n_tokens).alias("uniq_ratio"),
+    ]
+
+
+_SQL_QUALITY_BASE = """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+               CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT)
+                   / CAST(length(text) AS BIGINT) AS alnum_ratio,
+               CAST(length(replace(norm, ' ', '')) AS BIGINT) / CAST(len(toks) AS BIGINT) AS mean_tok_len,
+               CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT) AS uniq_ratio
+        FROM (
+            SELECT doc_id, text,
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
+                   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ) d
+"""
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH base AS ({_SQL_QUALITY_BASE}),
+    stop_hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_stop
+        FROM ({textops.sql_tokens('documents')}) t
+        WHERE tok IN ({','.join(repr(w) for w in EN_STOPWORDS)})
+        GROUP BY doc_id
+    )
+    SELECT base.doc_id, n_chars, n_tokens, n_uniq_tokens, alnum_ratio,
+           mean_tok_len, uniq_ratio,
+           COALESCE(n_stop, 0) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           CASE WHEN n_chars >= 100 AND n_tokens >= 20 AND uniq_ratio >= 0.3
+                 AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+                THEN TRUE ELSE FALSE END AS is_quality
+    FROM base LEFT JOIN stop_hits ON base.doc_id = stop_hits.doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length / uniqueness / token-shape /
+    stopword-density features plus a boolean gate — the standard
+    C4/Gopher-style filter family. Scale: one map-side projection
+    plus a map-side-combined token aggregate; no corpus self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", *_quality_cols(F.col("text")))
+    stop_hits = (
+        textops.tokens_df(docs)
+        .filter(F.col("tok").isin(EN_STOPWORDS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_stop"))
+    )
+    joined = base.join(stop_hits, "doc_id", "left")
+    is_quality = (
+        (F.col("n_chars") >= 100)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("uniq_ratio") >= 0.3)
+        & (F.col("mean_tok_len") >= 2.0)
+        & (F.col("mean_tok_len") <= 12.0)
+    )
+    return joined.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_uniq_tokens",
+        "alnum_ratio",
+        "mean_tok_len",
+        "uniq_ratio",
+        (F.coalesce(F.col("n_stop"), F.lit(0)).cast("double") / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+        is_quality.alias("is_quality"),
+    )
+
+
+def _sql_profile_values() -> str:
+    rows = [
+        f"('{lang}', '{w}')" for lang, words in sorted(LANG_PROFILES.items()) for w in words
+    ]
+    return ", ".join(rows)
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH profiles(lang, word) AS (VALUES {_sql_profile_values()}),
+    hits AS (
+        SELECT t.doc_id, p.lang, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ({textops.sql_tokens('documents')}) t
+        JOIN profiles p ON t.tok = p.word
+        GROUP BY t.doc_id, p.lang
+    ),
+    best AS (
+        SELECT doc_id, lang, n_hits,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang) AS rnk
+        FROM hits
+    )
+    SELECT d.doc_id,
+           COALESCE(b.lang, 'und') AS detected_lang,
+           COALESCE(b.n_hits, 0) AS n_hits
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b ON d.doc_id = b.doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via stopword-profile hit counting
+    (the n-gram-heuristic family): tokens join a tiny (lang, word)
+    profile table, argmax hits per doc, 'und' when nothing matches.
+    Scale: the profile table broadcasts; one groupBy on (doc, lang)
+    with map-side combine; the corpus is never self-joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = spark.createDataFrame(
+        [(lang, w) for lang, words in sorted(LANG_PROFILES.items()) for w in words],
+        "plang string, word string",  # plang: avoid the corpus's own lang column
+    )
+    hits = (
+        textops.tokens_df(docs)
+        .join(F.broadcast(profiles), F.col("tok") == F.col("word"))
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("plang"))
+    best = hits.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("plang"), F.lit("und")).alias("detected_lang"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+    )
+
+
+@register(
+    "text_fingerprint_winnow",
+    oracle=f"""
+    WITH toks AS ({textops.sql_tokens('documents')}),
+    grams AS (
+        SELECT doc_id, pos,
+               CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, pos,
+                   tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+                   lead(tok, 2) OVER w || ' ' || lead(tok, 3) OVER w AS gram
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) g WHERE gram IS NOT NULL
+    ),
+    winmins AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {FP_WINDOW - 1} FOLLOWING) AS fp
+        FROM grams
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM winmins
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing: rolling 32-bit hashes of
+    4-token grams, minimum per sliding window of {FP_WINDOW}, distinct
+    mins form the fingerprint set (reported as count + min/max — the
+    MOSS scheme). Scale: two window passes over tokens partitioned by
+    doc_id, one shuffle total; fingerprints shrink each doc to a few
+    ints, which is what makes downstream overlap detection cheap."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens_df(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram_parts: list[Column] = [F.col("tok")]
+    for i in range(1, FP_GRAM):
+        gram_parts += [F.lit(" "), F.lead("tok", i).over(w)]
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.concat(*gram_parts).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    grams = grams.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    w_win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, FP_WINDOW - 1)
+    )
+    winmins = grams.select("doc_id", F.min("h").over(w_win).alias("fp"))
+    return winmins.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
