@@ -1,0 +1,257 @@
+"""Parquet-backed event store mirroring the reference's persistent
+DuckDB event DB (oracle/src/db/event_db_migrations.rs:36-111).
+
+Tables (SURVEY §1.2): events (locations as array<string>, blobs as
+binary, nested timestamps), entries, entry choices, weather rows
+with the nested observed/forecasted STRUCTs — Spark StructType holds
+them natively.
+
+Write model: append for inserts; MERGE-style updates (the
+reference's inline-VALUES correlated UPDATE, event_data.rs:405-448)
+become join + partition overwrite — the Parquet stand-in for Delta's
+MERGE INTO, kept behind this module's API so a Delta backend can
+swap in. Scale: these tables are control-plane sized (<= thousands
+of rows); the lake fact tables are the data plane.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid as uuidlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("total_allowed_entries", T.IntegerType(), False),
+        T.StructField("number_of_places_win", T.IntegerType(), False),
+        T.StructField("number_of_values_per_entry", T.IntegerType(), False),
+        T.StructField("signing_date", T.TimestampType(), False),
+        T.StructField("observation_date", T.TimestampType(), False),
+        T.StructField("locations", T.ArrayType(T.StringType()), False),
+        T.StructField("coordinator_pubkey", T.StringType(), True),
+        T.StructField("nonce", T.BinaryType(), True),
+        T.StructField("attestation_signature", T.BinaryType(), True),
+        T.StructField("created_at", T.TimestampType(), False),
+        T.StructField("updated_at", T.TimestampType(), False),
+    ]
+)
+
+ENTRY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("event_id", T.StringType(), False),
+        T.StructField("score", T.LongType(), True),
+        T.StructField("base_score", T.LongType(), True),
+        T.StructField("created_at", T.TimestampType(), False),
+    ]
+)
+
+CHOICE_SCHEMA = T.StructType(
+    [
+        T.StructField("entry_id", T.StringType(), False),
+        T.StructField("station", T.StringType(), False),
+        T.StructField("temp_low", T.StringType(), True),
+        T.StructField("temp_high", T.StringType(), True),
+        T.StructField("wind_speed", T.StringType(), True),
+    ]
+)
+
+_READING = T.StructType(
+    [
+        T.StructField("date", T.TimestampType(), True),
+        T.StructField("temp_low", T.LongType(), True),
+        T.StructField("temp_high", T.LongType(), True),
+        T.StructField("wind_speed", T.LongType(), True),
+    ]
+)
+
+WEATHER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("event_id", T.StringType(), False),
+        T.StructField("station_id", T.StringType(), False),
+        T.StructField("observed", _READING, True),
+        T.StructField("forecasted", _READING, True),
+    ]
+)
+
+VALID_PICKS = {"over", "par", "under"}  # the SQL ENUM, migrations :66
+
+_TABLES = {
+    "events": EVENT_SCHEMA,
+    "entries": ENTRY_SCHEMA,
+    "choices": CHOICE_SCHEMA,
+    "weather": WEATHER_SCHEMA,
+}
+
+
+class EventStore:
+    """Minimal CRUD + listing over the parquet event tables."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def read(self, table: str) -> DataFrame:
+        path = self._path(table)
+        schema = _TABLES[table]
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def append(self, table: str, rows: list[tuple]) -> None:
+        df = self.spark.createDataFrame(rows, _TABLES[table])
+        df.write.mode("append").parquet(self._path(table))
+
+    # -- inserts (S12) -------------------------------------------------
+
+    def add_event(
+        self,
+        event_id: str | None,
+        observation_date: dt.datetime,
+        signing_date: dt.datetime,
+        locations: list[str],
+        total_allowed_entries: int,
+        number_of_values_per_entry: int,
+        number_of_places_win: int,
+        coordinator_pubkey: str | None = None,
+        now: dt.datetime | None = None,
+    ) -> str:
+        event_id = event_id or str(uuidlib.uuid4())
+        now = now or dt.datetime.utcnow()
+        self.append(
+            "events",
+            [
+                (
+                    event_id, total_allowed_entries, number_of_places_win,
+                    number_of_values_per_entry, signing_date, observation_date,
+                    locations, coordinator_pubkey, None, None, now, now,
+                )
+            ],
+        )
+        return event_id
+
+    def add_entry(
+        self,
+        entry_id: str,
+        event_id: str,
+        choices: list[tuple[str, str | None, str | None, str | None]],
+        now: dt.datetime | None = None,
+    ) -> None:
+        """Entry + picks, with the reference's validation predicates
+        (P9, oracle.rs:218-289) done against the stored event row."""
+        ev = self.read("events").filter(F.col("id") == event_id).collect()
+        if not ev:
+            raise ValueError(f"unknown event {event_id}")
+        ev = ev[0]
+        n_entries = self.read("entries").filter(F.col("event_id") == event_id).count()
+        if n_entries >= ev.total_allowed_entries:
+            raise ValueError("event full")
+        for station, *picks in choices:
+            if station not in ev.locations:
+                raise ValueError(f"station {station} not in event locations")
+            for p in picks:
+                if p is not None and p not in VALID_PICKS:
+                    raise ValueError(f"invalid pick {p!r}")
+        n_values = sum(1 for _, *picks in choices for p in picks if p is not None)
+        if n_values > ev.number_of_values_per_entry:
+            raise ValueError("too many picks for this event")
+        now = now or dt.datetime.utcnow()
+        self.append("entries", [(entry_id, event_id, None, None, now)])
+        self.append("choices", [(entry_id, s, tl, th, ws) for s, tl, th, ws in choices])
+
+    # -- updates (J5 as merge) ----------------------------------------
+
+    def update_scores(self, scored: DataFrame) -> None:
+        """The reference's correlated inline-VALUES UPDATE
+        (event_data.rs:405-448) as a merge: left-join current entries
+        with the score frame and rewrite. With a Delta backend this
+        is literally MERGE INTO; on parquet it's join + overwrite."""
+        entries = self.read("entries")
+        updated = (
+            entries.alias("e")
+            .join(
+                scored.select(
+                    F.col("entry_id").alias("sid"),
+                    F.col("score").alias("new_score"),
+                    F.col("base_score").alias("new_base"),
+                ),
+                F.col("e.id") == F.col("sid"),
+                "left",
+            )
+            .select(
+                "e.id",
+                "e.event_id",
+                F.coalesce("new_score", "e.score").alias("score"),
+                F.coalesce("new_base", "e.base_score").alias("base_score"),
+                "e.created_at",
+            )
+        )
+        rows = [tuple(r) for r in updated.collect()]
+        df = self.spark.createDataFrame(rows, ENTRY_SCHEMA)
+        df.write.mode("overwrite").parquet(self._path("entries"))
+
+    def sign_event(self, event_id: str, signature: bytes) -> None:
+        events = self.read("events")
+        updated = events.withColumn(
+            "attestation_signature",
+            F.when(F.col("id") == event_id, F.lit(signature)).otherwise(
+                F.col("attestation_signature")
+            ),
+        )
+        rows = [tuple(r) for r in updated.collect()]
+        df = self.spark.createDataFrame(rows, EVENT_SCHEMA)
+        df.write.mode("overwrite").parquet(self._path("events"))
+
+    # -- listings ------------------------------------------------------
+
+    def list_events(self, limit: int = 100) -> DataFrame:
+        """J4/W5: events left-joined with per-event entry counts,
+        COALESCE'd to 0, LIMIT'ed (event_data.rs:603-641)."""
+        events = self.read("events")
+        counts = (
+            self.read("entries")
+            .groupBy("event_id")
+            .agg(F.count("id").alias("total_entries"))
+        )
+        return (
+            events.join(counts, events.id == counts.event_id, "left")
+            .select(
+                "id",
+                "observation_date",
+                "signing_date",
+                "locations",
+                "total_allowed_entries",
+                F.coalesce("total_entries", F.lit(0)).alias("total_entries"),
+                "attestation_signature",
+            )
+            .orderBy("id")
+            .limit(limit)
+        )
+
+    def active_events(self) -> DataFrame:
+        """P6: unattested events (event_data.rs:700-723)."""
+        return self.list_events(limit=1 << 30).filter(
+            F.col("attestation_signature").isNull()
+        )
+
+    def event_entries(self, event_id: str) -> tuple[DataFrame, DataFrame]:
+        entries = self.read("entries").filter(F.col("event_id") == event_id)
+        choices = self.read("choices").join(
+            entries.select(F.col("id").alias("entry_id")), "entry_id", "left_semi"
+        )
+        return entries, choices
+
+    def add_weather_snapshot(self, rows: list[tuple]) -> None:
+        """The ETL's weather attach (J8 output shape with nested
+        observed/forecasted structs — native StructType here vs the
+        reference's hand-rendered ROW(...) SQL, db/mod.rs:1017-1035)."""
+        self.append("weather", rows)

@@ -1,0 +1,135 @@
+"""End-to-end: event store CRUD -> lake-backed ETL -> golden scores
+-> signing — the full /oracle/update flow of the reference
+(etl_workflow.rs golden fixtures flowing through the real lake and
+store instead of mocks)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_data_pipeline_spark.weather import lake, outcomes, run
+from noaa_data_pipeline_spark.weather.event_store import EventStore
+from noaa_data_pipeline_spark.weather.schemas import FORECAST_SCHEMA, OBSERVATION_SCHEMA
+from tests.test_weather_etl_golden import (
+    CHOICES,
+    E1,
+    E2,
+    E3,
+    E4,
+    FORECASTS,
+    GOLDEN_SCORES,
+    OBSERVATIONS,
+)
+
+OBS_DATE = dt.datetime(2024, 8, 12)
+SIGN_DATE = dt.datetime(2024, 8, 13)
+NOW = dt.datetime(2024, 8, 13, 0, 5)
+
+
+def _unit_tail():
+    return (
+        "fahrenheit", None, "knots", None, "degrees true",
+        None, None, "percent", None, "inches", None, "percent",
+    )
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    lake_root = str(tmp_path_factory.mktemp("lake"))
+    store_root = str(tmp_path_factory.mktemp("store"))
+
+    fc_rows = []
+    for station, lo, hi, wind in FORECASTS:
+        base = (station, f"{station} name", 40.0, -90.0, OBS_DATE - dt.timedelta(days=1),
+                OBS_DATE, OBS_DATE + dt.timedelta(hours=3), hi, lo)
+        u = _unit_tail()
+        fc_rows.append(base + (u[0], wind) + u[2:])
+    fc = spark.createDataFrame(fc_rows, FORECAST_SCHEMA)
+    lake.write_snapshot(fc, lake_root, lake.FORECASTS, OBS_DATE - dt.timedelta(days=1))
+
+    ob_rows = []
+    for station, lo, hi, wind in OBSERVATIONS:
+        for temp, w in [(lo, wind), (hi, max(wind - 2, 0))]:
+            ob_rows.append(
+                (
+                    station, f"{station} name", 40.0, -90.0,
+                    OBS_DATE + dt.timedelta(hours=6), temp, "celcius",
+                    180, "degrees true", w, "knots", 5.0, "celcius",
+                )
+            )
+    ob = spark.createDataFrame(ob_rows, OBSERVATION_SCHEMA)
+    lake.write_snapshot(ob, lake_root, lake.OBSERVATIONS, OBS_DATE)
+
+    store = EventStore(spark, store_root)
+    event_id = store.add_event(
+        None, OBS_DATE, SIGN_DATE, ["PFNO", "KSAW", "PAPG", "KWMC"],
+        total_allowed_entries=4, number_of_values_per_entry=6, number_of_places_win=1,
+    )
+    by_entry: dict[str, list] = {}
+    for e, station, tl, th, ws in CHOICES:
+        by_entry.setdefault(e, []).append((station, tl, th, ws))
+    for e in [E1, E2, E3, E4]:
+        store.add_entry(e, event_id, by_entry[e])
+    return store, lake_root, event_id
+
+
+def test_store_validation(setup):
+    store, _, event_id = setup
+    with pytest.raises(ValueError, match="event full"):
+        store.add_entry("ffffffff-0000-7000-8000-000000000000", event_id,
+                        [("PFNO", "par", None, None)])
+    with pytest.raises(ValueError, match="unknown event"):
+        store.add_entry(E1, "no-such-event", [])
+
+
+def test_listing_join_shape(setup):
+    store, _, event_id = setup
+    listed = store.list_events().collect()
+    assert len(listed) == 1
+    assert listed[0].total_entries == 4
+    assert store.active_events().count() == 1
+
+
+def test_etl_produces_golden_scores_and_signs(setup):
+    store, lake_root, event_id = setup
+    results = run.run_etl(store, lake_root, NOW)
+    assert results == {event_id: "signed"}
+
+    entries = {r.id: r.score for r in store.read("entries").collect()}
+    assert entries == {e: GOLDEN_SCORES[e] for e in entries}
+
+    ev = store.read("events").collect()[0]
+    expected_bytes = run.etl.get_winning_bytes([0, 2, 1])  # E1, E3, E2
+    assert bytes(ev.attestation_signature) == run.sign_stub(expected_bytes)
+
+    weather = store.read("weather").collect()
+    assert {w.station_id for w in weather} == {"PFNO", "KSAW", "PAPG", "KWMC"}
+    by_st = {w.station_id: w for w in weather}
+    assert by_st["PFNO"].forecasted.temp_low == 9
+    assert by_st["PFNO"].observed.temp_low == 9  # round(9.4)
+    assert by_st["KWMC"].observed.temp_high == 34  # round(34.4)
+
+    assert store.active_events().count() == 0
+
+
+def test_etl_idempotent_second_pass(setup):
+    store, lake_root, event_id = setup
+    assert run.run_etl(store, lake_root, NOW + dt.timedelta(hours=1)) == {}
+
+
+def test_permutation_counts():
+    # reference unit tests: outcome_generator.rs:21-70
+    assert outcomes.count_permutations(5, 3) == 60
+    assert outcomes.count_permutations(100, 3) == 970_200
+    assert outcomes.count_permutations(400, 3) == 63_520_800
+    assert len(outcomes.outcome_permutations(5, 3)) == 60
+
+
+def test_permutations_distributed(spark):
+    df = outcomes.outcome_permutations_df(spark, 25, 3)
+    assert df.count() == outcomes.count_permutations(25, 3)
+    row = df.orderBy("first", "second", "third").first()
+    assert (row.first, row.second, row.third) == (0, 1, 2)
