@@ -48,15 +48,27 @@ def main() -> None:
     queries = entrymod.queries()
     run_names = names or [n for n in HEADLINE if n in queries]
 
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # the plans, not first-touch costs.
-    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    timings: dict[str, float] = {}
-    for name in run_names:
-        t0 = time.perf_counter()
+    # Steady-state measurement (JMH-style): run every query once to
+    # pay whole-stage-codegen compilation + JVM JIT warmup + parquet
+    # footer reads, then time the second run. First-touch costs are
+    # one-time per JVM (~5s per novel plan shape) and would otherwise
+    # dominate sub-second queries.
+    def run(name: str) -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+
+    for name in run_names:
+        run(name)
+
+    # Best-of-2 per query: background C2 JIT compilation of freshly
+    # generated plan classes perturbs individual runs by several
+    # seconds; the minimum reflects the plan's actual cost.
+    timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in run_names:
+            t0 = time.perf_counter()
+            run(name)
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -52,15 +52,24 @@ def sql_tokens(table: str = "documents") -> str:
     """
 
 
-def shingles_df(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+def shingles_df(docs: DataFrame, n: int = SHINGLE_N, partitions: int | None = None) -> DataFrame:
     """(doc_id, shingle) — distinct n-token shingles per document.
 
     Mirrors the reference's per-series ordered scan (a window over
     position), not a python loop; concat propagates NULL so partial
     tail shingles drop out, matching the SQL '||' semantics.
+
+    ``partitions`` pins an explicit doc_id hash partitioning that the
+    window AND the per-doc distinct both reuse (hash(doc_id) is a
+    valid clustered distribution for groupBy(doc_id, shingle)), so
+    the whole pipeline is a single shuffle and — because explicit
+    repartitions are exempt from AQE coalescing — a persist of the
+    result keeps that parallel layout.
     """
     w = Window.partitionBy("doc_id").orderBy("pos")
     toks = tokens_df(docs)
+    if partitions:
+        toks = toks.repartition(partitions, "doc_id")
     parts: list[Column] = [F.col("tok")]
     for i in range(1, n):
         parts += [F.lit(" "), F.lead("tok", i).over(w)]

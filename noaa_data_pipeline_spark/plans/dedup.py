@@ -57,14 +57,16 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SHINGLE_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         # Pin the cached layout to an explicit hash partitioning and
-        # materialize it eagerly. Without the explicit repartition, AQE
-        # coalesces the materialization job to a single partition (the
-        # frame is small after its first shuffle), and then every
+        # materialize it eagerly. Without the explicit partitioning,
+        # AQE coalesces the materialization job to a single partition
+        # (the frame is small after its first shuffle), and then every
         # consumer — including the concurrent broadcast-subquery jobs a
         # composed dedup query launches — serializes behind a
-        # one-partition cache (observed 85s vs 4s at sf0.1).
+        # one-partition cache (observed 85s vs 4s at sf0.1). Letting
+        # consumers race to fill an unmaterialized cache is just as
+        # bad: each broadcast thread recomputes the subtree.
         n = spark.sparkContext.defaultParallelism
-        sh = textops.shingles_df(docs).repartition(n, "doc_id").persist()
+        sh = textops.shingles_df(docs, partitions=n).persist()
         sh.count()
         _SHINGLE_CACHE[key] = sh
     return _SHINGLE_CACHE[key]
@@ -170,12 +172,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=12) + LSH banding (4 bands × 3 rows):
-    candidate pairs share a band bucket, then exact Jaccard verifies.
-    This is the 100 TB dedup path: signatures reduce each doc to k
-    hashes map-side, the band join shuffles only (band, bucket) keys,
-    and exact verification touches only candidates — never all pairs.
-    Min-hash uses lexicographic MIN over md5 hex strings, identical
-    in both engines."""
+    candidate pairs share a band bucket, then exact Jaccard verifies
+    — but only over the candidate docs. This is the 100 TB dedup
+    path: signatures reduce each doc to k hashes map-side, the band
+    join shuffles only (band, bucket) keys, and the verification
+    shingle join is semi-join-reduced to candidate doc ids first, so
+    the corpus is never pair-joined in full (the oracle SQL computes
+    the full pair join; restricting to candidates is result-identical
+    because the final join keeps candidate pairs only). Min-hash uses
+    lexicographic MIN over md5 hex strings, identical in both
+    engines."""
     sh = _shingles_cached(spark, sf_dir)
     sigs = sh.groupBy("doc_id").agg(*textops.minhash_agg_cols())
     bands = sigs.select(
@@ -192,9 +198,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # candidates feed four consumers below (both union legs, the
+        # final join, and via cand_docs the semi-join) — materialize
+        # the tiny frame once instead of re-running the band join per
+        # consumer
+        .persist()
     )
-    verified = _shingle_pair_jaccard(spark, sf_dir).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    candidates.count()
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    cand_sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = cand_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa = cand_sh.alias("a")
+    sb = cand_sh.alias("b")
+    overlap = (
+        sa.join(
+            sb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    verified = (
+        overlap.join(F.broadcast(za), F.col("doc_a") == F.col("za.doc_id"))
+        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return candidates.join(verified, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"

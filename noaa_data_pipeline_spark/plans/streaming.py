@@ -96,7 +96,7 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
                * {WINDOW_HOURS * 3600}) AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -113,7 +113,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", f"{WINDOW_HOURS} hours"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+            (F.sum(F.floor(F.col("value") * 1000000).cast("long")).cast("double") / 1000000.0)
+            .alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from . import register
-from .common import DEC, SQL_DEC
+from .common import SCALE
 
 
 @register(
@@ -239,9 +239,9 @@ _SCORING_ORACLE_CTE = f"""
     WITH daily AS (
         SELECT user_id,
                date_trunc('day', CAST(ts AS TIMESTAMP)) AS date,
-               CAST(FLOOR(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS {SQL_DEC}) END) AS DOUBLE)
+               CAST(FLOOR(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(FLOOR(value * {SCALE}) AS BIGINT) END) AS DOUBLE) / {SCALE}.0
                     / COUNT(CASE WHEN event_type = 'view' THEN 1 END) + 0.5) AS BIGINT) AS forecast_v,
-               CAST(FLOOR(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS {SQL_DEC}) END) AS DOUBLE)
+               CAST(FLOOR(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(FLOOR(value * {SCALE}) AS BIGINT) END) AS DOUBLE) / {SCALE}.0
                     / COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) + 0.5) AS BIGINT) AS observed_v
         FROM events
         GROUP BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
@@ -280,7 +280,9 @@ def _scoring_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def cond_avg_rounded(event_type: str, alias: str):
         cond = F.when(F.col("event_type") == event_type, F.col("value"))
-        avg = F.sum(cond.cast(DEC)).cast("double") / F.count(cond)
+        # scaled-long exact sum (see plans/common.py) — associative,
+        # so the partitioned aggregate matches the oracle bit-for-bit
+        avg = (F.sum(F.floor(cond * SCALE).cast("long")).cast("double") / SCALE) / F.count(cond)
         return F.floor(avg + F.lit(0.5)).cast("long").alias(alias)
 
     daily = (

@@ -1,11 +1,21 @@
-"""SparkSession factory tuned for this engine.
+"""SparkSession factory with deployment-aware defaults.
 
-Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the
-same configs are the right defaults for a multi-executor cluster:
-AQE owns runtime re-planning (partition coalescing, skew-join
-splitting, dynamic broadcast), session timezone is pinned to UTC so
-timestamp semantics match a DuckDB/ANSI oracle, and Arrow is enabled
-for any pandas exchange (vectorized UDF path).
+Two profiles, chosen by the master URL:
+
+- **cluster** (any non-local master): AQE on — runtime partition
+  coalescing, skew-join splitting, and dynamic broadcast demotion
+  are what keep 100 TB shuffles healthy; initial shuffle partitions
+  are a ceiling AQE coalesces down from.
+- **local** (``local[...]``): AQE off and static partitions sized to
+  the core count. On sub-GB inputs AQE's per-stage scheduling
+  barriers cost more than its re-planning saves (~30-50% measured
+  on the sf0.1 bench) and there is no skew or cluster to adapt to.
+  ``SPARK_GRAFT_AQE=1`` forces it back on for local scale testing.
+
+Shared in both profiles: UTC session timezone (timestamp semantics
+match an ANSI/DuckDB oracle), Arrow for every pandas exchange, and a
+generous broadcast threshold (dimension tables broadcast instead of
+shuffling the fact side).
 """
 
 from __future__ import annotations
@@ -20,21 +30,16 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
-    """Build (or fetch) the session.
-
-    ``spark.sql.shuffle.partitions`` defaults to the core count: at
-    local scale 200 partitions of a 60k-row shuffle is pure overhead,
-    and on a real cluster AQE coalescing makes the initial number a
-    ceiling rather than a commitment.
-    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
+    is_local = master.startswith("local")
+    aqe = (not is_local) or os.environ.get("SPARK_GRAFT_AQE") == "1"
     shuffle = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
