@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 PLAN_MODULES = [
     "relational",
+    "analytics",
     "timeseries",
     "dedup",
     "text",

@@ -1,0 +1,426 @@
+"""Extended analytics coverage: subquery shapes, multidimensional
+aggregation, set operations, richer window functions, pivot, and the
+scalar-function families (SURVEY §2.5-§2.7 plus beyond-reference
+OLAP surface).
+
+Determinism rules as everywhere in this engine: double aggregation
+goes through scaled-long fixed-point (plans/common.py), window frames
+aggregate longs (frame-order float addition differs between engines'
+running-sum vs segment-tree strategies), and every window order ends
+in a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+from .common import SCALE, dsum, sql_dsum
+
+
+@register(
+    "q2_cheapest_supplier_per_part",
+    oracle="""
+    SELECT p_partkey, p_name, s_name, l_extendedprice AS best_price
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size <= 5
+      AND l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY s_name, l_extendedprice) = 1
+    """,
+)
+def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape, the reference's J5
+    update-join family): cheapest supplier per small part. The
+    DataFrame form computes the per-part MIN once as an aggregate and
+    joins it back — what a decorrelating optimizer does to the
+    subquery. Scale: the min-aggregate shrinks lineitem to one row
+    per part before any join; part and supplier broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    mins = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("best_price"))
+    w = Window.partitionBy("p_partkey").orderBy("s_name", "l_extendedprice")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(mins.withColumnRenamed("l_partkey", "mk")), F.col("p_partkey") == F.col("mk"))
+        .filter(F.col("l_extendedprice") == F.col("best_price"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_name", "best_price")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.00
+             * (CAST(SUM(CAST(FLOOR(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END * {SCALE}) AS BIGINT)) AS DOUBLE) / {SCALE})
+             / (CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * {SCALE}) AS BIGINT)) AS DOUBLE) / {SCALE})
+             AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a fact-dimension join (TPC-H Q14).
+    Scale: the month filter pushes into the parquet scan; part
+    broadcasts; the whole query is one map-side-combined global agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    scaled = lambda c: F.sum(F.floor(c * SCALE).cast("long")).cast("double") / SCALE  # noqa: E731
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * scaled(promo) / scaled(disc)).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q19_bracketed_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 40)
+    """,
+)
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-bracket predicate over a join (TPC-H Q19
+    shape). Scale: the OR-of-ANDs stays a single codegen'd predicate
+    after the broadcast join — no union-of-scans blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "rollup_revenue_by_nation_segment",
+    oracle=f"""
+    SELECT COALESCE(n_name, '<all>') AS n_name,
+           COALESCE(c_mktsegment, '<all>') AS c_mktsegment,
+           {sql_dsum('o_totalprice', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def rollup_revenue_by_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidimensional ROLLUP aggregate (beyond-reference OLAP
+    surface; Spark plans it as a single expand+hash-agg). Scale: the
+    expand multiplies rows by grouping-set count before the shuffle —
+    fine at 3 sets; cube on high-cardinality keys would instead use
+    grouping-set pruning."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "c_mktsegment")
+        .agg(dsum("o_totalprice", "revenue"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("n_name", F.lit("<all>")).alias("n_name"),
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("c_mktsegment"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "segments_intersect_except",
+    oracle="""
+    SELECT c_nationkey, 'both' AS membership FROM (
+        SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ) b
+    UNION ALL
+    SELECT c_nationkey, 'building_only' AS membership FROM (
+        SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ) o
+    """,
+)
+def segments_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (SURVEY §2.6 — implicit in
+    the reference, explicit here). Scale: both plan as hash
+    semi/anti joins on the distinct key sets."""
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey").distinct()
+    both = building.intersect(machinery).select(
+        "c_nationkey", F.lit("both").alias("membership")
+    )
+    only = building.exceptAll(machinery).select(
+        "c_nationkey", F.lit("building_only").alias("membership")
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "events_moving_avg_7",
+    oracle=f"""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(FLOOR(value * {SCALE}) AS BIGINT)) OVER w AS DOUBLE) / {SCALE}.0
+               / COUNT(value) OVER w AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_moving_avg_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average per key. The frame aggregates scaled
+    longs: engines disagree on float addition order inside window
+    frames (running sum vs segment tree), integers are order-free.
+    Scale: one shuffle on user_id; the bounded frame streams."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    mavg = (
+        F.sum(F.floor(F.col("value") * SCALE).cast("long")).over(w).cast("double")
+        / SCALE
+        / F.count("value").over(w)
+    )
+    return ev.select("event_id", "user_id", "ts", mavg.alias("moving_avg"))
+
+
+@register(
+    "events_lag_lead_delta",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           value - lag(value) OVER w AS delta_prev,
+           lead(value) OVER w - value AS delta_next,
+           CAST(date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) AS BIGINT) AS gap_seconds
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas + inter-event gaps (per-row float subtraction
+    is order-free, so raw doubles are safe here). Scale: single
+    shuffle, both window functions share one frame pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_seconds"),
+    )
+
+
+@register(
+    "events_sessionize_batch",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM tagged GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form (oracle-checked twin of
+    stream_sessionize_state): lag to flag gaps > 30 min, running sum
+    to number sessions, groupBy to collapse. Scale: the window and
+    the aggregate share one user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(gap > 30 * 60, 1).otherwise(0)).over(wrun).alias("session_seq"),
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "events_rank_quartiles",
+    oracle="""
+    SELECT user_id,
+           CAST(RANK() OVER (ORDER BY total DESC, user_id) AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (ORDER BY n_events DESC) AS BIGINT) AS dense_rnk,
+           CAST(NTILE(4) OVER (ORDER BY total DESC, user_id) AS BIGINT) AS quartile,
+           n_events
+    FROM (
+        SELECT user_id,
+               CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ) s
+    """,
+)
+def events_rank_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over per-user totals. Scale: ranking
+    runs on the aggregated frame (one row per user), so the single-
+    partition window is bounded by user cardinality, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * SCALE).cast("long")).alias("total"),
+        F.count("*").alias("n_events"),
+    )
+    w_rank = Window.orderBy(F.desc("total"), F.asc("user_id"))
+    w_dense = Window.orderBy(F.desc("n_events"))
+    return totals.select(
+        "user_id",
+        F.rank().over(w_rank).cast("long").alias("rnk"),
+        F.dense_rank().over(w_dense).cast("long").alias("dense_rnk"),
+        F.ntile(4).over(w_rank).cast("long").alias("quartile"),
+        "n_events",
+    )
+
+
+@register(
+    "orders_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_F,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_O,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide counts). Scale: pivot with an explicit
+    value list is one hash aggregate — no second pass to discover
+    pivot values."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("status_F"),
+            F.col("O").alias("status_O"),
+            F.col("P").alias("status_P"),
+        )
+    )
+
+
+@register(
+    "part_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           string_split(p_name, ' ')[1] AS first_word,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled,
+           concat(p_brand, '/', p_type) AS brand_type,
+           CAST(CAST(substr(p_brand, 7) AS BIGINT) AS BIGINT) AS brand_num,
+           CASE WHEN p_name LIKE '%red%' THEN TRUE ELSE FALSE END AS is_red
+    FROM part
+    """,
+)
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (SURVEY §2 F9): split/substr/regexp/
+    concat/like — all codegen'd JVM expressions, no UDFs. Scale:
+    pure map-side."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace(F.col("p_type"), "[AEIOU]", "_").alias("type_devoweled"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.substring(F.col("p_brand"), 7, 100).cast("long").alias("brand_num"),
+        F.col("p_name").like("%red%").alias("is_red"),
+    )
+
+
+@register(
+    "orders_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 HOUR AS plus_3h,
+           CAST(o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY AS plus_1w,
+           CAST(o_orderdate AS TIMESTAMP) - INTERVAL 1 DAY AS minus_1d,
+           CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP) AS month_start,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT) AS day_of_week,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_text
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-arithmetic family (SURVEY §2 F6/F7): the +3h grid step,
+    +1 week horizon, -1 day widening intervals, truncation,
+    extraction, and RFC-style formatting. Scale: map-side."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderdate") + F.expr("interval 3 hours")).alias("plus_3h"),
+        (F.col("o_orderdate") + F.expr("interval 7 days")).alias("plus_1w"),
+        (F.col("o_orderdate") - F.expr("interval 1 day")).alias("minus_1d"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("day_of_week"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_text"),
+    )

@@ -135,9 +135,11 @@ def _planes(spark: SparkSession) -> DataFrame:
     """(plane, dim 1-based, comp in [-1,1]) — md5-derived pseudo-random
     hyperplanes, identical to the SQL twin."""
     return (
-        spark.range(LSH_PLANES)
-        .select(F.col("id").alias("plane"))
-        .crossJoin(spark.range(DIM).select((F.col("id") + 1).alias("dim")))
+        spark.range(LSH_PLANES * DIM)
+        .select(
+            (F.col("id") / DIM).cast("long").alias("plane"),
+            (F.col("id") % DIM + 1).alias("dim"),
+        )
         .select(
             "plane",
             "dim",
