@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 PLAN_MODULES = [
     "relational",
     "analytics",
+    "scale",
     "timeseries",
     "dedup",
     "text",

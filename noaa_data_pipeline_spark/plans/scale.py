@@ -1,0 +1,105 @@
+"""Scale-technique operators: explicit skew salting, sketches, and
+two-phase exact aggregation — the patterns that keep plans healthy at
+100 TB, exercised as first-class registry entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+from .common import exact_agg
+
+SALT_BUCKETS = 8
+
+
+@register(
+    "skew_salted_user_join",
+    oracle="""
+    SELECT e.user_id, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN customer ON e.user_id = c_custkey
+    GROUP BY e.user_id, c_mktsegment
+    """,
+)
+def skew_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join: the fact side gets a random-free
+    deterministic salt (user_id % buckets would defeat the purpose —
+    a hash of the row's unique id spreads one hot key over
+    {SALT_BUCKETS} reducer partitions), the dimension side explodes
+    across all salt values. Results are identical to the plain join
+    (the oracle runs the unsalted SQL). At 100 TB this is the manual
+    fallback when AQE's skew splitting can't help (e.g. skewed
+    aggregation keys rather than join keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    salted_ev = ev.withColumn(
+        "__salt", F.pmod(F.hash("event_id"), F.lit(SALT_BUCKETS))
+    )
+    salted_cust = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("__salt"),
+    )
+    return (
+        salted_ev.join(
+            salted_cust,
+            (salted_ev.user_id == salted_cust.c_custkey)
+            & (salted_ev["__salt"] == salted_cust["__salt"]),
+        )
+        .groupBy("user_id", "c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register("events_distinct_users_hll", oracle=None)
+def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per event type: the
+    constant-memory alternative to exact COUNT(DISTINCT) whose state
+    merges associatively across partitions — at 100 TB an exact
+    distinct shuffles every key, the sketch shuffles ~1.5 KB per
+    group. No SQL oracle (sketch estimates are algorithm-specific);
+    tests/test_scale_ops.py bounds the estimation error against the
+    exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "q1_pricing_summary_exact_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(FLOOR(l_quantity * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_qty,
+           (CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)
+               / COUNT(l_extendedprice) AS avg_price,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe two-phase aggregation path (plans/common.py
+    exact_agg): scaled-long partials per (partition, group) map-side,
+    DECIMAL combine across partitions — exact at any per-group
+    cardinality, unlike single-level long sums whose overflow envelope
+    is finite. Same oracle semantics as the single-level form."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return exact_agg(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"sum_qty": "l_quantity"},
+        avgs={"avg_price": "l_extendedprice"},
+        mins={"first_ship": "l_shipdate"},
+        maxs={"last_ship": "l_shipdate"},
+        count_alias="count_order",
+    )
