@@ -22,6 +22,7 @@ PLAN_MODULES = [
     "relational",
     "analytics",
     "scale",
+    "iterative",
     "timeseries",
     "dedup",
     "text",

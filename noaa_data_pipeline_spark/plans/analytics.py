@@ -424,3 +424,30 @@ def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("o_orderdate") - 1).cast("long").alias("day_of_week"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_text"),
     )
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99,
+           MIN(value) AS v_min, MAX(value) AS v_max
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles per group (percentile_disc picks an
+    actual data value — no interpolation arithmetic to diverge
+    between engines). Scale: exact percentiles sort within groups; at
+    100 TB swap in approx_percentile (t-digest sketch) and keep this
+    as the calibration path — same pattern as exact vs LSH dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )

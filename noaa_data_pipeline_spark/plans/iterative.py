@@ -1,0 +1,108 @@
+"""Iterative algorithms as driver-looped DataFrame programs.
+
+Spark's model for iteration is a driver loop over declarative steps
+with persisted intermediates — each iteration is one distributed
+pass, lineage is cut between rounds so plans stay bounded. K-means
+over the embeddings table is the demonstrator (it is also the real
+assignment step the IVF index in plans/similarity.py stands on).
+
+Determinism: centroids initialize from the k lowest vec_ids,
+distance comparisons break ties by centroid id, and centroid means
+use scaled-long exact sums — the result is reproducible across
+partitionings and runs. No SQL oracle (multi-round iteration isn't a
+single query); tests/test_iterative.py checks against an independent
+numpy implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+from .common import SCALE
+
+K = 8
+ITERATIONS = 5
+DIM = 64
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector by squared L2; ties -> lowest cid.
+    Scale: centroids broadcast (k x dim doubles); assignment is one
+    map-side pass over the corpus, no shuffle."""
+    dist = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("c_emb"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "emb", "cid", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    """New centroid = per-dimension mean of member vectors, computed
+    with scaled-long exact sums then reassembled into an array.
+    Scale: one shuffle on (cid, dim) — map-side combined; the
+    centroid frame is k rows."""
+    comps = assigned.select(
+        "cid", F.posexplode("emb").alias("dim", "val")
+    )
+    means = comps.groupBy("cid", "dim").agg(
+        (
+            (F.sum(F.floor(F.col("val") * SCALE).cast("long")).cast("double") / SCALE)
+            / F.count("val")
+        ).alias("mean")
+    )
+    return (
+        means.groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "mean"))), lambda s: s.mean
+            ).alias("c_emb")
+        )
+    )
+
+
+def kmeans(
+    spark: SparkSession, emb: DataFrame, k: int = K, iterations: int = ITERATIONS
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means: returns (assignments, centroids)."""
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"))
+    )
+    assigned = None
+    for _ in range(iterations):
+        assigned = _assign(emb, centroids)
+        # persist + materialize: cuts lineage so iteration i+1's plan
+        # doesn't replay iterations 0..i, and stops the concurrent
+        # broadcast build from re-running the previous round
+        assigned = assigned.persist()
+        assigned.count()
+        centroids = _recompute(assigned).persist()
+        centroids.count()
+    return assigned, centroids
+
+
+@register("kmeans_embeddings", oracle=None)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster sizes + within-cluster dispersion after
+    {ITERATIONS} Lloyd iterations (rows-only in the gate; pytest
+    verifies assignments against a numpy reference)."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = raw.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    assigned, centroids = kmeans(spark, emb)
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count("*").alias("n_members"), F.min("vec_id").alias("lowest_member"))
+        .orderBy("cid")
+    )
