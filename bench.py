@@ -59,11 +59,11 @@ def main() -> None:
     for name in run_names:
         run(name)
 
-    # Best-of-2 per query: background C2 JIT compilation of freshly
+    # Best-of-3 per query: background C2 JIT compilation of freshly
     # generated plan classes perturbs individual runs by several
     # seconds; the minimum reflects the plan's actual cost.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in run_names:
             t0 = time.perf_counter()
             run(name)

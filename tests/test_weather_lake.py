@@ -118,3 +118,17 @@ def test_observations_daily_and_stations(spark, weather_root):
     st = queries.stations(ob).collect()
     assert {r.station_id for r in st} == {"KMSP", "KSEA"}
     assert len(st) == 2
+
+
+def test_api_layer_round_trip(spark, weather_root):
+    from noaa_data_pipeline_spark.weather import api
+
+    fc = api.forecasts(
+        spark, weather_root, start=T0, end=T0, station_ids="KMSP, KSEA"
+    )
+    assert {r["station_id"] for r in fc} == {"KMSP", "KSEA"}
+    assert all(set(r) >= {"date", "temp_low", "temp_high", "wind_speed"} for r in fc)
+    ob = api.observations(spark, weather_root, start=T0, end=T0 + dt.timedelta(days=1))
+    assert len(ob) == 2
+    st = api.stations(spark, weather_root)
+    assert {r["station_id"] for r in st} == {"KMSP", "KSEA"}
