@@ -13,6 +13,7 @@ none of these operators ever joins the corpus against itself.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -269,4 +270,39 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_fingerprints"),
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
+    )
+
+
+@register(
+    "text_norm_pandas_udf",
+    oracle=f"""
+    SELECT doc_id,
+           {textops.SQL_NORM.format(col='text')} AS norm_text,
+           CAST(length({textops.SQL_NORM.format(col='text')}) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+)
+def text_norm_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF (Arrow-vectorized) computing the same text
+    normalization as the JVM expression — registered to exercise the
+    @pandas_udf API surface and prove semantic equivalence (the
+    oracle is the pure-SQL form). In the hot path the JVM expression
+    always wins (textops.norm_text); this is the pattern for logic
+    that genuinely needs a Python library. Scale: Arrow batches,
+    one Python crossing per ~10k rows, pipeline stays map-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm_udf(s: pd.Series) -> pd.Series:
+        return (
+            s.str.lower()
+            .str.replace(r"[^a-z0-9]+", " ", regex=True)
+            .str.strip()
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        norm_udf(F.col("text")).alias("norm_text"),
+        F.length(norm_udf(F.col("text"))).cast("long").alias("norm_len"),
     )

@@ -355,3 +355,125 @@ def events_top3_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+@register(
+    "events_linear_interpolate",
+    oracle="""
+    WITH marked AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS pv
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_id, user_id, ts, pv,
+               last_value(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+               last_value(CASE WHEN pv IS NOT NULL THEN ts END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+               first_value(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+               first_value(CASE WHEN pv IS NOT NULL THEN ts END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+        FROM marked
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN pv IS NOT NULL THEN pv
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             WHEN next_t = prev_t THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (epoch(ts) - epoch(prev_t)) / (epoch(next_t) - epoch(prev_t))
+           END AS interp_value
+    FROM bounds
+    """,
+)
+def events_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a sparse series: each row takes the
+    straight line between its surrounding non-null readings (ends
+    clamp to the nearest reading). The forward/backward bounds are
+    two mirrored last/first(ignorenulls) windows; the interpolation
+    arithmetic is per-row (order-free, engine-identical). Scale: one
+    shuffle on the key, two window passes."""
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pv_t = F.when(F.col("pv").isNotNull(), F.col("ts"))
+    bounds = marked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "pv",
+        F.last("pv", ignorenulls=True).over(fwd).alias("prev_v"),
+        F.last(pv_t, ignorenulls=True).over(fwd).alias("prev_t"),
+        F.first("pv", ignorenulls=True).over(bwd).alias("next_v"),
+        F.first(pv_t, ignorenulls=True).over(bwd).alias("next_t"),
+    )
+    # timestamp->double keeps fractional seconds (unix_timestamp
+    # truncates to whole seconds and would diverge from epoch())
+    frac = (F.col("ts").cast("double") - F.col("prev_t").cast("double")) / (
+        F.col("next_t").cast("double") - F.col("prev_t").cast("double")
+    )
+    interp = (
+        F.when(F.col("pv").isNotNull(), F.col("pv"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .when(F.col("next_t") == F.col("prev_t"), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return bounds.select("event_id", "user_id", "ts", interp.alias("interp_value"))
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    WITH stats AS (
+        SELECT MIN(value) AS v_min, MAX(value) AS v_max FROM events
+    )
+    SELECT CAST(LEAST(FLOOR((value - v_min) / ((v_max - v_min) / 20)), 19) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS bucket_min, MAX(value) AS bucket_max
+    FROM events, stats
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram with data-driven bounds: the
+    min/max come from a broadcast scalar aggregate, bucketing is a
+    per-row floor (engine-identical arithmetic). Scale: two passes —
+    a tiny stats aggregate then one map-side bucket assignment +
+    combine; no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(F.min("value").alias("v_min"), F.max("value").alias("v_max"))
+    width = (F.col("v_max") - F.col("v_min")) / 20
+    bucket = F.least(F.floor((F.col("value") - F.col("v_min")) / width), F.lit(19)).cast(
+        "long"
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("bucket_min"),
+            F.max("value").alias("bucket_max"),
+        )
+    )
