@@ -41,17 +41,18 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
     DataFrame form computes the per-part MIN once as an aggregate and
     joins it back — what a decorrelating optimizer does to the
     subquery. Scale: the min-aggregate shrinks lineitem to one row
-    per part before any join; part and supplier broadcast."""
+    per part before any join; part/supplier scale with SF so their
+    join strategy comes from size stats, not forced hints."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     mins = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("best_price"))
     w = Window.partitionBy("p_partkey").orderBy("s_name", "l_extendedprice")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(mins.withColumnRenamed("l_partkey", "mk")), F.col("p_partkey") == F.col("mk"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(mins.withColumnRenamed("l_partkey", "mk"), F.col("p_partkey") == F.col("mk"))
         .filter(F.col("l_extendedprice") == F.col("best_price"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("p_partkey", "p_name", "s_name", "best_price")
@@ -84,7 +85,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     scaled = lambda c: F.sum(F.floor(c * SCALE).cast("long")).cast("double") / SCALE  # noqa: E731
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (F.lit(100.0) * scaled(promo) / scaled(disc)).alias("promo_revenue_pct"),
             F.count("*").alias("n_lines"),
@@ -120,7 +121,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(10, 40)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
@@ -152,7 +153,7 @@ def rollup_revenue_by_nation_segment(spark: SparkSession, sf_dir: str) -> DataFr
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .rollup("n_name", "c_mktsegment")
         .agg(dsum("o_totalprice", "revenue"), F.count("*").alias("n_orders"))
@@ -545,7 +546,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING on an aggregate over a 3-way join (TPC-H Q18 shape).
     Scale: the quantity aggregate runs on (orderkey) grain with
     map-side combine before the HAVING filter discards small orders;
-    customer attaches by broadcast after the reduction."""
+    customer (SF-scaling) attaches by whatever strategy size stats
+    pick after the reduction."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -560,7 +562,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
         )

@@ -210,7 +210,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(candidates.select("doc_b"))
         .distinct()
     )
-    cand_sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # candidate cardinality scales with the corpus's near-dup rate,
+    # so no forced broadcast — the optimizer sees the persisted sizes
+    cand_sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = cand_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = cand_sh.alias("a")
     sb = cand_sh.alias("b")
@@ -226,8 +228,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     za = sizes.alias("za")
     zb = sizes.alias("zb")
     verified = (
-        overlap.join(F.broadcast(za), F.col("doc_a") == F.col("za.doc_id"))
-        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb.doc_id"))
+        overlap.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
         .select(
             "doc_a",
             "doc_b",

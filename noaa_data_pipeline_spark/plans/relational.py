@@ -82,8 +82,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way equi join + agg + deterministic top-k (join shapes J1-J3
-    of SURVEY §2.3). Scale: customer is the small side -> explicit
-    broadcast; lineitem never shuffles on customer keys."""
+    of SURVEY §2.3). Scale: no forced broadcasts — the filtered
+    orders x customer side grows with the scale factor, so the
+    planner picks broadcast vs shuffle from size stats (locally the
+    sub-64MB side broadcasts; on a cluster AQE decides at runtime)."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
@@ -93,7 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -122,10 +124,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-way join pipeline. Scale: every dimension side (region,
-    nation, supplier, customer) broadcasts; only lineitem<->orders is
-    a real shuffle join, and AQE can turn even that into a broadcast
-    after the date filter prunes orders."""
+    """6-way join pipeline. Scale: region/nation are fixed-size ->
+    explicit broadcast; customer/supplier grow with the scale factor,
+    so their join strategy is left to the optimizer's size stats
+    (broadcast locally, shuffle at TB scale); lineitem<->orders is
+    the one unavoidable fact-fact shuffle."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -137,9 +140,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -220,12 +223,13 @@ def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def urgent_order_lines_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join (EXISTS) — the reference's METAR station-index
-    filter S5 is this shape. Scale: the filtered key set broadcasts;
-    no duplication of the fact side."""
+    filter S5 is this shape. Scale: semi join never duplicates the
+    fact side; the filtered key set broadcasts when size stats allow
+    (it scales with SF, so the hint is left to the optimizer)."""
     li = load_table(spark, sf_dir, "lineitem")
     urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return li.join(
-        F.broadcast(urgent), li.l_orderkey == urgent.o_orderkey, "left_semi"
+        urgent, li.l_orderkey == urgent.o_orderkey, "left_semi"
     ).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
