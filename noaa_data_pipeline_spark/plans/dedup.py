@@ -13,6 +13,9 @@ Embedding-cosine near-dup lives in ``plans/similarity.py``.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,33 +46,45 @@ _SQL_PAIR_JACCARD = f"""
 """
 
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Materialized-shingle registry: maps a source fingerprint to the
+# temp-parquet path holding the computed shingle frame. Holding paths
+# (not DataFrames) means nothing is pinned to a SparkSession — a new
+# session simply re-reads the parquet — and no executor memory is
+# held for the process lifetime. This is the 100 TB pattern too: a
+# real pipeline writes signatures once to a table and every consumer
+# scans it, rather than recomputing the tokenize+shingle subtree per
+# self-join side.
+_SHINGLE_PATHS: dict[tuple, str] = {}
+
+
+def _source_fingerprint(sf_dir: str) -> tuple:
+    """Identity of the documents input: path + mtime + size, so a
+    rewritten documents.parquet under the same sf_dir invalidates
+    the materialization."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    return (src, st.st_mtime_ns, st.st_size)
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle frame, computed once and persisted: it feeds both
-    sides of two self-joins plus the signature aggregation, and
-    without persistence Catalyst re-runs the tokenize+window subtree
-    for every copy. At 100 TB the same principle applies — shingles
-    (or better, signatures) are materialized once, not recomputed
-    per consumer."""
-    key = (id(spark), sf_dir)
-    if key not in _SHINGLE_CACHE:
+    """Shingle frame, materialized once to temp parquet: it feeds
+    both sides of two self-joins plus the signature aggregation, and
+    without materialization Catalyst re-runs the tokenize+window
+    subtree for every copy.
+
+    Written with an explicit hash repartitioning so the files split
+    evenly on read — an in-memory persist here used to get
+    AQE-coalesced to one partition, serializing every consumer
+    (observed 85s vs 4s at sf0.1)."""
+    key = _source_fingerprint(sf_dir)
+    path = _SHINGLE_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
         docs = load_table(spark, sf_dir, "documents")
-        # Pin the cached layout to an explicit hash partitioning and
-        # materialize it eagerly. Without the explicit partitioning,
-        # AQE coalesces the materialization job to a single partition
-        # (the frame is small after its first shuffle), and then every
-        # consumer — including the concurrent broadcast-subquery jobs a
-        # composed dedup query launches — serializes behind a
-        # one-partition cache (observed 85s vs 4s at sf0.1). Letting
-        # consumers race to fill an unmaterialized cache is just as
-        # bad: each broadcast thread recomputes the subtree.
         n = spark.sparkContext.defaultParallelism
-        sh = textops.shingles_df(docs, partitions=n).persist()
-        sh.count()
-        _SHINGLE_CACHE[key] = sh
-    return _SHINGLE_CACHE[key]
+        path = tempfile.mkdtemp(prefix="shingles_mat_")
+        textops.shingles_df(docs, partitions=n).write.mode("overwrite").parquet(path)
+        _SHINGLE_PATHS[key] = path
+    return spark.read.parquet(path)
 
 
 def _shingle_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,8 +5,8 @@ These re-express the reference's weather rollup/flattening/scoring
 machinery as declarative Spark plans over the driver's generic
 ``events`` table (user_id ≈ station_id, ts ≈ begin_time, value ≈
 reading). The weather-schema versions of the same operators live in
-``operators/weather.py``; here the shapes are wired to the oracle
-gate.
+the ``weather/`` package (flatten.py, queries.py, etl.py); here the
+shapes are wired to the oracle gate.
 
 Determinism notes: rounding uses FLOOR(x + 0.5) — identical in both
 engines, unlike ROUND whose half-way tie rule differs; every window
@@ -449,7 +449,9 @@ def events_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
         SELECT MIN(value) AS v_min, MAX(value) AS v_max FROM events
     )
-    SELECT CAST(LEAST(FLOOR((value - v_min) / ((v_max - v_min) / 20)), 19) AS BIGINT) AS bucket,
+    SELECT CAST(CASE WHEN v_max = v_min THEN 0
+                ELSE LEAST(FLOOR((value - v_min) / ((v_max - v_min) / 20)), 19)
+                END AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
            MIN(value) AS bucket_min, MAX(value) AS bucket_max
     FROM events, stats
@@ -465,8 +467,13 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     stats = ev.agg(F.min("value").alias("v_min"), F.max("value").alias("v_max"))
     width = (F.col("v_max") - F.col("v_min")) / 20
-    bucket = F.least(F.floor((F.col("value") - F.col("v_min")) / width), F.lit(19)).cast(
-        "long"
+    # degenerate-range guard: all-equal values would divide by zero
+    # (NULL in Spark, inf/NaN in DuckDB — the engines disagree);
+    # collapse that case to bucket 0 on both sides
+    bucket = (
+        F.when(F.col("v_max") == F.col("v_min"), F.lit(0))
+        .otherwise(F.least(F.floor((F.col("value") - F.col("v_min")) / width), F.lit(19)))
+        .cast("long")
     )
     return (
         ev.crossJoin(F.broadcast(stats))

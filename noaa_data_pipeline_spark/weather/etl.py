@@ -123,11 +123,21 @@ def score_entries(
 
 def winners(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     """W4: top-k by score with each winner's 0-based index in the
-    id-sorted canonical entry list (oracle.rs:598-617). Scale: runs
-    on the per-event entry frame (<= 25 rows in the reference's cap);
-    the single-partition windows are intentional at that size."""
+    id-sorted canonical entry list (oracle.rs:598-617).
+
+    Must receive ALL entries of the event, scored or not: the
+    reference builds ``entry_indices`` from the full id-sorted entry
+    list, so an unscored entry still occupies a canonical slot, and
+    ``sort_by_key(Reverse(score))`` on ``Option<i64>`` ranks
+    ``None`` below every scored entry (``None < Some(_)``) while
+    still letting unscored entries win when fewer than k are scored
+    — hence ``desc_nulls_last`` here, not a NOT NULL prefilter.
+
+    Scale: runs on the per-event entry frame (<= 25 rows in the
+    reference's cap); the single-partition windows are intentional
+    at that size."""
     w_canon = Window.orderBy("entry_id")
-    w_rank = Window.orderBy(F.desc("score"), F.asc("entry_id"))
+    w_rank = Window.orderBy(F.desc_nulls_last("score"), F.asc("entry_id"))
     return (
         scored.select(
             "entry_id",

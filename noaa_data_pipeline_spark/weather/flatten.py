@@ -107,7 +107,13 @@ def align_and_fill(
             # skips them — the reference's "fall back to prev" branch
             F.col("raw_value").alias("v"),
             F.lit(0).alias("is_grid"),
-            F.monotonically_increasing_id().alias("series_ord"),
+            # deterministic series tiebreak at equal start times:
+            # (layout_key, seq) is carried from the parsed input, so
+            # the winner never depends on partition layout (a
+            # monotonically_increasing_id here would make exact-tie
+            # results flip with parallelism/file splits)
+            F.col("layout_key").alias("series_key"),
+            F.col("seq").alias("series_seq"),
         )
     )
     grid_rows = grid.select(
@@ -115,7 +121,8 @@ def align_and_fill(
         F.col("begin_time").alias("t"),
         F.lit(None).cast("string").alias("v"),
         F.lit(1).alias("is_grid"),
-        F.lit(None).cast("long").alias("series_ord"),
+        F.lit(None).cast("string").alias("series_key"),
+        F.lit(None).cast("long").alias("series_seq"),
         "begin_time",
         "end_time",
     )
@@ -127,17 +134,19 @@ def align_and_fill(
         "t",
         "v",
         "is_grid",
-        "series_ord",
+        "series_key",
+        "series_seq",
         F.lit(None).cast("timestamp").alias("begin_time"),
         F.lit(None).cast("timestamp").alias("end_time"),
     ).unionByName(grid_by_field)
     # readings sort before the grid row at the same instant (is_grid
     # 0 < 1): a range starting exactly at t applies to t, matching the
     # reference's `start_time <= begin_time` comparison; later series
-    # overwrite earlier ones at equal times via series_ord
+    # (higher layout_key, then seq) overwrite earlier ones at equal
+    # times deterministically
     w = (
         Window.partitionBy("location_key", "field")
-        .orderBy("t", "is_grid", "series_ord")
+        .orderBy("t", "is_grid", "series_key", "series_seq")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

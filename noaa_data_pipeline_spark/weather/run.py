@@ -15,6 +15,7 @@ same winning-bytes message the reference signs.
 from __future__ import annotations
 
 import datetime as dt
+import math
 import uuid as uuidlib
 
 from pyspark.sql import SparkSession
@@ -33,6 +34,13 @@ def event_status(ev, now: dt.datetime) -> str:
     if now < ev.observation_date + EVENT_WINDOW:
         return "running"
     return "completed"
+
+
+def _round_half_away(x: float) -> int:
+    """Rust ``f64::round`` semantics: halves round away from zero
+    (21.5 -> 22, -21.5 -> -22). Python's builtin ``round`` is
+    banker's rounding and diverges on exact .5 ties."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
 
 def sign_stub(winning_bytes: bytes) -> bytes:
@@ -83,8 +91,8 @@ def run_etl(store: EventStore, lake_root: str, now: dt.datetime) -> dict[str, st
                 if ob is None
                 else (
                     ob.start_time,
-                    None if ob.temp_low is None else int(round(ob.temp_low)),
-                    None if ob.temp_high is None else int(round(ob.temp_high)),
+                    None if ob.temp_low is None else _round_half_away(ob.temp_low),
+                    None if ob.temp_high is None else _round_half_away(ob.temp_high),
                     ob.wind_speed,
                 )
             )
@@ -105,10 +113,13 @@ def run_etl(store: EventStore, lake_root: str, now: dt.datetime) -> dict[str, st
 
         status = event_status(ev, now)
         if status == "completed" and ev.signing_date < now:
+            # ALL entries, scored or not: the canonical index list is
+            # built from the full id-sorted entry set
+            # (oracle.rs:598-607); filtering unscored entries here
+            # would shift the 0-based indices and corrupt the
+            # attestation bytes.
             entries, _ = store.event_entries(ev.id)
-            scored = entries.select(
-                entries.id.alias("entry_id"), "event_id", "score"
-            ).filter("score IS NOT NULL")
+            scored = entries.select(entries.id.alias("entry_id"), "event_id", "score")
             win = etl.winners(scored).collect()
             if win:
                 wb = etl.get_winning_bytes([w.canonical_idx for w in win])

@@ -100,6 +100,26 @@ def test_golden_winners_and_attestation_bytes(scored):
     )
 
 
+def test_winners_include_unscored_in_canonical_order(spark, scored):
+    """The canonical index list is built from ALL entries, scored or
+    not (oracle.rs:598-607): an unscored entry still occupies its
+    id-sorted slot, and ``Reverse(Option<i64>)`` ranks ``None`` below
+    every scored entry, so it can only win when fewer than k are
+    scored."""
+    e0 = uuid7_at(BASE, 50)  # sorts before E1..E4, score NULL
+    unscored = spark.createDataFrame(
+        [(e0, EVENT, None)], "entry_id string, event_id string, score long"
+    )
+    full = scored.select("entry_id", "event_id", "score").unionByName(unscored)
+    win = etl.winners(full).collect()
+    # winners unchanged, but indices shift by 1 because e0 occupies slot 0
+    assert [w.entry_id for w in win] == [E1, E3, E2]
+    assert [w.canonical_idx for w in win] == [1, 3, 2]
+    # with k larger than the scored count, the unscored entry ranks last
+    win5 = etl.winners(full, k=5).collect()
+    assert win5[-1].entry_id == e0 and win5[-1].canonical_idx == 0
+
+
 def test_uuid7_millis_extraction(spark):
     from pyspark.sql import functions as F
 

@@ -107,6 +107,45 @@ def test_forward_fill_matches_procedural_model(flat):
         assert got == expected, f"{field}: {got[:10]} != {expected[:10]}"
 
 
+def test_tie_break_deterministic_under_repartition(spark):
+    """Two series for the same (location, field) whose ranges start
+    at the same instant: the winner must be decided by the carried
+    (layout_key, seq) ordinals, not physical row order, so the output
+    is identical under any partition layout (the reference's
+    document-order walk is deterministic; a
+    monotonically_increasing_id tiebreak was not)."""
+    layouts = spark.createDataFrame(
+        [("ka", 0, NOW), ("kb", 0, NOW)],
+        "layout_key string, seq int, start_time timestamp",
+    )
+    # same start_time, conflicting values: kb > ka lexicographically,
+    # so "20" must win at every grid slot
+    readings_rows = [
+        ("loc1", "max_temp", "ka", 0, "10"),
+        ("loc1", "max_temp", "kb", 0, "20"),
+    ]
+    locations = spark.createDataFrame(
+        [("loc1", "44.90", "-93.20")], "location_key string, latitude string, longitude string"
+    )
+    stations = spark.createDataFrame(
+        STATIONS, "station_id string, station_name string, latitude double, longitude double"
+    )
+    outputs = []
+    for n_parts in (1, 2, 7):
+        readings = spark.createDataFrame(
+            readings_rows,
+            "location_key string, field string, layout_key string, seq int, raw_value string",
+        ).repartition(n_parts)
+        rows = (
+            flatten.flatten_forecasts(spark, locations, stations, layouts, readings, NOW, GEN)
+            .orderBy("begin_time")
+            .collect()
+        )
+        outputs.append([(r.begin_time, r.max_temp) for r in rows])
+        assert all(r.max_temp == 20 for r in rows)
+    assert outputs[0] == outputs[1] == outputs[2]
+
+
 def test_fill_values_spotcheck(flat):
     rows = {r.begin_time: r for r in flat.collect()}
     # max_temp: k2 range 0 covers [NOW, NOW+12h) -> 30; range 1 -> 33 onward
