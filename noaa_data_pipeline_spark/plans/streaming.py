@@ -73,19 +73,33 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming frame to completion (availableNow) into a
-    uniquely-named memory sink and return the materialized table."""
+    uniquely-named memory sink and return the materialized table.
+
+    Stateful operators create one state-store instance per shuffle
+    partition, each paying checkpoint/commit IO every micro-batch;
+    at this data size 32 stores are pure overhead (~8s -> ~1s for
+    sessionize with 8). The partition count is read at query start,
+    so it's narrowed here and restored after termination; a real
+    deployment sizes it to the executor count instead."""
     spark = df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev_parts), 8))
     )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
