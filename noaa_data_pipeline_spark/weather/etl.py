@@ -52,9 +52,13 @@ def choices_long(choices_wide: DataFrame) -> DataFrame:
     )
 
 
-def _metric_values(daily: DataFrame, rounded: bool) -> DataFrame:
-    """(station_id, metric, value) from a daily rollup frame; observed
-    temps round half-away-from-zero to integers first (F5)."""
+def _metric_values(
+    daily: DataFrame, rounded: bool, keys: tuple[str, ...] = ("station_id",)
+) -> DataFrame:
+    """(*keys, metric, value) from a daily rollup frame; observed
+    temps round half-away-from-zero to integers first (F5 — Spark
+    ROUND is HALF_UP, i.e. away from zero, same as Rust f64::round).
+    The batch path passes keys=("event_id", "station_id")."""
     cols = []
     for m in METRICS:
         v = F.col(m)
@@ -62,8 +66,8 @@ def _metric_values(daily: DataFrame, rounded: bool) -> DataFrame:
             v = F.round(v, 0)
         cols.append(F.struct(F.lit(m).alias("metric"), v.cast("long").alias("value")))
     return daily.select(
-        "station_id", F.explode(F.array(*cols)).alias("mv")
-    ).select("station_id", F.col("mv.metric").alias("metric"), F.col("mv.value").alias("value"))
+        *keys, F.explode(F.array(*cols)).alias("mv")
+    ).select(*keys, F.col("mv.metric").alias("metric"), F.col("mv.value").alias("value"))
 
 
 def score_entries(
@@ -118,6 +122,86 @@ def score_entries(
         "event_id",
         F.col("base_score").cast("long").alias("base_score"),
         (F.col("base_score") * 10000 + time_part).cast("long").alias("score"),
+    )
+
+
+def score_entries_batch(
+    entries: DataFrame,
+    choices: DataFrame,
+    forecast_daily: DataFrame,
+    observation_daily: DataFrame,
+) -> DataFrame:
+    """Batch twin of :func:`score_entries`: every active event in one
+    plan. The daily frames carry ``event_id`` so the join keys become
+    (event_id, station_id, metric) and a single map-side-combined
+    groupBy(entry_id) scores the whole fleet — no per-event loop, no
+    driver serialization at 10^5 events.
+
+    entries: (entry_id, event_id) restricted to the events to score;
+    choices: long form (entry_id, station_id, metric, pick);
+    *_daily: per-event rollups with event_id leading.
+    """
+    keys = ("event_id", "station_id")
+    fc = _metric_values(
+        forecast_daily.select(*keys, *METRICS), rounded=False, keys=keys
+    ).withColumnRenamed("value", "forecast_v")
+    ob = _metric_values(
+        observation_daily.select(*keys, *METRICS), rounded=True, keys=keys
+    ).withColumnRenamed("value", "observed_v")
+    # choices carry no event_id; attach it from entries. Entries/choices
+    # are the SF-scaling side; the weather values (events x stations x 3
+    # metrics) stay bounded and broadcast.
+    ch = choices.join(entries, "entry_id")
+    joined = (
+        ch.join(F.broadcast(fc), ["event_id", "station_id", "metric"])
+        .join(F.broadcast(ob), ["event_id", "station_id", "metric"])
+    )
+    pts = (
+        F.when(
+            (F.col("pick") == "par") & (F.col("forecast_v") == F.col("observed_v")),
+            PAR_POINTS,
+        )
+        .when(
+            (F.col("pick") == "over") & (F.col("forecast_v") < F.col("observed_v")),
+            OVER_UNDER_POINTS,
+        )
+        .when(
+            (F.col("pick") == "under") & (F.col("forecast_v") > F.col("observed_v")),
+            OVER_UNDER_POINTS,
+        )
+        .otherwise(0)
+    )
+    per_entry = joined.select("entry_id", pts.alias("pts")).groupBy("entry_id").agg(
+        F.sum("pts").alias("base_score")
+    )
+    scored = entries.join(per_entry, "entry_id", "left").na.fill({"base_score": 0})
+    time_part = F.lit(9999) - (uuid7_unix_millis(F.col("entry_id")) % 10000)
+    return scored.select(
+        "entry_id",
+        "event_id",
+        F.col("base_score").cast("long").alias("base_score"),
+        (F.col("base_score") * 10000 + time_part).cast("long").alias("score"),
+    )
+
+
+def winners_batch(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Batch twin of :func:`winners`: one window pass partitioned by
+    event_id ranks every signable event at once. Same contract — must
+    receive ALL entries per event (scored or not) so canonical
+    indices match the reference's full id-sorted list."""
+    w_canon = Window.partitionBy("event_id").orderBy("entry_id")
+    w_rank = Window.partitionBy("event_id").orderBy(
+        F.desc_nulls_last("score"), F.asc("entry_id")
+    )
+    return (
+        scored.select(
+            "event_id",
+            "entry_id",
+            "score",
+            (F.row_number().over(w_canon) - 1).alias("canonical_idx"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -111,6 +111,16 @@ class EventStore:
         df = self.spark.createDataFrame(rows, _TABLES[table])
         df.write.mode("append").parquet(self._path(table))
 
+    def append_frame(self, table: str, df: DataFrame) -> None:
+        """Append a DataFrame directly (the batch-ETL write path — no
+        driver round-trip). Columns are aligned to the table schema by
+        name and cast to its types."""
+        schema = _TABLES[table]
+        aligned = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        aligned.write.mode("append").parquet(self._path(table))
+
     # -- inserts (S12) -------------------------------------------------
 
     def add_event(
@@ -200,12 +210,27 @@ class EventStore:
         df.write.mode("overwrite").parquet(self._path("entries"))
 
     def sign_event(self, event_id: str, signature: bytes) -> None:
+        self.sign_events({event_id: signature})
+
+    def sign_events(self, signatures: dict[str, bytes]) -> None:
+        """Attach attestation signatures to many events in ONE table
+        rewrite (the batch path signs a fleet per pass; per-event
+        rewrites would be N full passes over the control table)."""
+        if not signatures:
+            return
         events = self.read("events")
-        updated = events.withColumn(
-            "attestation_signature",
-            F.when(F.col("id") == event_id, F.lit(signature)).otherwise(
-                F.col("attestation_signature")
-            ),
+        sig_df = self.spark.createDataFrame(
+            list(signatures.items()), "sig_event_id string, new_signature binary"
+        )
+        updated = (
+            events.join(
+                F.broadcast(sig_df), events.id == sig_df.sig_event_id, "left"
+            )
+            .withColumn(
+                "attestation_signature",
+                F.coalesce("new_signature", "attestation_signature"),
+            )
+            .drop("sig_event_id", "new_signature")
         )
         rows = [tuple(r) for r in updated.collect()]
         df = self.spark.createDataFrame(rows, EVENT_SCHEMA)

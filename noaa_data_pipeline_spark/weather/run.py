@@ -19,6 +19,7 @@ import math
 import uuid as uuidlib
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from . import etl, lake, queries
 from .event_store import EventStore
@@ -29,9 +30,13 @@ EVENT_WINDOW = dt.timedelta(days=1)  # "all events are only a day long"
 def event_status(ev, now: dt.datetime) -> str:
     if ev.attestation_signature is not None:
         return "signed"
-    if now < ev.observation_date:
+    return _unattested_status(ev.observation_date, now)
+
+
+def _unattested_status(observation_date: dt.datetime, now: dt.datetime) -> str:
+    if now < observation_date:
         return "live"
-    if now < ev.observation_date + EVENT_WINDOW:
+    if now < observation_date + EVENT_WINDOW:
         return "running"
     return "completed"
 
@@ -66,8 +71,163 @@ def _event_weather(spark: SparkSession, root: str, ev, now: dt.datetime):
     return fc_daily, ob_daily
 
 
+def run_etl_batch(store: EventStore, lake_root: str, now: dt.datetime) -> dict[str, str]:
+    """One ETL pass over ALL active events as set-based plans; returns
+    {event_id: resulting status}. Semantics identical to
+    :func:`run_etl` (the per-event parity path), but:
+
+    - the lake is scanned ONCE over the union of event windows, with
+      per-event time predicates applied after a broadcast join with
+      the exploded (event_id, station_id) dimension;
+    - daily rollups group by (event_id, station_id) — one shuffle for
+      the fleet instead of one job per event;
+    - scoring is one join chain + groupBy(entry_id)
+      (etl.score_entries_batch), winners one window partitioned by
+      event_id (etl.winners_batch);
+    - signatures land in one control-table rewrite (sign_events).
+
+    At 10^5 active events the per-event loop serializes the cluster
+    on driver round-trips; this path's job count is O(1) in the
+    number of events. Only control-plane-sized frames (event metadata,
+    snapshot rows, winner triples) are ever collected."""
+    spark = store.spark
+    events = store.read("events").filter(F.col("attestation_signature").isNull())
+    meta = events.select("id", "observation_date", "signing_date").collect()
+    if not meta:
+        return {}
+    g_start = min(ev.observation_date for ev in meta)
+    g_end = max(ev.observation_date for ev in meta) + EVENT_WINDOW
+
+    ev_loc = events.select(
+        F.col("id").alias("event_id"),
+        "observation_date",
+        F.explode("locations").alias("station_id"),
+    )
+    day = F.expr("interval 1 day")  # EVENT_WINDOW
+
+    # -- forecasts: one widened scan, per-event window predicates after
+    #    the broadcast dim join, two-level rollup keyed by event too
+    fc_lake = lake.read_lake(
+        spark, lake_root, lake.FORECASTS, start=queries.scan_start_widened(g_start), end=g_end
+    )
+    fcj = fc_lake.join(F.broadcast(ev_loc), "station_id").filter(
+        (F.date_trunc("day", F.col("begin_time")) >= F.col("observation_date"))
+        & (F.date_trunc("day", F.col("end_time")) <= F.col("observation_date") + day)
+    )
+    per_interval = fcj.groupBy(
+        "event_id", "observation_date", "station_id", "begin_time"
+    ).agg(
+        F.date_format(F.date_trunc("day", F.col("begin_time")), "yyyy-MM-dd").alias("date"),
+        F.min("begin_time").alias("start_time"),
+        F.max("end_time").alias("end_time"),
+        F.min("min_temp").alias("temp_low"),
+        F.max("max_temp").alias("temp_high"),
+        F.max("wind_speed").alias("wind_speed"),
+    )
+    fc_daily = (
+        per_interval.groupBy("event_id", "observation_date", "station_id", "date")
+        .agg(
+            F.min("start_time").alias("start_time"),
+            F.max("end_time").alias("end_time"),
+            F.min("temp_low").alias("temp_low"),
+            F.max("temp_high").alias("temp_high"),
+            F.max("wind_speed").alias("wind_speed"),
+        )
+        .filter(F.col("date") == F.date_format("observation_date", "yyyy-MM-dd"))
+    )
+
+    # -- observations: only events whose window has started (J8)
+    ob_loc = ev_loc.filter(F.col("observation_date") <= F.lit(now))
+    ob_lake = lake.read_lake(spark, lake_root, lake.OBSERVATIONS, start=g_start, end=g_end)
+    obj = ob_lake.join(F.broadcast(ob_loc), "station_id").filter(
+        (F.col("generated_at") >= F.col("observation_date"))
+        & (F.col("generated_at") <= F.col("observation_date") + day)
+    )
+    ob_daily = obj.groupBy("event_id", "station_id").agg(
+        F.min("generated_at").alias("start_time"),
+        F.max("generated_at").alias("end_time"),
+        F.min("temperature_value").alias("temp_low"),
+        F.max("temperature_value").alias("temp_high"),
+        F.max("wind_speed").alias("wind_speed"),
+    )
+
+    # -- weather snapshot: forecast required, observed optional (J8);
+    #    observed temps round half-away-from-zero (Spark ROUND = HALF_UP)
+    ob_side = ob_daily.select(
+        "event_id",
+        "station_id",
+        F.struct(
+            F.col("start_time").alias("date"),
+            F.round("temp_low", 0).cast("long").alias("temp_low"),
+            F.round("temp_high", 0).cast("long").alias("temp_high"),
+            F.col("wind_speed").cast("long").alias("wind_speed"),
+        ).alias("observed"),
+    )
+    snapshot = (
+        fc_daily.join(ob_side, ["event_id", "station_id"], "left")
+        .select(
+            F.expr("uuid()").alias("id"),
+            "event_id",
+            "station_id",
+            "observed",
+            F.struct(
+                F.col("start_time").alias("date"),
+                F.col("temp_low").cast("long").alias("temp_low"),
+                F.col("temp_high").cast("long").alias("temp_high"),
+                F.col("wind_speed").cast("long").alias("wind_speed"),
+            ).alias("forecasted"),
+        )
+    )
+    store.append_frame("weather", snapshot)
+
+    # -- scoring: entries of events that have >= 1 observation row
+    active_ids = events.select(F.col("id").alias("event_id"))
+    entries_all = store.read("entries").join(active_ids, "event_id", "left_semi")
+    events_with_obs = ob_daily.select("event_id").distinct()
+    to_score = (
+        entries_all.select(F.col("id").alias("entry_id"), "event_id")
+        .join(events_with_obs, "event_id", "left_semi")
+    )
+    if to_score.limit(1).count() > 0:
+        choices = store.read("choices").join(
+            entries_all.select(F.col("id").alias("entry_id")), "entry_id", "left_semi"
+        )
+        scored = etl.score_entries_batch(
+            to_score, etl.choices_long(choices), fc_daily, ob_daily
+        )
+        store.update_scores(scored)
+
+    # -- statuses + signing (control-plane; winners in one window pass)
+    results = {ev.id: _unattested_status(ev.observation_date, now) for ev in meta}
+    sign_ids = [
+        ev.id
+        for ev in meta
+        if results[ev.id] == "completed" and ev.signing_date < now
+    ]
+    if sign_ids:
+        ents = (
+            store.read("entries")
+            .filter(F.col("event_id").isin(sign_ids))
+            .select(F.col("id").alias("entry_id"), "event_id", "score")
+        )
+        win_rows = etl.winners_batch(ents).orderBy("event_id", "rank").collect()
+        by_event: dict[str, list] = {}
+        for w in win_rows:
+            by_event.setdefault(w.event_id, []).append(w)
+        signatures = {
+            ev_id: sign_stub(etl.get_winning_bytes([w.canonical_idx for w in rows]))
+            for ev_id, rows in by_event.items()
+        }
+        store.sign_events(signatures)
+        for ev_id in signatures:
+            results[ev_id] = "signed"
+    return results
+
+
 def run_etl(store: EventStore, lake_root: str, now: dt.datetime) -> dict[str, str]:
-    """One ETL pass; returns {event_id: resulting status}."""
+    """One ETL pass, event at a time (the parity path — kept for
+    1:1 comparison with the reference's per-event procedure; use
+    :func:`run_etl_batch` for fleets); returns {event_id: status}."""
     spark = store.spark
     results: dict[str, str] = {}
     active = [

@@ -36,8 +36,7 @@ def _unit_tail():
     )
 
 
-@pytest.fixture(scope="module")
-def setup(spark, tmp_path_factory):
+def _build_fixture(spark, tmp_path_factory):
     lake_root = str(tmp_path_factory.mktemp("lake"))
     store_root = str(tmp_path_factory.mktemp("store"))
 
@@ -76,6 +75,11 @@ def setup(spark, tmp_path_factory):
     return store, lake_root, event_id
 
 
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    return _build_fixture(spark, tmp_path_factory)
+
+
 def test_store_validation(setup):
     store, _, event_id = setup
     with pytest.raises(ValueError, match="event full"):
@@ -93,9 +97,8 @@ def test_listing_join_shape(setup):
     assert store.active_events().count() == 1
 
 
-def test_etl_produces_golden_scores_and_signs(setup):
-    store, lake_root, event_id = setup
-    results = run.run_etl(store, lake_root, NOW)
+def _assert_golden_etl(store, lake_root, event_id, etl_fn):
+    results = etl_fn(store, lake_root, NOW)
     assert results == {event_id: "signed"}
 
     entries = {r.id: r.score for r in store.read("entries").collect()}
@@ -113,6 +116,20 @@ def test_etl_produces_golden_scores_and_signs(setup):
     assert by_st["KWMC"].observed.temp_high == 34  # round(34.4)
 
     assert store.active_events().count() == 0
+
+
+def test_etl_produces_golden_scores_and_signs(setup):
+    store, lake_root, event_id = setup
+    _assert_golden_etl(store, lake_root, event_id, run.run_etl)
+
+
+def test_etl_batch_path_produces_same_goldens(spark, tmp_path_factory):
+    """The set-based all-events plan (run_etl_batch) must reproduce
+    the per-event parity path bit-for-bit on the golden fixtures."""
+    store, lake_root, event_id = _build_fixture(spark, tmp_path_factory)
+    _assert_golden_etl(store, lake_root, event_id, run.run_etl_batch)
+    # second pass: nothing active anymore
+    assert run.run_etl_batch(store, lake_root, NOW + dt.timedelta(hours=1)) == {}
 
 
 def test_etl_idempotent_second_pass(setup):
