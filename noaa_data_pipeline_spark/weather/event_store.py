@@ -134,6 +134,7 @@ class EventStore:
         number_of_places_win: int,
         coordinator_pubkey: str | None = None,
         now: dt.datetime | None = None,
+        nonce: bytes | None = None,
     ) -> str:
         event_id = event_id or str(uuidlib.uuid4())
         now = now or dt.datetime.utcnow()
@@ -143,7 +144,7 @@ class EventStore:
                 (
                     event_id, total_allowed_entries, number_of_places_win,
                     number_of_values_per_entry, signing_date, observation_date,
-                    locations, coordinator_pubkey, None, None, now, now,
+                    locations, coordinator_pubkey, nonce, None, now, now,
                 )
             ],
         )

@@ -188,14 +188,21 @@ class WeatherApp:
         lake_root: str,
         store: EventStore,
         files_dir: str,
-        pubkey_hex: str | None = None,
+        oracle_seckey: bytes | None = None,
         now=None,
     ):
         self.spark = spark
         self.lake_root = lake_root
         self.store = store
         self.files = FileExchange(files_dir)
-        self.pubkey_hex = pubkey_hex
+        if oracle_seckey is not None:
+            from ..functions import schnorr
+
+            self.pubkey_hex = schnorr.pubkey(oracle_seckey).hex()
+            self.signer = run.schnorr_signer(oracle_seckey)
+        else:
+            self.pubkey_hex = None
+            self.signer = None
         self._now = now or (lambda: dt.datetime.utcnow())
 
     # -- route bodies ---------------------------------------------------
@@ -371,7 +378,9 @@ class _Handler(BaseHTTPRequestHandler):
                     raise HTTPError(501, "attestation key not configured")
                 return self._send_json({"pubkey": app.pubkey_hex})
             if rest == ["update"] and method == "POST":
-                results = run.run_etl_batch(app.store, app.lake_root, app._now())
+                results = run.run_etl_batch(
+                    app.store, app.lake_root, app._now(), signer=app.signer
+                )
                 return self._send_json(results)
             if rest == ["events"] and method == "GET":
                 return self._send_json(

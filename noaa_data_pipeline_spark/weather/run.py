@@ -50,8 +50,27 @@ def _round_half_away(x: float) -> int:
 
 def sign_stub(winning_bytes: bytes) -> bytes:
     """Deterministic placeholder for the schnorr attestation secret —
-    same message bytes, no key material. NOT cryptography."""
+    same message bytes, no key material. NOT cryptography. Used when
+    no oracle key is configured; see :func:`schnorr_signer` for the
+    real path."""
     return b"stub-attestation:" + winning_bytes
+
+
+def schnorr_signer(seckey: bytes):
+    """Real DLC attestation (oracle.rs:620-655): returns a
+    ``(nonce_secret, winning_bytes) -> 32-byte scalar`` callable
+    computing s = k' + e*d' over secp256k1 (BIP-340 challenge), via
+    the pure-Python functions/schnorr module. Events without a
+    pre-committed nonce fall back to a standard BIP-340 signature
+    (64 bytes) over the winning bytes."""
+    from ..functions import schnorr
+
+    def _sign(nonce_secret: bytes | None, winning_bytes: bytes) -> bytes:
+        if nonce_secret:
+            return schnorr.attestation_secret(seckey, bytes(nonce_secret), winning_bytes)
+        return schnorr.sign(winning_bytes, seckey)
+
+    return _sign
 
 
 def _event_weather(spark: SparkSession, root: str, ev, now: dt.datetime):
@@ -71,7 +90,9 @@ def _event_weather(spark: SparkSession, root: str, ev, now: dt.datetime):
     return fc_daily, ob_daily
 
 
-def run_etl_batch(store: EventStore, lake_root: str, now: dt.datetime) -> dict[str, str]:
+def run_etl_batch(
+    store: EventStore, lake_root: str, now: dt.datetime, signer=None
+) -> dict[str, str]:
     """One ETL pass over ALL active events as set-based plans; returns
     {event_id: resulting status}. Semantics identical to
     :func:`run_etl` (the per-event parity path), but:
@@ -92,7 +113,7 @@ def run_etl_batch(store: EventStore, lake_root: str, now: dt.datetime) -> dict[s
     snapshot rows, winner triples) are ever collected."""
     spark = store.spark
     events = store.read("events").filter(F.col("attestation_signature").isNull())
-    meta = events.select("id", "observation_date", "signing_date").collect()
+    meta = events.select("id", "observation_date", "signing_date", "nonce").collect()
     if not meta:
         return {}
     g_start = min(ev.observation_date for ev in meta)
@@ -214,17 +235,22 @@ def run_etl_batch(store: EventStore, lake_root: str, now: dt.datetime) -> dict[s
         by_event: dict[str, list] = {}
         for w in win_rows:
             by_event.setdefault(w.event_id, []).append(w)
-        signatures = {
-            ev_id: sign_stub(etl.get_winning_bytes([w.canonical_idx for w in rows]))
-            for ev_id, rows in by_event.items()
-        }
+        nonces = {ev.id: ev.nonce for ev in meta}
+        signatures = {}
+        for ev_id, rows in by_event.items():
+            wb = etl.get_winning_bytes([w.canonical_idx for w in rows])
+            signatures[ev_id] = (
+                signer(nonces.get(ev_id), wb) if signer is not None else sign_stub(wb)
+            )
         store.sign_events(signatures)
         for ev_id in signatures:
             results[ev_id] = "signed"
     return results
 
 
-def run_etl(store: EventStore, lake_root: str, now: dt.datetime) -> dict[str, str]:
+def run_etl(
+    store: EventStore, lake_root: str, now: dt.datetime, signer=None
+) -> dict[str, str]:
     """One ETL pass, event at a time (the parity path — kept for
     1:1 comparison with the reference's per-event procedure; use
     :func:`run_etl_batch` for fleets); returns {event_id: status}."""
@@ -283,7 +309,8 @@ def run_etl(store: EventStore, lake_root: str, now: dt.datetime) -> dict[str, st
             win = etl.winners(scored).collect()
             if win:
                 wb = etl.get_winning_bytes([w.canonical_idx for w in win])
-                store.sign_event(ev.id, sign_stub(wb))
+                sig = signer(ev.nonce, wb) if signer is not None else sign_stub(wb)
+                store.sign_event(ev.id, sig)
                 status = "signed"
         results[ev.id] = status
     return results

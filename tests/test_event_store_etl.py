@@ -36,7 +36,7 @@ def _unit_tail():
     )
 
 
-def _build_fixture(spark, tmp_path_factory):
+def _build_fixture(spark, tmp_path_factory, nonce=None):
     lake_root = str(tmp_path_factory.mktemp("lake"))
     store_root = str(tmp_path_factory.mktemp("store"))
 
@@ -66,6 +66,7 @@ def _build_fixture(spark, tmp_path_factory):
     event_id = store.add_event(
         None, OBS_DATE, SIGN_DATE, ["PFNO", "KSAW", "PAPG", "KWMC"],
         total_allowed_entries=4, number_of_values_per_entry=6, number_of_places_win=1,
+        nonce=nonce,
     )
     by_entry: dict[str, list] = {}
     for e, station, tl, th, ws in CHOICES:
@@ -135,6 +136,33 @@ def test_etl_batch_path_produces_same_goldens(spark, tmp_path_factory):
 def test_etl_idempotent_second_pass(setup):
     store, lake_root, event_id = setup
     assert run.run_etl(store, lake_root, NOW + dt.timedelta(hours=1)) == {}
+
+
+def test_etl_real_schnorr_attestation(spark, tmp_path_factory):
+    """With an oracle key and a pre-committed event nonce, the batch
+    ETL stores the DLC attestation scalar: s*G equals the public
+    locking point for the winning outcome, and (R_x, s) verifies as
+    a BIP-340 signature over the winning bytes (oracle.rs:620-655)."""
+    from noaa_data_pipeline_spark.functions import schnorr
+
+    seckey = (0xA11CE).to_bytes(32, "big")
+    nonce = (0xB0B).to_bytes(32, "big")
+    store, lake_root, event_id = _build_fixture(spark, tmp_path_factory, nonce=nonce)
+    results = run.run_etl_batch(
+        store, lake_root, NOW, signer=run.schnorr_signer(seckey)
+    )
+    assert results == {event_id: "signed"}
+
+    ev = store.read("events").collect()[0]
+    s = bytes(ev.attestation_signature)
+    assert len(s) == 32
+    wb = run.etl.get_winning_bytes([0, 2, 1])
+    lock = schnorr.attestation_locking_point(
+        schnorr.pubkey(seckey), schnorr.nonce_point(nonce), wb
+    )
+    assert schnorr._mul(int.from_bytes(s, "big"), schnorr.G) == lock
+    sig = schnorr.attestation_as_signature(schnorr.nonce_point(nonce), s)
+    assert schnorr.verify(wb, schnorr.pubkey(seckey), sig)
 
 
 def test_permutation_counts():
