@@ -33,6 +33,9 @@ HEADLINE = [
     "events_outcome_scoring",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ann_lsh_hyperplane",
+    "text_fingerprint_winnow",
 ]
 
 

@@ -186,24 +186,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=12) + LSH banding (4 bands × 3 rows):
-    candidate pairs share a band bucket, then exact Jaccard verifies
-    — but only over the candidate docs. This is the 100 TB dedup
-    path: signatures reduce each doc to k hashes map-side, the band
-    join shuffles only (band, bucket) keys, and the verification
-    shingle join is semi-join-reduced to candidate doc ids first, so
-    the corpus is never pair-joined in full (the oracle SQL computes
-    the full pair join; restricting to candidates is result-identical
-    because the final join keeps candidate pairs only). Min-hash uses
-    lexicographic MIN over md5 hex strings, identical in both
-    engines."""
+    """Registry binding of :func:`minhash_lsh_pairs` at the demo-sized
+    defaults (k={textops.MINHASH_K}, {textops.LSH_BANDS} bands) so the
+    DuckDB oracle stays expressible; production tuning happens through
+    the parameters."""
+    return minhash_lsh_pairs(spark, sf_dir)
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = textops.MINHASH_K,
+    bands: int = textops.LSH_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash signatures (k hashes) + LSH banding (``bands`` bands of
+    r = k/bands rows): candidate pairs share a band bucket, then exact
+    Jaccard >= ``threshold`` verifies — but only over the candidate
+    docs.
+
+    Parameter guide (s-curve): a pair with Jaccard J becomes a
+    candidate with 1 - (1 - J^r)^b; the steep point sits near
+    (1/b)^(1/r), so pick (k, bands) to put that knee just under the
+    dedup threshold (k=12, b=4, r=3 → knee ≈ 0.63; production
+    near-dup pipelines run k≈128, b≈32). tests/test_ann_recall.py
+    pins measured recall against an independent pure-Python ground
+    truth.
+
+    This is the 100 TB dedup path: signatures reduce each doc to k
+    hashes map-side, the band join shuffles only (band, bucket) keys,
+    and the verification shingle join is semi-join-reduced to
+    candidate doc ids first, so the corpus is never pair-joined in
+    full (the oracle SQL computes the full pair join; restricting to
+    candidates is result-identical because the final join keeps
+    candidate pairs only). Min-hash uses lexicographic MIN over md5
+    hex strings, identical in both engines."""
+    if k % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide k ({k})")
     sh = _shingles_cached(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(*textops.minhash_agg_cols())
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*textops.band_cols())).alias("bb")
+    sigs = sh.groupBy("doc_id").agg(*textops.minhash_agg_cols(k))
+    bands_df = sigs.select(
+        "doc_id", F.explode(F.array(*textops.band_cols(k, bands))).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
     candidates = (
         a.join(
             b,
@@ -254,7 +280,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("n_common"))
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
     return candidates.join(verified, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"

@@ -20,6 +20,8 @@ result; hyperplane components derive from md5, identical both sides.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -131,32 +133,6 @@ def _sql_planes() -> str:
     """
 
 
-def _planes(spark: SparkSession) -> DataFrame:
-    """(plane, dim 1-based, comp in [-1,1]) — md5-derived pseudo-random
-    hyperplanes, identical to the SQL twin."""
-    return (
-        spark.range(LSH_PLANES * DIM)
-        .select(
-            (F.col("id") / DIM).cast("long").alias("plane"),
-            (F.col("id") % DIM + 1).alias("dim"),
-        )
-        .select(
-            "plane",
-            "dim",
-            (
-                (
-                    F.conv(
-                        F.substring(F.md5(F.concat_ws("|", "plane", "dim")), 1, 8), 16, 10
-                    ).cast("long")
-                    % 2001
-                    - 1000
-                )
-                / 1000.0
-            ).alias("comp"),
-        )
-    )
-
-
 @register(
     "sim_ann_lsh_hyperplane",
     oracle=f"""
@@ -190,37 +166,70 @@ def _planes(spark: SparkSession) -> DataFrame:
     """,
 )
 def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signed-random-projection LSH: {LSH_PLANES} md5-derived
-    hyperplanes give each vector a sign bucket; same-bucket pairs are
-    candidates; exact cosine >= {LSH_COSINE_MIN} verifies. Scale: the
-    plane table broadcasts, signatures are one map-side-combined
-    groupBy, and the candidate join shuffles bucket keys only — the
-    corpus never self-joins all-pairs."""
+    """Registry binding of :func:`ann_lsh_pairs` at the demo-sized
+    defaults ({LSH_PLANES} planes, 1 band) so the DuckDB oracle stays
+    expressible; production tuning happens through the parameters."""
+    return ann_lsh_pairs(spark, sf_dir)
+
+
+def ann_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: int = LSH_PLANES,
+    bands: int = 1,
+    cosine_min: float = LSH_COSINE_MIN,
+) -> DataFrame:
+    """Signed-random-projection LSH with OR-amplification: each of
+    ``bands`` independent groups of ``planes`` hyperplanes gives a
+    vector a sign bucket; pairs sharing ANY band bucket are
+    candidates; exact cosine >= ``cosine_min`` verifies.
+
+    Parameter guide (standard s-curve): a pair with angle θ collides
+    in one band with p(θ)^planes where p = 1 - θ/π, and overall with
+    1 - (1 - p^planes)^bands — more planes sharpens precision, more
+    bands recovers recall. tests/test_ann_recall.py pins measured
+    recall against a numpy ground truth at both settings.
+
+    Scale: plane components are literal arrays evaluated map-side
+    (zip_with + decimal aggregate — zero shuffles to produce the
+    signatures; the earlier posexplode->join->groupBy shape paid two),
+    and the candidate join shuffles (band, bucket) keys only — the
+    corpus never self-joins all-pairs; cost grows with bands, not
+    corpus^2."""
     emb = _embeddings(spark, sf_dir)
-    comps = emb.select(
-        "vec_id", F.posexplode("emb").alias("pos", "val")
-    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
-    sigs = (
-        comps.join(F.broadcast(_planes(spark)), "dim")
-        .groupBy("vec_id", "plane")
-        .agg(
-            F.when(
-                F.sum((F.col("val") * F.col("comp")).cast(_DEC)) > 0, F.lit("1")
-            )
-            .otherwise(F.lit("0"))
-            .alias("bit")
+    # same md5 derivation as _planes/_sql_planes, computed driver-side
+    # (Python md5 == JVM md5) and inlined as literals so each sign bit
+    # is one map-side zip_with/aggregate over the embedding array
+    def comp(plane: int, dim: int) -> float:
+        h = hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()[:8]
+        return (int(h, 16) % 2001 - 1000) / 1000.0
+
+    def bit(plane: int) -> Column:
+        vec = F.array(*[F.lit(comp(plane, d + 1)) for d in range(DIM)])
+        return F.when(_dot(F.col("emb"), vec) > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat(*[bit(band * planes + p) for p in range(planes)]).alias("bucket"),
         )
-    )
-    buckets = sigs.groupBy("vec_id").agg(
-        F.concat_ws(
-            "", F.transform(F.sort_array(F.collect_list(F.struct("plane", "bit"))), lambda s: s.bit)
-        ).alias("bucket")
-    )
+        for band in range(bands)
+    ]
+    buckets = emb.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
-    cand = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
     ea = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a")
     )
@@ -237,7 +246,7 @@ def sim_ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cosine"
             ),
         )
-        .filter(F.col("cosine") >= LSH_COSINE_MIN)
+        .filter(F.col("cosine") >= cosine_min)
         .select("vec_a", "vec_b", "cosine")
     )
 

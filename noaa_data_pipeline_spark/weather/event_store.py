@@ -17,6 +17,7 @@ of rows); the lake fact tables are the data plane.
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
 import uuid as uuidlib
 
@@ -48,8 +49,12 @@ ENTRY_SCHEMA = T.StructType(
         T.StructField("score", T.LongType(), True),
         T.StructField("base_score", T.LongType(), True),
         T.StructField("created_at", T.TimestampType(), False),
+        T.StructField("updated_at", T.TimestampType(), False),
     ]
 )
+
+# v1 (pre-versioning) entries layout, kept for the v1 -> v2 migration
+_ENTRY_SCHEMA_V1 = T.StructType(ENTRY_SCHEMA.fields[:-1])
 
 CHOICE_SCHEMA = T.StructType(
     [
@@ -90,15 +95,94 @@ _TABLES = {
 }
 
 
+CURRENT_VERSION = 2
+_VERSION_FILE = "_db_version.json"
+_METADATA_FILE = "_oracle_metadata.json"
+
+
 class EventStore:
-    """Minimal CRUD + listing over the parquet event tables."""
+    """Minimal CRUD + listing over the parquet event tables.
+
+    Carries the reference's db_version scheme
+    (event_db_migrations.rs:4-34) as a JSON sidecar + ordered
+    migration steps run at open time: version 0 = fresh store
+    (stamped current), 1 = the pre-versioning layout (entries without
+    ``updated_at``), 2 = current."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self.run_migrations()
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    # -- versioning (event_db_migrations.rs equivalent) ----------------
+
+    def _version(self) -> int:
+        vf = os.path.join(self.root, _VERSION_FILE)
+        if os.path.isfile(vf):
+            with open(vf) as fh:
+                return int(json.load(fh)["version"])
+        # no sidecar: a store with tables predates versioning (v1);
+        # an empty directory is a fresh store (v0)
+        has_tables = any(os.path.isdir(self._path(t)) for t in _TABLES)
+        return 1 if has_tables else 0
+
+    def _stamp(self, version: int) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        with open(os.path.join(self.root, _VERSION_FILE), "w") as fh:
+            json.dump({"version": version}, fh)
+
+    def run_migrations(self) -> int:
+        """Apply pending migrations in order and stamp the store;
+        returns the resulting version."""
+        v = self._version()
+        if v == 0:
+            self._stamp(CURRENT_VERSION)  # fresh store: current layout
+            return CURRENT_VERSION
+        while v < CURRENT_VERSION:
+            getattr(self, f"_migrate_v{v}_to_v{v + 1}")()
+            v += 1
+            self._stamp(v)
+        return v
+
+    def _migrate_v1_to_v2(self) -> None:
+        """v2 adds ``updated_at`` to entries (the reference's entries
+        table has it, event_db_migrations.rs:70-77; v1 dropped it).
+        Backfill = created_at."""
+        path = self._path("entries")
+        if not os.path.isdir(path):
+            return
+        old = self.spark.read.schema(_ENTRY_SCHEMA_V1).parquet(path)
+        rows = [tuple(r) + (r.created_at,) for r in old.collect()]
+        df = self.spark.createDataFrame(rows, ENTRY_SCHEMA)
+        df.write.mode("overwrite").parquet(path)
+
+    # -- oracle metadata singleton (migrations :36-48) -----------------
+
+    def ensure_metadata(self, pubkey_hex: str, name: str) -> dict:
+        """One oracle key per store — the reference's singleton
+        oracle_metadata row guarding against a second key reusing the
+        same database. Raises on a key/name mismatch."""
+        mf = os.path.join(self.root, _METADATA_FILE)
+        if os.path.isfile(mf):
+            with open(mf) as fh:
+                meta = json.load(fh)
+            if meta["pubkey"] != pubkey_hex or meta["name"] != name:
+                raise ValueError(
+                    "store already initialized with a different oracle identity"
+                )
+            return meta
+        meta = {
+            "pubkey": pubkey_hex,
+            "name": name,
+            "created_at": dt.datetime.utcnow().isoformat(),
+        }
+        os.makedirs(self.root, exist_ok=True)
+        with open(mf, "w") as fh:
+            json.dump(meta, fh)
+        return meta
 
     def read(self, table: str) -> DataFrame:
         path = self._path(table)
@@ -176,16 +260,17 @@ class EventStore:
         if n_values > ev.number_of_values_per_entry:
             raise ValueError("too many picks for this event")
         now = now or dt.datetime.utcnow()
-        self.append("entries", [(entry_id, event_id, None, None, now)])
+        self.append("entries", [(entry_id, event_id, None, None, now, now)])
         self.append("choices", [(entry_id, s, tl, th, ws) for s, tl, th, ws in choices])
 
     # -- updates (J5 as merge) ----------------------------------------
 
-    def update_scores(self, scored: DataFrame) -> None:
+    def update_scores(self, scored: DataFrame, now: dt.datetime | None = None) -> None:
         """The reference's correlated inline-VALUES UPDATE
         (event_data.rs:405-448) as a merge: left-join current entries
         with the score frame and rewrite. With a Delta backend this
         is literally MERGE INTO; on parquet it's join + overwrite."""
+        now = now or dt.datetime.utcnow()
         entries = self.read("entries")
         updated = (
             entries.alias("e")
@@ -204,6 +289,9 @@ class EventStore:
                 F.coalesce("new_score", "e.score").alias("score"),
                 F.coalesce("new_base", "e.base_score").alias("base_score"),
                 "e.created_at",
+                F.when(F.col("sid").isNotNull(), F.lit(now))
+                .otherwise(F.col("e.updated_at"))
+                .alias("updated_at"),
             )
         )
         rows = [tuple(r) for r in updated.collect()]

@@ -165,6 +165,45 @@ def test_etl_real_schnorr_attestation(spark, tmp_path_factory):
     assert schnorr.verify(wb, schnorr.pubkey(seckey), sig)
 
 
+def test_store_versioning_and_v1_migration(spark, tmp_path_factory):
+    """db_version parity (event_db_migrations.rs:4-34): a fresh store
+    stamps the current version; a pre-versioning (v1) layout —
+    entries without updated_at — is migrated in place at open."""
+    from noaa_data_pipeline_spark.weather import event_store as es
+
+    # fresh store
+    fresh_root = str(tmp_path_factory.mktemp("fresh_store"))
+    fresh = EventStore(spark, fresh_root)
+    assert fresh._version() == es.CURRENT_VERSION
+
+    # hand-build a v1 layout: entries parquet WITHOUT updated_at, no sidecar
+    v1_root = str(tmp_path_factory.mktemp("v1_store"))
+    old_rows = [("e1", "ev1", 42, 4, NOW)]
+    spark.createDataFrame(old_rows, es._ENTRY_SCHEMA_V1).write.parquet(
+        v1_root + "/entries"
+    )
+    migrated = EventStore(spark, v1_root)
+    assert migrated._version() == es.CURRENT_VERSION
+    rows = migrated.read("entries").collect()
+    assert len(rows) == 1
+    assert rows[0].score == 42
+    assert rows[0].updated_at == rows[0].created_at == NOW
+    # reopening is a no-op
+    assert EventStore(spark, v1_root)._version() == es.CURRENT_VERSION
+
+
+def test_oracle_metadata_singleton(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("meta_store"))
+    store = EventStore(spark, root)
+    meta = store.ensure_metadata("ab" * 32, "test-oracle")
+    assert meta["pubkey"] == "ab" * 32
+    # same identity: idempotent
+    assert store.ensure_metadata("ab" * 32, "test-oracle")["name"] == "test-oracle"
+    # different key on the same store: refused (one_row_check parity)
+    with pytest.raises(ValueError, match="different oracle identity"):
+        store.ensure_metadata("cd" * 32, "other-oracle")
+
+
 def test_permutation_counts():
     # reference unit tests: outcome_generator.rs:21-70
     assert outcomes.count_permutations(5, 3) == 60
