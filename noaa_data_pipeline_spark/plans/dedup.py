@@ -227,7 +227,10 @@ def minhash_lsh_pairs(
     sigs = sh.groupBy("doc_id").agg(*textops.minhash_agg_cols(k))
     bands_df = sigs.select(
         "doc_id", F.explode(F.array(*textops.band_cols(k, bands))).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).persist()  # self-join sides share one k-hash aggregation
+    bands_df.count()
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     candidates = (
@@ -350,7 +353,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
-    sigs = sums.select("doc_id", sig.alias("sig"))
+    # the band self-join below would otherwise recompute the whole
+    # tokenize+md5+32-sum subtree once per side (self-join aliases
+    # defeat exchange reuse); the signature frame is one long per doc
+    sigs = sums.select("doc_id", sig.alias("sig")).persist()
+    sigs.count()
     band_structs = [
         F.struct(
             F.lit(k).alias("band"),

@@ -215,9 +215,12 @@ def ann_lsh_pairs(
         )
         for band in range(bands)
     ]
+    # persist: the self-join would otherwise evaluate the map-side
+    # sign bits (bands*planes dot products per vector) on both sides
     buckets = emb.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")).persist()
+    buckets.count()
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
