@@ -106,3 +106,107 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"), F.min("vec_id").alias("lowest_member"))
         .orderBy("cid")
     )
+
+
+# --- connected components over the near-dup pair graph ---------------
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Minimum-label propagation over an undirected edge list
+    (src, dst) -> (node, component) where component is the smallest
+    node id reachable — the clustering step a dedup pipeline runs on
+    its candidate-pair graph to pick one representative per
+    duplicate group.
+
+    Each round joins current labels across edges both ways and takes
+    the min; convergence when no label changes. Rounds needed =
+    graph diameter (near-dup clusters are tiny, so 2-3 in practice;
+    large-diameter graphs would switch to the pointer-doubling /
+    large-star small-star variant). Scale per round: one shuffle on
+    node id; persisted labels cut lineage between rounds.
+
+    ``shuffle_partitions`` narrows the per-round shuffles for small
+    candidate graphs (a dozen multi-stage rounds at the session's
+    full width is pure scheduling overhead); pass None on a real
+    cluster to inherit the session setting."""
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(prev_parts), shuffle_partitions)),
+        )
+    try:
+        # materialize the edge list once: every round consumes it, and
+        # without the persist each iteration re-runs the upstream
+        # candidate-generation pipeline that produced the pairs
+        both = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).persist()
+        both.count()
+        nodes = both.select(F.col("src").alias("node")).distinct()
+        labels = nodes.select("node", F.col("node").alias("component")).persist()
+        labels.count()
+        for _ in range(max_iterations):
+            neighbor_min = (
+                both.join(labels, both.src == labels.node)
+                .groupBy(F.col("dst").alias("node2"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+                .select(
+                    "node",
+                    F.least(
+                        "component", F.coalesce("nbr_component", "component")
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register("dedup_clusters_cc", oracle=None)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: connected components over the
+    MinHash-LSH near-dup pairs, reporting one row per cluster with
+    its representative (smallest doc_id), size, and member list —
+    the final step that turns pairwise near-dup evidence into a
+    keep/drop decision per document. Rows-only in the gate (iterative
+    multi-round algorithm); tests/test_iterative.py verifies the
+    clustering against a pure-Python union-find on the same pairs."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .select(
+            F.col("component").alias("cluster_rep"),
+            "n_members",
+            "members",
+        )
+        .orderBy("cluster_rep")
+    )

@@ -306,3 +306,187 @@ def text_norm_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_udf(F.col("text")).alias("norm_text"),
         F.length(norm_udf(F.col("text"))).cast("long").alias("norm_len"),
     )
+
+
+# --- corpus curation: sampling, splitting, packing, n-gram stats -----
+
+# deterministic per-doc hash bucket in [0, 100) — md5 of the id, not
+# rand(): reproducible across runs, cluster layouts, and engines
+_HASH_PCT = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+def _hash_pct() -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+# per-source keep rates: up-sample books-like sources, down-sample web
+SAMPLE_RATES = {"web": 30, "news": 50, "wiki": 80}
+SAMPLE_DEFAULT = 60
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_HASH_PCT} < CASE source
+        WHEN 'web' THEN {SAMPLE_RATES['web']}
+        WHEN 'news' THEN {SAMPLE_RATES['news']}
+        WHEN 'wiki' THEN {SAMPLE_RATES['wiki']}
+        ELSE {SAMPLE_DEFAULT} END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling with per-source rates, decided by a
+    deterministic md5 bucket of the doc id — the scalable form of
+    sampleBy: no RNG state, re-runs and retried tasks keep identical
+    rows, and the mixture is auditable. Scale: pure map-side filter,
+    no shuffle; rates change data mixtures (the core of training-data
+    curation) without materializing per-source tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("source") == "web", SAMPLE_RATES["web"])
+    for src, pct in list(SAMPLE_RATES.items())[1:]:
+        rate = rate.when(F.col("source") == src, pct)
+    rate = rate.otherwise(SAMPLE_DEFAULT)
+    return docs.filter(_hash_pct() < rate).select("doc_id", "source")
+
+
+@register(
+    "split_train_val_hash",
+    oracle=f"""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT n_chars,
+               CASE WHEN {_HASH_PCT} < 90 THEN 'train'
+                    WHEN {_HASH_PCT} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ) s GROUP BY split
+    """,
+)
+def split_train_val_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by id hash: a doc's
+    split never changes as the corpus grows (contamination-safe),
+    unlike randomSplit whose assignment depends on partition layout.
+    Scale: map-side bucket + one combine-heavy groupBy of 3 keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = _hash_pct()
+    split = (
+        F.when(pct < 90, "train").when(pct < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+PACK_BUDGET = 2048  # tokens per packed sequence
+PACK_SHARDS = 16
+
+
+@register(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH counted AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) % {PACK_SHARDS} AS shard,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT shard, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok) / {PACK_BUDGET}) AS BIGINT) AS bin_in_shard
+        FROM counted
+    )
+    SELECT shard, bin_in_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard, bin_in_shard
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy contiguous fill of {PACK_BUDGET}-token
+    bins, sharded so the running-sum window parallelizes (each shard
+    packs independently — exactly how distributed LLM pipelines pack:
+    global greedy packing is inherently sequential, per-shard packing
+    is embarrassingly parallel with <=1 underfull bin per shard).
+    The bin id is floor(prefix_sum_before_doc / budget). Scale: one
+    shuffle on the shard key; window + both aggregates reuse it."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+            .cast("long")
+            % PACK_SHARDS
+        ).alias("shard"),
+        F.size(F.split(textops.norm_text(F.col("text")), " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = counted.select(
+        "shard",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET)
+        .cast("long")
+        .alias("bin_in_shard"),
+    )
+    return packed.groupBy("shard", "bin_in_shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
+NGRAM_TOPK = 20
+
+
+@register(
+    "text_bigram_topk",
+    oracle=f"""
+    WITH toks AS ({textops.sql_tokens('documents')}),
+    bigrams AS (
+        SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM toks
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bigrams WHERE bigram IS NOT NULL
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {NGRAM_TOPK}
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-{NGRAM_TOPK} bigrams (the n-gram statistics
+    pass of corpus analysis). Scale: bigrams form map-side via a
+    per-doc window (doc_id partitioning, no global sort of raw
+    bigrams); the count groupBy combines map-side and the top-k is a
+    TakeOrderedAndProject, not a full sort. Deterministic tiebreak on
+    the bigram itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens_df(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        F.concat_ws(" ", "tok", F.lead("tok").over(w)).alias("bigram"),
+        F.lead("tok").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(NGRAM_TOPK)
+    )

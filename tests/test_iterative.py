@@ -48,3 +48,56 @@ def test_kmeans_matches_numpy(spark, duck, sf_dir):
     # engines; require exact agreement (the spec is deterministic)
     assert not mismatches, dict(list(mismatches.items())[:5])
     assert not math.isnan(sum(got.values()))
+
+
+# --- connected components ---------------------------------------------
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from noaa_data_pipeline_spark.plans.iterative import connected_components
+
+    edges = [
+        (1, 2), (2, 3),          # chain -> component 1
+        (10, 11),                # pair -> component 10
+        (20, 21), (21, 22), (20, 22),  # triangle -> component 20
+        (30, 31), (32, 33), (31, 32),  # two pairs bridged -> component 30
+        (40, 41), (5, 3),        # 5 joins the first chain via 3
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert got == _union_find(edges)
+
+
+def test_dedup_clusters_cc_matches_union_find_on_real_pairs(spark):
+    from noaa_data_pipeline_spark.plans.dedup import minhash_lsh_pairs
+    from noaa_data_pipeline_spark.plans.iterative import dedup_clusters_cc
+
+    sf = "/root/testdata/sf0.01"
+    pairs = [(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, sf).collect()]
+    expected = _union_find(pairs)
+    clusters = {}
+    for row in dedup_clusters_cc(spark, sf).collect():
+        assert row.cluster_rep == min(row.members)
+        assert row.n_members == len(row.members)
+        for m in row.members:
+            clusters[m] = row.cluster_rep
+    assert clusters == expected
