@@ -79,3 +79,80 @@ def test_map_side_ops_have_no_shuffle_on_fact(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     # at most the aggregate's own exchange; never a join exchange
     assert "SortMergeJoin" not in plan
+
+
+def test_sample_and_split_are_shuffle_free_scans(spark, sf_dir):
+    # deterministic hash sampling is a map-side filter: no exchange
+    plan = plan_of(spark, sf_dir, "sample_stratified_hash")
+    assert "Exchange" not in plan
+    # the split aggregates 3 groups: exactly one exchange (the combine)
+    plan = plan_of(spark, sf_dir, "split_train_val_hash")
+    assert plan.count("Exchange") == 1
+
+
+def test_bigram_topk_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_bigram_topk")
+    assert "TakeOrderedAndProject" in plan  # top-k, never a full sort
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    # window + both aggregates reuse the shard hash partitioning:
+    # one shuffle for the window, one for the final (shard, bin) agg
+    plan = plan_of(spark, sf_dir, "docs_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
+    """The 100 TB co-location story: orders/lineitem written bucketed
+    on the join key join WITHOUT a shuffle on either side — the
+    pre-partitioning replaces both exchanges (classic warehouse
+    layout for repeated fact-fact joins)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdemo LOCATION '{wh}'")
+    # at 100 TB neither fact side broadcasts; force the SMJ shape the
+    # bucketing exists for (the sf0.001 files would broadcast)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        (
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("buckdemo.orders_b")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable("buckdemo.lineitem_b")
+        )
+        joined = (
+            spark.table("buckdemo.orders_b")
+            .join(
+                spark.table("buckdemo.lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # no exchange below the join: bucketing provides the distribution
+        join_part = plan[plan.index("SortMergeJoin") :]
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # sanity: same result as the unbucketed join
+        expected = (
+            orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+        del join_part
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP DATABASE IF EXISTS buckdemo CASCADE")
