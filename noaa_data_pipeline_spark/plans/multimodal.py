@@ -170,3 +170,55 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.md5(F.concat_ws("|", "payload_md5", "frame_idx")).alias("frame_key"),
     )
+
+
+RESIZE_BOX = 224  # target long side (the standard vision-model input)
+
+
+@register(
+    "mm_resize_dims",
+    oracle=f"""
+    SELECT doc_id, width, height,
+           CAST(CASE WHEN greatest(width, height) <= {RESIZE_BOX} THEN width
+                ELSE width * {RESIZE_BOX} // greatest(width, height) END AS INTEGER) AS out_width,
+           CAST(CASE WHEN greatest(width, height) <= {RESIZE_BOX} THEN height
+                ELSE height * {RESIZE_BOX} // greatest(width, height) END AS INTEGER) AS out_height,
+           greatest(width, height) > {RESIZE_BOX} AS needs_resize
+    FROM (
+        SELECT doc_id,
+               CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+               CAST(doc_id % 480 + 16 AS INTEGER) AS height
+        FROM documents
+    ) m
+    """,
+)
+def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: aspect-preserving target dimensions for a
+    {RESIZE_BOX}px long side, computed with integer arithmetic
+    (floor-div — bit-identical across engines, no float rounding
+    ambiguity) from the metadata struct alone. Scale: this is the
+    stage that decides WHICH payloads a resize pass must decode —
+    a metadata-only scan (payload column pruned) that at 100 TB
+    turns a full-corpus read into a header read; the actual pixel
+    resample would be the mapInPandas stage downstream of this
+    filter (decode stubbed in this container, see
+    _extract_features)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = _with_payload(docs)
+    w = F.col("media_meta.width")
+    h = F.col("media_meta.height")
+    longest = F.greatest(w, h)
+    out_w = F.when(longest <= RESIZE_BOX, w).otherwise(
+        (w * RESIZE_BOX).cast("long") / longest
+    )
+    out_h = F.when(longest <= RESIZE_BOX, h).otherwise(
+        (h * RESIZE_BOX).cast("long") / longest
+    )
+    return mm.select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.floor(out_w).cast("int").alias("out_width"),
+        F.floor(out_h).cast("int").alias("out_height"),
+        (longest > RESIZE_BOX).alias("needs_resize"),
+    )
