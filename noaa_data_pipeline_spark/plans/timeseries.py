@@ -513,36 +513,50 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (view -> click -> purchase, each
     stage strictly after the previous one's first occurrence) — the
-    canonical product-analytics query. Scale: three aggregations all
-    keyed on user_id, so the shuffles share one partitioning and the
-    stage frames shrink monotonically; per-stage thresholds join on
-    the already-aggregated (small) side."""
+    canonical product-analytics query. Scale: the three stage
+    thresholds are chained window minimums over ONE user_id
+    partitioning — a single shuffle of the events scan, then a
+    map-side-combined global aggregate (the naive per-stage
+    join-and-reaggregate formulation evaluates the event scan up to
+    six times)."""
     ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    # three single-row aggregates crossJoined into the one-row result
-    # (broadcast NLJ of 1x1 frames — no driver-side counts)
-    return (
-        v.agg(F.count("*").cast("long").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").cast("long").alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count("*").cast("long").alias("n_purchase_after_click")))
+    return staged.agg(
+        F.count_distinct(F.when(F.col("t_view").isNotNull(), F.col("user_id")))
+        .cast("long")
+        .alias("n_view"),
+        F.count_distinct(F.when(F.col("t_click").isNotNull(), F.col("user_id")))
+        .cast("long")
+        .alias("n_click_after_view"),
+        F.count_distinct(F.when(F.col("t_purchase").isNotNull(), F.col("user_id")))
+        .cast("long")
+        .alias("n_purchase_after_click"),
     )
 
 
