@@ -111,3 +111,25 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, jaccard_truth):
 def test_band_divisibility_guard(spark):
     with pytest.raises(ValueError, match="must divide"):
         minhash_lsh_pairs(spark, SF_DIR, k=12, bands=5)
+
+
+def test_block_matmul_topk_matches_exact_within_block(spark):
+    """The BLAS path returns the same neighbors as the decimal-exact
+    IVF entry (both search within the label block) with scores equal
+    to float64 tolerance."""
+    import numpy as np
+
+    from noaa_data_pipeline_spark.plans.similarity import (
+        sim_block_matmul_topk,
+        sim_ivf_probe1,
+    )
+
+    fast = sim_block_matmul_topk(spark, SF_DIR).collect()
+    exact = sim_ivf_probe1(spark, SF_DIR).collect()
+    fast_k = {(r.query_id, r.rnk): (r.neighbor_id, r.cosine) for r in fast}
+    exact_k = {(r.query_id, r.rnk): (r.neighbor_id, r.cosine) for r in exact}
+    assert fast_k.keys() == exact_k.keys()
+    for key, (nid, cos) in fast_k.items():
+        e_nid, e_cos = exact_k[key]
+        assert nid == e_nid, f"{key}: {nid} != {e_nid}"
+        assert np.isclose(cos, e_cos, atol=1e-9), (key, cos, e_cos)
