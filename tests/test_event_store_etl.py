@@ -217,3 +217,85 @@ def test_permutations_distributed(spark):
     assert df.count() == outcomes.count_permutations(25, 3)
     row = df.orderBy("first", "second", "third").first()
     assert (row.first, row.second, row.third) == (0, 1, 2)
+
+
+def test_batch_etl_equals_per_event_on_event_fleet(spark, tmp_path_factory):
+    """Equivalence on a FLEET: many events at different lifecycle
+    stages (live / running / completed+signable, disjoint and
+    overlapping station sets) must produce identical statuses,
+    scores, and attestations through the per-event loop and the
+    set-based batch plan."""
+    import uuid as uuidlib
+
+    from noaa_data_pipeline_spark.weather.schemas import (
+        FORECAST_SCHEMA,
+        OBSERVATION_SCHEMA,
+    )
+
+    def build(tag):
+        lake_root = str(tmp_path_factory.mktemp(f"lake_{tag}"))
+        store = EventStore(spark, str(tmp_path_factory.mktemp(f"store_{tag}")))
+        stations = [f"ST{i:02d}" for i in range(8)]
+        fc_rows, ob_rows = [], []
+        for i, st in enumerate(stations):
+            base = (st, f"{st} name", 40.0 + i, -90.0, OBS_DATE - dt.timedelta(days=1),
+                    OBS_DATE, OBS_DATE + dt.timedelta(hours=3), 20 + i, 5 + i)
+            u = _unit_tail()
+            fc_rows.append(base + (u[0], 3 + i) + u[2:])
+            for temp, w in [(4.0 + i, 3 + i), (22.0 + i, 2 + i)]:
+                ob_rows.append(
+                    (st, f"{st} name", 40.0 + i, -90.0, OBS_DATE + dt.timedelta(hours=6),
+                     temp, "celcius", 180, "degrees true", w, "knots", 5.0, "celcius")
+                )
+        lake.write_snapshot(
+            spark.createDataFrame(fc_rows, FORECAST_SCHEMA), lake_root,
+            lake.FORECASTS, OBS_DATE - dt.timedelta(days=1),
+        )
+        lake.write_snapshot(
+            spark.createDataFrame(ob_rows, OBSERVATION_SCHEMA), lake_root,
+            lake.OBSERVATIONS, OBS_DATE,
+        )
+        # five events in different stages; deterministic ids
+        specs = [
+            ("completed-a", OBS_DATE, SIGN_DATE, stations[:3]),
+            ("completed-b", OBS_DATE, SIGN_DATE, stations[2:6]),  # overlaps a
+            ("running", NOW - dt.timedelta(hours=3), NOW + dt.timedelta(days=2), stations[4:7]),
+            ("live", NOW + dt.timedelta(days=1), NOW + dt.timedelta(days=3), stations[:2]),
+            ("empty-completed", OBS_DATE, SIGN_DATE, [stations[7]]),
+        ]
+        for n, (name, obs, sign, locs) in enumerate(specs):
+            ev_id = f"{n:08d}-0000-7000-8000-00000000000{n}"
+            store.add_event(ev_id, obs, sign, locs, 6, 6, 1)
+            if name != "empty-completed":
+                for k in range(3):
+                    entry = f"{n:08d}-{k:04d}-7000-8000-0000000000ff"
+                    picks = [(locs[0], ["over", "par", "under"][k], None, "par")]
+                    store.add_entry(entry, ev_id, picks)
+        return store, lake_root
+
+    def snapshot(store):
+        entries = sorted(
+            (r.id, r.event_id, r.score, r.base_score)
+            for r in store.read("entries").collect()
+        )
+        events = sorted(
+            (r.id, None if r.attestation_signature is None
+             else bytes(r.attestation_signature))
+            for r in store.read("events").collect()
+        )
+        weather = sorted(
+            (w.event_id, w.station_id, tuple(w.observed) if w.observed else None,
+             tuple(w.forecasted))
+            for w in store.read("weather").collect()
+        )
+        return entries, events, weather
+
+    s1, lake1 = build("loop")
+    r1 = run.run_etl(s1, lake1, NOW)
+    s2, lake2 = build("batch")
+    r2 = run.run_etl_batch(s2, lake2, NOW)
+    assert r1 == r2
+    # the entry-less completed event has no winners -> stays unsigned
+    assert set(r1.values()) == {"signed", "running", "live", "completed"}
+    assert sorted(r1.values()).count("signed") == 2
+    assert snapshot(s1) == snapshot(s2)
