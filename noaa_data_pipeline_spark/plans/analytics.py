@@ -569,3 +569,37 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "cube_orders_priority_status",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '<all>') AS o_orderpriority,
+           COALESCE(o_orderstatus, '<all>') AS o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+               AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING_ID: all 2^2 grouping sets in one pass plus
+    the bitmask distinguishing a real NULL from a subtotal row — the
+    remaining multidimensional-aggregate surface next to ROLLUP.
+    Scale: expand factor 4 before one map-side-combined shuffle; for
+    high-cardinality cube keys you'd prune grouping sets instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_id"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            "grouping_id",
+            "n_orders",
+        )
+    )

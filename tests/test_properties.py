@@ -1,0 +1,85 @@
+"""Property-based checks (hypothesis) for the pure scalar/ranking
+logic whose edge cases example tests can miss: half-away rounding,
+winner selection with NULL scores, token-bucket invariants, and the
+BIP-340 roundtrip."""
+
+from __future__ import annotations
+
+import decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from noaa_data_pipeline_spark.weather.fetcher import RateLimiter
+from noaa_data_pipeline_spark.weather.run import _round_half_away
+
+
+@given(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False))
+def test_round_half_away_matches_decimal_half_up(x):
+    expected = int(
+        decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP)
+    )
+    assert _round_half_away(x) == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.one_of(st.none(), st.integers(0, 10**6))),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 5),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_winners_matches_reference_model(spark, entries, k):
+    """etl.winners == the reference's procedure (oracle.rs:598-617):
+    stable sort by Reverse(Option<score>) (None last), truncate k,
+    indices into the full id-sorted list."""
+    from noaa_data_pipeline_spark.weather import etl
+
+    rows = [(f"{eid:032x}", "ev", score) for eid, score in entries]
+    df = spark.createDataFrame(rows, "entry_id string, event_id string, score long")
+    got = [
+        (r.entry_id, r.canonical_idx)
+        for r in etl.winners(df, k=k).orderBy("rank").collect()
+    ]
+    # reference model
+    id_sorted = sorted(r[0] for r in rows)
+    ranked = sorted(
+        rows, key=lambda r: (r[2] is None, -(r[2] or 0), r[0])
+    )[:k]
+    expected = [(r[0], id_sorted.index(r[0])) for r in ranked]
+    assert got == expected
+
+
+@given(
+    st.integers(1, 10),
+    st.floats(0.0, 5.0, allow_nan=False),
+    st.lists(st.floats(0.0, 100.0, allow_nan=False), max_size=30),
+)
+def test_rate_limiter_invariants(capacity, rate, gaps):
+    """Token balance stays within [0, capacity] and an acquire only
+    succeeds when a full token was available."""
+    clock_t = [0.0]
+    rl = RateLimiter(
+        capacity, rate, clock=lambda: clock_t[0], sleep=lambda s: None
+    )
+    for gap in gaps:
+        clock_t[0] += gap
+        before = rl.tokens
+        ok = rl.try_acquire(1.0, max_waits=0)
+        assert 0.0 <= rl.tokens <= capacity
+        refilled = min(before + gap * rate, capacity)
+        assert ok == (refilled >= 1.0)
+
+
+@given(st.integers(1, 2**256 - 2**32 - 1000), st.binary(min_size=0, max_size=64))
+@settings(max_examples=10, deadline=None)
+def test_schnorr_roundtrip_property(d, msg):
+    from noaa_data_pipeline_spark.functions import schnorr
+
+    sk = (d % (schnorr.N - 1) + 1).to_bytes(32, "big")
+    sig = schnorr.sign(msg, sk, aux=b"\x42" * 32)
+    assert schnorr.verify(msg, schnorr.pubkey(sk), sig)
+    assert not schnorr.verify(msg + b"!", schnorr.pubkey(sk), sig)
