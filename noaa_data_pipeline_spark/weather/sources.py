@@ -129,3 +129,102 @@ def observations_from_metar(metars: DataFrame, stations: DataFrame) -> DataFrame
 
 def station_schema_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     return spark.createDataFrame(rows, STATION_SCHEMA)
+
+
+# --- DWML forecast XML (S4 parse half, xml_forecast.rs) ---------------
+
+# (element path, type attribute) -> flattener field name
+# (download_forecast.rs:440-571's reading_type match)
+_DWML_FIELDS = {
+    ("temperature", "maximum"): "max_temp",
+    ("temperature", "minimum"): "min_temp",
+    ("wind-speed", "sustained"): "wind_speed",
+    ("direction", "wind"): "wind_direction",
+    ("humidity", "maximum relative"): "relative_humidity_max",
+    ("humidity", "minimum relative"): "relative_humidity_min",
+    ("precipitation", "liquid"): "liquid_precipitation_amt",
+    (
+        "probability-of-precipitation",
+        "12 hour",
+    ): "twelve_hour_probability_of_precipitation",
+}
+
+
+def _iso_to_naive_utc(value: str):
+    import datetime as dt
+
+    parsed = dt.datetime.fromisoformat(value.strip())
+    if parsed.tzinfo is not None:
+        parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return parsed
+
+
+def parse_dwml(xml_bytes: bytes):
+    """DWML forecast XML -> the flattener's relational inputs
+    (xml_forecast.rs:7-170, download_forecast.rs:316-420):
+
+    returns (locations, layouts, readings, generated_at) where
+    locations = [(location_key, latitude, longitude)] (2dp strings as
+    in the document), layouts = [(layout_key, seq, start_time)],
+    readings = [(location_key, field, layout_key, seq, raw_value)]
+    with unparseable/empty <value/> kept as None so the flattener's
+    carry-forward branch applies, and generated_at from
+    head/product/creation-date (None when absent)."""
+    root = ET.fromstring(_maybe_gunzip(xml_bytes).decode("utf-8", "replace"))
+    generated_at = None
+    cd = root.findtext("head/product/creation-date")
+    if cd:
+        try:
+            generated_at = _iso_to_naive_utc(cd)
+        except ValueError:
+            generated_at = None
+
+    data = root.find("data")
+    locations = []
+    for loc in data.iter("location"):
+        key = loc.findtext("location-key")
+        point = loc.find("point")
+        if key is None or point is None:
+            continue
+        locations.append(
+            (key, point.get("latitude"), point.get("longitude"))
+        )
+
+    layouts = []
+    for tl in data.iter("time-layout"):
+        key = tl.findtext("layout-key")
+        if key is None:
+            continue
+        for seq, st_el in enumerate(tl.iter("start-valid-time")):
+            layouts.append((key, seq, _iso_to_naive_utc(st_el.text)))
+
+    readings = []
+    for params in data.iter("parameters"):
+        loc_key = params.get("applicable-location")
+        for el in params:
+            field = _DWML_FIELDS.get((el.tag, (el.get("type") or "").strip()))
+            if field is None:
+                continue
+            layout_key = el.get("time-layout")
+            for seq, v_el in enumerate(el.iter("value")):
+                raw = (v_el.text or "").strip() or None
+                readings.append((loc_key, field, layout_key, seq, raw))
+    return locations, layouts, readings, generated_at
+
+
+def dwml_frames(spark: SparkSession, xml_bytes: bytes):
+    """parse_dwml -> the three DataFrames flatten_forecasts takes."""
+    locations, layouts, readings, generated_at = parse_dwml(xml_bytes)
+    return (
+        spark.createDataFrame(
+            locations, "location_key string, latitude string, longitude string"
+        ),
+        spark.createDataFrame(
+            layouts, "layout_key string, seq int, start_time timestamp"
+        ),
+        spark.createDataFrame(
+            readings,
+            "location_key string, field string, layout_key string, seq int, raw_value string",
+        ),
+        generated_at,
+    )
