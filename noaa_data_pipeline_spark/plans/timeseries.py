@@ -604,3 +604,40 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
     )
+
+
+@register(
+    "events_sliding_24h_range_window",
+    oracle=f"""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+           CAST(SUM(CAST(FLOOR(value * {SCALE}) AS BIGINT)) OVER w AS DOUBLE) / {SCALE}.0
+               AS sum_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_sliding_24h_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-key count/sum over the
+    trailing 24 hours BY EVENT TIME, not row count — the frame the
+    ROWS-based moving average can't express when events are unevenly
+    spaced. Ordered on epoch microseconds so the interval arithmetic
+    is integral and tie rows (equal timestamps) are frame peers in
+    both engines; the sum aggregates scaled longs (order-free).
+    Scale: one shuffle on user_id; the range frame streams with two
+    pointers, no per-row rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-86400000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("long").alias("n_24h"),
+        (F.sum(F.floor(F.col("value") * SCALE).cast("long")).over(w).cast("double") / SCALE)
+        .alias("sum_24h"),
+    )
