@@ -402,19 +402,22 @@ EMB_COSINE_MIN = 0.3
     "dedup_embedding_cosine",
     oracle=f"""
     WITH emb AS (
+        -- VARCHAR hop before the double cast: the engines' native
+        -- decimal->double conversions differ by ~100 ulps (see
+        -- similarity._dot); string->double parses identically
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
-               sqrt(CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                    x -> CAST(x * x AS DECIMAL(38,15)))) AS DOUBLE)) AS norm
+               sqrt(CAST(CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(x * x AS DECIMAL(38,15)))) AS VARCHAR) AS DOUBLE)) AS norm
         FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(list_sum(list_transform(list_zip(a.emb, b.emb),
-                x -> CAST(x[1] * x[2] AS DECIMAL(38,15)))) AS DOUBLE)
+           CAST(CAST(list_sum(list_transform(list_zip(a.emb, b.emb),
+                x -> CAST(x[1] * x[2] AS DECIMAL(38,15)))) AS VARCHAR) AS DOUBLE)
                / (a.norm * b.norm) AS cosine
     FROM emb a JOIN emb b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE CAST(list_sum(list_transform(list_zip(a.emb, b.emb),
-              x -> CAST(x[1] * x[2] AS DECIMAL(38,15)))) AS DOUBLE)
+    WHERE CAST(CAST(list_sum(list_transform(list_zip(a.emb, b.emb),
+              x -> CAST(x[1] * x[2] AS DECIMAL(38,15)))) AS VARCHAR) AS DOUBLE)
               / (a.norm * b.norm) >= {EMB_COSINE_MIN}
     """,
 )

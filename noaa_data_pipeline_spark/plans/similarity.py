@@ -34,25 +34,44 @@ LSH_PLANES = 3
 LSH_COSINE_MIN = 0.3
 DIM = 64
 
-_DEC = "decimal(38,15)"
-_SQL_DEC = "DECIMAL(38,15)"
+# Spark types a (p,15)+(p,15) decimal add as (p+1,15); at p=38 the
+# precision cap forces scale DOWN to 14, silently rounding the 15th
+# decimal on EVERY fold step (~1e-14 per add, ~64 adds — enough to
+# flip the gate's %.10g canon on boundary rows; observed at sf0.1).
+# Precision 25 keeps every intermediate under the cap, so the fold is
+# exact: values here are < 10^5, far inside 10 integer digits.
+_DEC = "decimal(25,15)"
+_SQL_DEC = "DECIMAL(38,15)"  # DuckDB list_sum is int128-exact at any scale
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Exact double dot product via decimal accumulation."""
+    """Exact double dot product via decimal accumulation.
+
+    The final decimal -> double conversion goes THROUGH A STRING on
+    both engines: the engines' native decimal->double casts disagree
+    by ~100 ulps (Spark routes through BigDecimal.doubleValue,
+    correctly rounded; DuckDB's int128/10^scale arithmetic is not),
+    which flips the gate's %.10g canonicalization whenever a value
+    lands near a 10-digit boundary (~1 row in a few thousand —
+    observed at sf0.1). String -> double parsing is correctly rounded
+    everywhere, so identical decimal text yields identical bits."""
     prods = F.zip_with(a, b, lambda x, y: (x * y).cast(_DEC))
-    # the merge re-cast keeps Spark from widening the accumulator to
-    # DECIMAL(38,14) (scale loss would diverge from the DuckDB twin);
-    # values here are <= DIM so the cast can't overflow
-    return F.aggregate(
-        prods, F.lit(0).cast(_DEC), lambda acc, v: (acc + v).cast(_DEC)
-    ).cast("double")
+    # the merge re-cast pins the accumulator back to _DEC each step;
+    # with precision 25 the intermediate (26,15) add is exact and the
+    # cast is lossless (see _DEC note above)
+    return (
+        F.aggregate(prods, F.lit(0).cast(_DEC), lambda acc, v: (acc + v).cast(_DEC))
+        .cast("string")
+        .cast("double")
+    )
 
 
 def _sql_dot(a: str, b: str) -> str:
+    # VARCHAR hop mirrors _dot: correctly-rounded string->double in
+    # both engines replaces their divergent decimal->double casts
     return (
-        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
-        f"x -> CAST(x[1] * x[2] AS {_SQL_DEC}))) AS DOUBLE)"
+        f"CAST(CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] * x[2] AS {_SQL_DEC}))) AS VARCHAR) AS DOUBLE)"
     )
 
 
