@@ -13,7 +13,9 @@ Embedding-cosine near-dup lives in ``plans/similarity.py``.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,24 +48,34 @@ _SQL_PAIR_JACCARD = f"""
 """
 
 
-# Materialized-shingle registry: maps a source fingerprint to the
-# temp-parquet path holding the computed shingle frame. Holding paths
-# (not DataFrames) means nothing is pinned to a SparkSession — a new
+# Materialized-shingle registry: maps a source path to its current
+# fingerprint and temp-parquet location. Holding paths (not
+# DataFrames) means nothing is pinned to a SparkSession — a new
 # session simply re-reads the parquet — and no executor memory is
 # held for the process lifetime. This is the 100 TB pattern too: a
 # real pipeline writes signatures once to a table and every consumer
 # scans it, rather than recomputing the tokenize+shingle subtree per
-# self-join side.
-_SHINGLE_PATHS: dict[tuple, str] = {}
+# self-join side. Superseded materializations (source rewritten under
+# the same path) are deleted on replacement; everything is removed at
+# interpreter exit.
+_SHINGLE_PATHS: dict[str, tuple[tuple, str]] = {}
+
+
+def _cleanup_shingle_dirs() -> None:
+    for _, path in _SHINGLE_PATHS.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _SHINGLE_PATHS.clear()
+
+
+atexit.register(_cleanup_shingle_dirs)
 
 
 def _source_fingerprint(sf_dir: str) -> tuple:
-    """Identity of the documents input: path + mtime + size, so a
-    rewritten documents.parquet under the same sf_dir invalidates
-    the materialization."""
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    return (src, st.st_mtime_ns, st.st_size)
+    """Identity of the documents input: mtime + size, so a rewritten
+    documents.parquet under the same sf_dir invalidates the
+    materialization."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return (st.st_mtime_ns, st.st_size)
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,15 +88,18 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     evenly on read — an in-memory persist here used to get
     AQE-coalesced to one partition, serializing every consumer
     (observed 85s vs 4s at sf0.1)."""
-    key = _source_fingerprint(sf_dir)
-    path = _SHINGLE_PATHS.get(key)
-    if path is None or not os.path.isdir(path):
+    src = os.path.join(sf_dir, "documents.parquet")
+    fingerprint = _source_fingerprint(sf_dir)
+    current = _SHINGLE_PATHS.get(src)
+    if current is None or current[0] != fingerprint or not os.path.isdir(current[1]):
+        if current is not None:  # superseded materialization: reclaim
+            shutil.rmtree(current[1], ignore_errors=True)
         docs = load_table(spark, sf_dir, "documents")
         n = spark.sparkContext.defaultParallelism
         path = tempfile.mkdtemp(prefix="shingles_mat_")
         textops.shingles_df(docs, partitions=n).write.mode("overwrite").parquet(path)
-        _SHINGLE_PATHS[key] = path
-    return spark.read.parquet(path)
+        _SHINGLE_PATHS[src] = (fingerprint, path)
+    return spark.read.parquet(_SHINGLE_PATHS[src][1])
 
 
 def _shingle_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,12 +49,16 @@ def fetch_forecast_frames(
     for batch in split_stations(ids, batch_size):
         try:
             xml = fetcher.fetch_xml(make_url(batch))
-        except (FetchError, RateLimitExceeded):
+            # parse failures (error documents served with 200, mangled
+            # timestamps) fail THIS batch, not the whole tick — the
+            # reference's per-batch retry task does the same
+            # (download_forecast.rs:705-716 logs and counts down)
+            locations, layouts, readings, generated_at = sources.dwml_frames(
+                spark, xml.encode()
+            )
+        except (FetchError, RateLimitExceeded, ValueError):
             failed.append(batch)
             continue
-        locations, layouts, readings, generated_at = sources.dwml_frames(
-            spark, xml.encode()
-        )
         flat = flatten.flatten_forecasts(
             spark, locations, stations, layouts, readings, now, generated_at or now
         )
@@ -87,16 +91,26 @@ def daemon_tick(
     )
     counts["forecast_batches_failed"] = len(failed)
     if forecasts is not None:
-        lake.write_snapshot(forecasts, lake_root, lake.FORECASTS, now)
-        counts[lake.FORECASTS] = forecasts.count()
-        if upload is not None:
-            upload(lake.FORECASTS, forecasts)
+        # persist: the frame has three consumers (snapshot write,
+        # count, upload) and the flatten plan is the tick's most
+        # expensive stage — without it each consumer re-executes it
+        forecasts = forecasts.persist()
+        try:
+            lake.write_snapshot(forecasts, lake_root, lake.FORECASTS, now)
+            counts[lake.FORECASTS] = forecasts.count()
+            if upload is not None:
+                upload(lake.FORECASTS, forecasts)
+        finally:
+            forecasts.unpersist()
 
     metar_xml = fetcher.fetch_xml_gzip(observation_url)
     metars = sources.metar_df(spark, metar_xml.encode())
-    observations = sources.observations_from_metar(metars, stations)
-    lake.write_snapshot(observations, lake_root, lake.OBSERVATIONS, now)
-    counts[lake.OBSERVATIONS] = observations.count()
-    if upload is not None:
-        upload(lake.OBSERVATIONS, observations)
+    observations = sources.observations_from_metar(metars, stations).persist()
+    try:
+        lake.write_snapshot(observations, lake_root, lake.OBSERVATIONS, now)
+        counts[lake.OBSERVATIONS] = observations.count()
+        if upload is not None:
+            upload(lake.OBSERVATIONS, observations)
+    finally:
+        observations.unpersist()
     return counts

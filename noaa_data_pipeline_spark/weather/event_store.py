@@ -155,9 +155,9 @@ class EventStore:
         if not os.path.isdir(path):
             return
         old = self.spark.read.schema(_ENTRY_SCHEMA_V1).parquet(path)
-        rows = [tuple(r) + (r.created_at,) for r in old.collect()]
-        df = self.spark.createDataFrame(rows, ENTRY_SCHEMA)
-        df.write.mode("overwrite").parquet(path)
+        self._rewrite_frame(
+            "entries", old.withColumn("updated_at", F.col("created_at"))
+        )
 
     # -- oracle metadata singleton (migrations :36-48) -----------------
 
@@ -204,6 +204,31 @@ class EventStore:
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
         aligned.write.mode("append").parquet(self._path(table))
+
+    def _rewrite_frame(self, table: str, df: DataFrame) -> None:
+        """Replace a table with a derived frame WITHOUT collecting it:
+        a parquet path can't be overwritten while a plan still reads
+        it, so the update writes to a sibling temp directory and
+        atomically swaps it in. This keeps merge-style rewrites fully
+        distributed (2.5M entry rows at the batch path's 10^5-event
+        scale never touch the driver); with a Delta backend the same
+        operations become real MERGE INTO."""
+        import shutil
+        import uuid as uuidlib
+
+        schema = _TABLES[table]
+        aligned = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        path = self._path(table)
+        tmp = f"{path}__rewrite_{uuidlib.uuid4().hex[:8]}"
+        aligned.write.mode("overwrite").parquet(tmp)
+        old = f"{path}__old_{uuidlib.uuid4().hex[:8]}"
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
 
     # -- inserts (S12) -------------------------------------------------
 
@@ -294,9 +319,7 @@ class EventStore:
                 .alias("updated_at"),
             )
         )
-        rows = [tuple(r) for r in updated.collect()]
-        df = self.spark.createDataFrame(rows, ENTRY_SCHEMA)
-        df.write.mode("overwrite").parquet(self._path("entries"))
+        self._rewrite_frame("entries", updated)
 
     def sign_event(self, event_id: str, signature: bytes) -> None:
         self.sign_events({event_id: signature})
@@ -321,9 +344,7 @@ class EventStore:
             )
             .drop("sig_event_id", "new_signature")
         )
-        rows = [tuple(r) for r in updated.collect()]
-        df = self.spark.createDataFrame(rows, EVENT_SCHEMA)
-        df.write.mode("overwrite").parquet(self._path("events"))
+        self._rewrite_frame("events", updated)
 
     # -- listings ------------------------------------------------------
 

@@ -219,19 +219,32 @@ class WeatherApp:
         }
 
     def get_event(self, event_id: str) -> dict:
-        rows = [r.asDict() for r in self.store.list_events(limit=1 << 30).collect() if r.id == event_id]
+        from pyspark.sql import functions as F
+
+        rows = [
+            r.asDict()
+            for r in self.store.list_events(limit=1 << 30)
+            .filter(F.col("id") == event_id)  # pushed down, O(1) result
+            .collect()
+        ]
         if not rows:
             raise HTTPError(404, f"no such event {event_id}")
         return rows[0]
 
     def get_entry(self, event_id: str, entry_id: str) -> dict:
+        from pyspark.sql import functions as F
+
         entries, choices = self.store.event_entries(event_id)
-        ent = [r.asDict() for r in entries.collect() if r.id == entry_id]
+        ent = [
+            r.asDict()
+            for r in entries.filter(F.col("id") == entry_id).collect()
+        ]
         if not ent:
             raise HTTPError(404, f"no such entry {entry_id}")
         out = ent[0]
         out["choices"] = [
-            c.asDict() for c in choices.collect() if c.entry_id == entry_id
+            c.asDict()
+            for c in choices.filter(F.col("entry_id") == entry_id).collect()
         ]
         return out
 

@@ -15,7 +15,7 @@ same winning-bytes message the reference signs.
 from __future__ import annotations
 
 import datetime as dt
-import math
+import decimal
 import uuid as uuidlib
 
 from pyspark.sql import SparkSession
@@ -44,8 +44,13 @@ def _unattested_status(observation_date: dt.datetime, now: dt.datetime) -> str:
 def _round_half_away(x: float) -> int:
     """Rust ``f64::round`` semantics: halves round away from zero
     (21.5 -> 22, -21.5 -> -22). Python's builtin ``round`` is
-    banker's rounding and diverges on exact .5 ties."""
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    banker's rounding and diverges on exact .5 ties, and the
+    floor(x + 0.5) idiom breaks on doubles just below .5 (the
+    addition rounds 0.49999999999999994 + 0.5 up to exactly 1.0).
+    Decimal(x) is the exact binary value, so HALF_UP quantization is
+    exactly f64::round — and matches Spark's F.round used by the
+    batch path."""
+    return int(decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP))
 
 
 def sign_stub(winning_bytes: bytes) -> bytes:
@@ -109,8 +114,10 @@ def run_etl_batch(
 
     At 10^5 active events the per-event loop serializes the cluster
     on driver round-trips; this path's job count is O(1) in the
-    number of events. Only control-plane-sized frames (event metadata,
-    snapshot rows, winner triples) are ever collected."""
+    number of events. Only control-plane-sized frames (event
+    metadata, winner triples) are ever collected — snapshots append
+    and score/signature merges rewrite distributed
+    (EventStore._rewrite_frame)."""
     spark = store.spark
     events = store.read("events").filter(F.col("attestation_signature").isNull())
     meta = events.select("id", "observation_date", "signing_date", "nonce").collect()

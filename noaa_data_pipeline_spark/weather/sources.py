@@ -170,7 +170,13 @@ def parse_dwml(xml_bytes: bytes):
     with unparseable/empty <value/> kept as None so the flattener's
     carry-forward branch applies, and generated_at from
     head/product/creation-date (None when absent)."""
-    root = ET.fromstring(_maybe_gunzip(xml_bytes).decode("utf-8", "replace"))
+    try:
+        root = ET.fromstring(_maybe_gunzip(xml_bytes).decode("utf-8", "replace"))
+    except ET.ParseError as exc:
+        raise ValueError(f"not parseable XML: {exc}") from exc
+    if root.find("data") is None:
+        # NDFD serves well-formed error documents with status 200
+        raise ValueError(f"no <data> element in DWML response (root: {root.tag})")
     generated_at = None
     cd = root.findtext("head/product/creation-date")
     if cd:

@@ -22,6 +22,18 @@ def test_round_half_away_matches_decimal_half_up(x):
     assert _round_half_away(x) == expected
 
 
+def test_round_half_away_known_edges():
+    # the floor(x + 0.5) idiom fails on the largest double below 0.5
+    # (the addition rounds up to exactly 1.0); f64::round gives 0
+    assert _round_half_away(0.49999999999999994) == 0
+    assert _round_half_away(-0.49999999999999994) == 0
+    assert _round_half_away(0.5) == 1
+    assert _round_half_away(-0.5) == -1
+    assert _round_half_away(21.5) == 22
+    assert _round_half_away(-21.5) == -22
+    assert _round_half_away(22.5) == 23  # banker's would give 22
+
+
 @given(
     st.lists(
         st.tuples(st.integers(0, 40), st.one_of(st.none(), st.integers(0, 10**6))),
