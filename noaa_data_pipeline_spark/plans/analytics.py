@@ -603,3 +603,131 @@ def cube_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "q6_forecast_revenue_delta",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue_delta')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure SARG benchmark — three range
+    predicates and one arithmetic aggregate, no join. Scale: every
+    predicate pushes to the parquet scan (row-group min/max pruning
+    on l_shipdate/l_discount/l_quantity), then a single map-side
+    partial sum; the shuffle carries one row per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in
+    a quarter. Scale: both time and returnflag predicates push to the
+    fact scans before the joins; nation broadcasts; the final top-20
+    is TakeOrderedAndProject over the grouped frame, not a global
+    sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1995-10-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT {sql_dsum('c_acctbal', 'total')}, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer
+        WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 3, 7, 9)
+    )
+    SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_dsum('c_acctbal', 'totacctbal')}
+    FROM customer, avg_bal
+    WHERE c_nationkey % 10 IN (1, 3, 7, 9)
+      AND c_acctbal > avg_bal.total / avg_bal.n
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '2001-01-01')
+    GROUP BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (average positive
+    balance over selected country codes; the anti-join excludes
+    customers with RECENT orders since every synthetic customer
+    has some order — the synthetic customer
+    table has no c_phone, so nationkey % 10 stands in for the phone
+    prefix) + anti-join against orders + derived-key grouping. Scale:
+    the scalar aggregate broadcasts as a single row; the anti-join is
+    a broadcast/shuffled left_anti on o_custkey, never a correlated
+    per-row probe. The average divides exact scaled-long totals so
+    both engines compare against the identical threshold double."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    codes = [1, 3, 7, 9]
+    in_codes = cust.filter((F.col("c_nationkey") % 10).isin(codes))
+    avg_bal = in_codes.filter(F.col("c_acctbal") > 0.0).agg(
+        dsum("c_acctbal", "total"), F.count("*").alias("n")
+    )
+    return (
+        in_codes.join(
+            orders.filter(F.col("o_orderdate") >= "2001-01-01"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("total") / F.col("n"))
+        .groupBy((F.col("c_nationkey") % 10).cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )

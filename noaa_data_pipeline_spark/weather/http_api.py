@@ -23,7 +23,11 @@ Route table mirrors oracle/src/startup.rs:114-133:
 The daemon<->oracle file exchange keeps the reference's on-disk
 layout: ``files_dir/YYYY-MM-DD/<name>.parquet`` with the creation
 date parsed from the RFC3339 timestamp embedded in the filename
-(file_access.rs:100-145). The query-route bodies delegate to
+(file_access.rs:100-145). One inherited edge, kept for parity: the
+upload route stores under the CURRENT date folder while the download
+route resolves the folder from the filename's timestamp — a file
+uploaded just after midnight with a previous-day timestamp lists but
+404s on download, exactly as in the reference. The query-route bodies delegate to
 ``weather/api.py`` (the pure functions) and ``EventStore`` /
 ``run_etl_batch`` — the HTTP layer adds only parsing, status codes,
 and JSON framing.
