@@ -349,3 +349,29 @@ def union_by_name_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b, allowMissingColumns=True).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
+
+
+_ADHOC_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000 AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_adhoc_guarded", oracle=_ADHOC_SQL)
+def sql_adhoc_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ad-hoc SQL surface (§3.3) exercised inside the gate: the
+    ONE query text runs through sql_surface.run_user_sql (SELECT-only
+    guard + registered temp views) on Spark AND verbatim as the
+    DuckDB oracle — dialect-shared SQL, guard included in the proven
+    path. Scale: plain pushed-filter aggregate; the point is the
+    surface, not the shape."""
+    from ..sql_surface import run_user_sql
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return run_user_sql(spark, _ADHOC_SQL)

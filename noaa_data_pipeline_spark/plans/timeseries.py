@@ -49,7 +49,13 @@ def events_daily_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame
     (key, ts) dedupes across hourly snapshot files, outer GROUP BY
     (key, day) computes the daily min/max. Scale: both aggregations
     hash-partition on user_id-prefixed keys, so AQE can pipeline them
-    with one shuffle; partial aggregation runs map-side."""
+    with one shuffle; partial aggregation runs map-side. A
+    repartition(user_id)-first variant would satisfy both
+    distributions with a single exchange (~3x faster at sf0.1), but
+    it shuffles RAW rows — at 100 TB, where hourly snapshots
+    re-report the same intervals many times, the map-side combine of
+    the two-shuffle shape moves far fewer bytes, so that shape is the
+    deliberate choice here."""
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy("user_id", "ts")
