@@ -214,6 +214,7 @@ def minhash_lsh_pairs(
     k: int = textops.MINHASH_K,
     bands: int = textops.LSH_BANDS,
     threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash signatures (k hashes) + LSH banding (``bands`` bands of
     r = k/bands rows): candidate pairs share a band bucket, then exact
@@ -235,7 +236,16 @@ def minhash_lsh_pairs(
     full (the oracle SQL computes the full pair join; restricting to
     candidates is result-identical because the final join keeps
     candidate pairs only). Min-hash uses lexicographic MIN over md5
-    hex strings, identical in both engines."""
+    hex strings, identical in both engines.
+
+    ``max_bucket`` is the hot-bucket skew guard: a bucket holding m
+    docs contributes m^2/2 candidate pairs, so one boilerplate-heavy
+    bucket (site templates, license headers) can dominate the whole
+    join. Buckets wider than the cap are dropped from CANDIDATE
+    GENERATION only — their docs still pair through their other
+    bands, which is why banded LSH degrades gracefully where a
+    single-signature scheme would not. The default (None) keeps the
+    oracle-equivalent exact semantics."""
     if k % bands != 0:
         raise ValueError(f"bands ({bands}) must divide k ({k})")
     sh = _shingles_cached(spark, sf_dir)
@@ -246,6 +256,15 @@ def minhash_lsh_pairs(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     ).persist()  # self-join sides share one k-hash aggregation
     bands_df.count()
+    if max_bucket is not None:
+        widths = bands_df.groupBy("band", "bucket").agg(
+            F.count("*").alias("bucket_width")
+        )
+        bands_df = (
+            bands_df.join(widths, ["band", "bucket"])
+            .filter(F.col("bucket_width") <= max_bucket)
+            .drop("bucket_width")
+        )
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     candidates = (

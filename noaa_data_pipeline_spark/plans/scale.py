@@ -103,3 +103,31 @@ def q1_pricing_summary_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxs={"last_ship": "l_shipdate"},
         count_alias="count_order",
     )
+
+
+@register("events_percentiles_approx_sketch", oracle=None)
+def events_percentiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile / Greenwald-
+    Khanna): p50/p95/p99 of value per event_type at accuracy 10^4 —
+    the single-pass, fixed-memory alternative to the exact
+    percentile entry (events_value_percentiles sorts per group). At
+    100 TB the sketch is what runs: partial sketches merge
+    associatively map-side, memory is O(accuracy) per group
+    regardless of row count. Rows-only in the gate (sketch internals
+    are engine-specific by construction); tests/test_scale_ops.py
+    bounds the error against the exact per-group percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p95"),
+            F.col("pcts")[2].alias("p99"),
+            "n",
+        )
+    )

@@ -133,3 +133,24 @@ def test_block_matmul_topk_matches_exact_within_block(spark):
         e_nid, e_cos = exact_k[key]
         assert nid == e_nid, f"{key}: {nid} != {e_nid}"
         assert np.isclose(cos, e_cos, atol=1e-9), (key, cos, e_cos)
+
+
+def test_minhash_hot_bucket_cap(spark, jaccard_truth):
+    """max_bucket drops only candidate-generation width: capped runs
+    return a subset of the uncapped pairs, a generous cap returns
+    exactly the uncapped set, and precision stays 1.0 throughout."""
+    base = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in minhash_lsh_pairs(spark, SF_DIR).collect()
+    }
+    generous = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in minhash_lsh_pairs(spark, SF_DIR, max_bucket=10**6).collect()
+    }
+    assert generous == base
+    tight = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in minhash_lsh_pairs(spark, SF_DIR, max_bucket=2).collect()
+    }
+    assert tight <= base
+    assert tight <= jaccard_truth

@@ -156,3 +156,22 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP DATABASE IF EXISTS buckdemo CASCADE")
+
+
+def test_q5_correct_without_broadcast(spark, sf_dir):
+    """Cluster reality check: with broadcasting disabled (the at-scale
+    planner choice when no side fits), q5 falls back to shuffle joins
+    and produces the identical result."""
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()["q5_regional_revenue"]
+    expected = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == expected

@@ -18,3 +18,38 @@ def test_hll_estimate_within_rsd(spark, duck, sf_dir):
     for et, est in got.items():
         # rsd=0.02 → generous 3-sigma-ish bound
         assert abs(est - exact[et]) <= max(3, 0.06 * exact[et]), (et, est, exact[et])
+
+
+def test_percentiles_approx_within_sketch_error(spark, duck, sf_dir):
+    """The GK sketch returns an ACTUAL data value whose rank is
+    within 1/accuracy of the target percentile — verify the rank
+    guarantee directly against the sorted per-group values (a
+    value-band check against interpolating quantile_cont would be
+    wrong: the sketch never interpolates)."""
+    import bisect
+
+    import __spark_entry__ as entrymod
+
+    got = {
+        r.event_type: r
+        for r in entrymod.queries()["events_percentiles_approx_sketch"](
+            spark, sf_dir
+        ).collect()
+    }
+    groups: dict[str, list[float]] = {}
+    for event_type, value in duck.execute(
+        "SELECT event_type, value FROM events ORDER BY event_type, value"
+    ).fetchall():
+        groups.setdefault(event_type, []).append(value)
+    eps = 1.0 / 10000
+    for p, col in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+        for event_type, values in groups.items():
+            v = getattr(got[event_type], col)
+            n = len(values)
+            # rank range of v among the sorted values (ties included)
+            lo_rank = bisect.bisect_left(values, v) / n
+            hi_rank = bisect.bisect_right(values, v) / n
+            slack = eps + 1.0 / n  # sketch error + discreteness
+            assert lo_rank - slack <= p <= hi_rank + slack, (
+                event_type, col, v, p, lo_rank, hi_rank,
+            )
