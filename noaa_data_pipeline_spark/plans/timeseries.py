@@ -647,3 +647,88 @@ def events_sliding_24h_range_window(spark: SparkSession, sf_dir: str) -> DataFra
         (F.sum(F.floor(F.col("value") * SCALE).cast("long")).over(w).cast("double") / SCALE)
         .alias("sum_24h"),
     )
+
+
+OVERLAP_WIN_S = 6 * 3600  # 6-hour maintenance windows
+
+_SESSIONS_CTE = """
+    ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM tagged_src
+    ),
+    sessions AS (
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM tagged GROUP BY user_id, session_seq
+    )
+""".replace("tagged_src", "ordered")
+
+
+@register(
+    "events_interval_overlap_join",
+    oracle=f"""
+    WITH {_SESSIONS_CTE},
+    bounds AS (
+        SELECT CAST(FLOOR(epoch(MIN(session_start)) / {OVERLAP_WIN_S}) AS BIGINT) AS b0,
+               CAST(FLOOR(epoch(MAX(session_end)) / {OVERLAP_WIN_S}) AS BIGINT) AS b1
+        FROM sessions
+    ),
+    windows AS (
+        SELECT to_timestamp(unnest(range(b0, b1 + 1)) * {OVERLAP_WIN_S}) AS win_start
+        FROM bounds
+    )
+    SELECT w.win_start, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM windows w
+    JOIN sessions s
+      ON s.session_start < w.win_start + INTERVAL 6 HOUR
+     AND s.session_end >= w.win_start
+    GROUP BY w.win_start
+    """,
+)
+def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: count the user sessions overlapping
+    each 6-hour window. The oracle states it as the literal range
+    join (start < win_end AND end >= win_start); the Spark plan uses
+    the scalable bucketization: each session explodes to exactly the
+    aligned buckets it spans, turning the non-equi interval join into
+    an equi-join on bucket id — the standard trick that avoids the
+    per-key quadratic probe (a raw range join degenerates to
+    nested-loop at scale; the explode fan-out is bounded by
+    session_span/window). One shuffle on the bucket key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(gap > 30 * 60, 1).otherwise(0)).over(wrun).alias("session_seq"),
+    )
+    sessions = tagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    b_start = F.floor(F.unix_timestamp("session_start") / OVERLAP_WIN_S)
+    b_end = F.floor(F.unix_timestamp("session_end") / OVERLAP_WIN_S)
+    exploded = sessions.select(
+        F.explode(F.sequence(b_start, b_end)).alias("bucket")
+    )
+    return (
+        exploded.groupBy("bucket")
+        .agg(F.count("*").alias("n_sessions"))
+        .select(
+            F.timestamp_seconds(F.col("bucket") * OVERLAP_WIN_S).alias("win_start"),
+            "n_sessions",
+        )
+    )

@@ -95,3 +95,47 @@ def test_schnorr_roundtrip_property(d, msg):
     sig = schnorr.sign(msg, sk, aux=b"\x42" * 32)
     assert schnorr.verify(msg, schnorr.pubkey(sk), sig)
     assert not schnorr.verify(msg + b"!", schnorr.pubkey(sk), sig)
+
+
+def test_pack_sequences_invariants(spark, duck):
+    """Sharded packing invariants: every doc lands in exactly one
+    bin, bins fill to < budget + largest-doc overshoot, and bin ids
+    are dense from 0 within each shard."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.01"
+    rows = entrymod.queries()["docs_pack_sequences"](spark, sf).collect()
+    n_docs = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs  # full coverage, no dupes
+    budget = 2048
+    max_tok = duck.execute(
+        "SELECT MAX(len(string_split(trim(regexp_replace(lower(text),"
+        " '[^a-z0-9]+', ' ', 'g')), ' '))) FROM documents"
+    ).fetchone()[0]
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.total_tokens < budget + max_tok  # bounded overshoot
+        by_shard.setdefault(r.shard, []).append(r.bin_in_shard)
+    for shard, bins in by_shard.items():
+        assert sorted(bins) == list(range(len(bins))), shard  # dense ids
+
+
+@given(
+    st.sampled_from(["select", "SELECT", "with", "WITH"]),
+    st.sampled_from(
+        ["update", "delete", "drop table x", "insert into t", "create view v",
+         "truncate t", "merge into t", "set x=1"]
+    ),
+)
+def test_sql_guard_rejects_embedded_dml(prefix, payload):
+    from noaa_data_pipeline_spark.sql_surface import SqlGuardError, validate_select_only
+
+    import pytest as _pytest
+
+    # DML keyword anywhere in a SELECT -> rejected (conservative guard)
+    with _pytest.raises(SqlGuardError):
+        validate_select_only(f"{prefix} * from t where c = '{payload}' ; {payload}")
+    with _pytest.raises(SqlGuardError):
+        validate_select_only(payload)
+    # plain reads pass
+    validate_select_only(f"{prefix} 1")
