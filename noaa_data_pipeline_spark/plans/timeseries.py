@@ -732,3 +732,44 @@ def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sessions",
         )
     )
+
+
+@register(
+    "events_session_window_native",
+    oracle=f"""
+    WITH {_SESSIONS_CTE}
+    SELECT user_id, session_start, session_end,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM (
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM tagged GROUP BY user_id, session_seq
+    ) s
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (the built-in
+    gap-based session operator) checked against the lag/cumsum
+    formulation the oracle states — proving the two sessionization
+    semantics coincide (a session's window closes after a 30-minute
+    event gap; window bounds reported as first/last event times).
+    Boundary note: session_window's gap is half-open (an event at
+    exactly start+30min opens a NEW session) while the lag/cumsum
+    oracle uses gap > 30min (it would merge); the two differ only on
+    exact-30:00.000000 gaps, which microsecond event timestamps make
+    measure-zero — and the hash gate would catch it if the data ever
+    contained one. Scale: session_window is a first-class aggregation
+    — one shuffle on user_id, sessions assembled by the merging
+    session-window exec, no self-join and no running-sum window
+    pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
