@@ -131,3 +131,66 @@ def events_percentiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFr
             "n",
         )
     )
+
+
+@register(
+    "events_column_profile",
+    oracle=f"""
+    SELECT 'value' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(value) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+           MIN(value) AS min_num, MAX(value) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'event_type',
+           CAST(COUNT(*) AS BIGINT), CAST(COUNT(event_type) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(event_type), MAX(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'user_id',
+           CAST(COUNT(*) AS BIGINT), CAST(COUNT(user_id) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM events
+    """,
+)
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (the deequ/profiler stage every
+    training pipeline runs before ingest): per-column row/non-null/
+    distinct counts and min/max, one row per profiled column. Scale:
+    ONE pass computes every column's aggregates together (the unioned
+    oracle shows the semantics; Spark evaluates all aggregate
+    expressions in a single scan + global combine); exact
+    COUNT(DISTINCT) expands to the two-phase exact aggregate — swap
+    in approx_count_distinct at 100 TB when cardinality tolerance
+    allows. Numeric and string min/max occupy typed columns (a shared
+    VARCHAR rendering would hang engine-specific double formatting
+    into the hash gate)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def profile(col: str, numeric: bool):
+        num = F.col(col).cast("double") if numeric else F.lit(None).cast("double")
+        txt = F.col(col) if not numeric else F.lit(None).cast("string")
+        return [
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.min(num).alias("min_num"),
+            F.max(num).alias("max_num"),
+            F.min(txt).alias("min_str"),
+            F.max(txt).alias("max_str"),
+        ]
+
+    frames = [
+        ev.agg(*profile(c, numeric)).select(F.lit(c).alias("column_name"), "*")
+        for c, numeric in [("value", True), ("event_type", False), ("user_id", True)]
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
