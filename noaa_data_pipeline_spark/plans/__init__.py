@@ -51,7 +51,8 @@ GATE_PRIORITY = [
     "events_sliding_24h_range_window", "events_interval_overlap_join",
     "events_session_window_native", "cube_orders_priority_status",
     "q6_forecast_revenue_delta", "q10_returned_items_customers",
-    "q22_global_sales_opportunity",
+    "q22_global_sales_opportunity", "events_column_profile",
+    "text_token_rarity",
 ]
 
 

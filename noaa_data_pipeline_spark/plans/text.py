@@ -490,3 +490,49 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(NGRAM_TOPK)
     )
+
+
+@register(
+    "text_token_rarity",
+    oracle=f"""
+    WITH toks AS ({textops.sql_tokens('documents')}),
+    freqs AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY tok
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               1.0 / f.n_tok AS rarity
+        FROM toks t JOIN freqs f ON t.tok = f.tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(rarity * 1000000000) AS BIGINT)) AS DOUBLE)
+               / 1000000000 / COUNT(*) AS mean_rarity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal: mean inverse corpus frequency of
+    a document's tokens — the deterministic stand-in for the
+    perplexity filter LLM pipelines run (true log-prob scoring needs
+    ln(), whose last-ulp behavior differs across libm builds and
+    would poison the hash gate; 1/count is an exact double in both
+    engines and the mean aggregates scaled longs). High scores flag
+    documents dominated by rare/garbage tokens; low scores flag
+    boilerplate. Scale: corpus frequencies are one map-side-combined
+    groupBy; the scoring join broadcasts nothing and shuffles on the
+    token key, then one combine per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens_df(docs)
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    scored = toks.join(freqs, "tok").select(
+        "doc_id", (F.lit(1.0) / F.col("n_tok")).alias("rarity")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (
+            F.sum(F.floor(F.col("rarity") * 1000000000).cast("long")).cast("double")
+            / 1000000000
+            / F.count("*")
+        ).alias("mean_rarity"),
+    )
