@@ -284,11 +284,16 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond-exact gap: ts.cast('long') truncates to whole
+    # seconds and would merge a 1800.2s gap the oracle's exact
+    # INTERVAL comparison splits
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     tagged = ev.select(
         "user_id",
         "ts",
-        F.sum(F.when(gap > 30 * 60, 1).otherwise(0)).over(wrun).alias("session_seq"),
+        F.sum(F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0)).over(wrun).alias(
+            "session_seq"
+        ),
     )
     return tagged.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
@@ -611,7 +616,7 @@ def cube_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue_delta')},
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
-    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+    WHERE l_shipdate >= DATE '1995-07-01' AND l_shipdate < DATE '1996-07-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -625,8 +630,8 @@ def q6_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= "1994-01-01")
-            & (F.col("l_shipdate") < "1995-01-01")
+            (F.col("l_shipdate") >= "1995-07-01")
+            & (F.col("l_shipdate") < "1996-07-01")
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)

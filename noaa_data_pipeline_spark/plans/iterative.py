@@ -145,6 +145,7 @@ def connected_components(
         # a dozen tiny label-propagation rounds (measured 7s -> 16s
         # with AQE on); statically planned small shuffles win here
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    both = None
     try:
         # materialize the edge list once: every round consumes it, and
         # without the persist each iteration re-runs the upstream
@@ -156,6 +157,7 @@ def connected_components(
         nodes = both.select(F.col("src").alias("node")).distinct()
         labels = nodes.select("node", F.col("node").alias("component")).persist()
         labels.count()
+        changed = -1
         for _ in range(max_iterations):
             neighbor_min = (
                 both.join(labels, both.src == labels.node)
@@ -182,8 +184,17 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # silent wrong answers are worse than a loud stop: a
+            # component chain longer than max_iterations has not
+            # converged (switch to pointer-doubling for such graphs)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds"
+            )
         return labels
     finally:
+        if both is not None:
+            both.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 

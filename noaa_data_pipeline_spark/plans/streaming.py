@@ -106,8 +106,13 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
 @register(
     "stream_windowed_counts",
     oracle=f"""
-    SELECT to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / {WINDOW_HOURS * 3600})
-               * {WINDOW_HOURS * 3600}) AS window_start,
+    -- naive-timestamp construction from epoch arithmetic:
+    -- to_timestamp() returns TIMESTAMPTZ and would shift by the
+    -- DuckDB session timezone on a non-UTC box
+    SELECT TIMESTAMP '1970-01-01'
+               + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / {WINDOW_HOURS * 3600})
+                      * {WINDOW_HOURS * 3600} AS BIGINT) * INTERVAL 1 SECOND
+               AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value

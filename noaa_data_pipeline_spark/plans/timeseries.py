@@ -686,7 +686,11 @@ _SESSIONS_CTE = """
         FROM sessions
     ),
     windows AS (
-        SELECT to_timestamp(unnest(range(b0, b1 + 1)) * {OVERLAP_WIN_S}) AS win_start
+        -- naive timestamp via epoch arithmetic: to_timestamp() is
+        -- TIMESTAMPTZ and would shift with the session timezone
+        SELECT TIMESTAMP '1970-01-01'
+                   + unnest(range(b0, b1 + 1)) * {OVERLAP_WIN_S} * INTERVAL 1 SECOND
+                   AS win_start
         FROM bounds
     )
     SELECT w.win_start, CAST(COUNT(*) AS BIGINT) AS n_sessions
@@ -710,11 +714,14 @@ def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond-exact gap (see events_sessionize_batch)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     tagged = ev.select(
         "user_id",
         "ts",
-        F.sum(F.when(gap > 30 * 60, 1).otherwise(0)).over(wrun).alias("session_seq"),
+        F.sum(F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0)).over(wrun).alias(
+            "session_seq"
+        ),
     )
     sessions = tagged.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"), F.max("ts").alias("session_end")

@@ -42,8 +42,7 @@ def fetch_forecast_frames(
     (download_forecast.rs:683-718); every document flattens through
     the single-window plan and the per-batch frames union by name.
     Failed batches are collected, not fatal."""
-    station_rows = stations.collect()
-    ids = [r.station_id for r in station_rows]
+    ids = [r.station_id for r in stations.select("station_id").collect()]
     out: DataFrame | None = None
     failed: list[list[str]] = []
     for batch in split_stations(ids, batch_size):

@@ -209,10 +209,13 @@ class EventStore:
         """Replace a table with a derived frame WITHOUT collecting it:
         a parquet path can't be overwritten while a plan still reads
         it, so the update writes to a sibling temp directory and
-        atomically swaps it in. This keeps merge-style rewrites fully
-        distributed (2.5M entry rows at the batch path's 10^5-event
-        scale never touch the driver); with a Delta backend the same
-        operations become real MERGE INTO."""
+        swaps it in via two renames. This keeps merge-style rewrites
+        fully distributed (2.5M entry rows at the batch path's
+        10^5-event scale never touch the driver). NOT crash-atomic: a
+        kill between the renames leaves the previous table under
+        ``<path>__old_*`` for manual recovery (directory renames
+        can't be combined into one atomic op); a Delta backend turns
+        these into real transactional MERGE INTO."""
         import shutil
         import uuid as uuidlib
 

@@ -202,6 +202,8 @@ def parse_dwml(xml_bytes: bytes):
         if key is None:
             continue
         for seq, st_el in enumerate(tl.iter("start-valid-time")):
+            if not st_el.text or not st_el.text.strip():
+                raise ValueError(f"empty start-valid-time in layout {key!r}")
             layouts.append((key, seq, _iso_to_naive_utc(st_el.text)))
 
     readings = []
