@@ -52,7 +52,7 @@ GATE_PRIORITY = [
     "events_session_window_native", "cube_orders_priority_status",
     "q6_forecast_revenue_delta", "q10_returned_items_customers",
     "q22_global_sales_opportunity", "events_column_profile",
-    "text_token_rarity",
+    "text_token_rarity", "stream_dedup_within_watermark",
 ]
 
 

@@ -215,3 +215,29 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(sessions, "update")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: like the state-backed exact
+    dedup (stream_dedup_keys) but state for a key is DROPPED once the
+    watermark passes its first-seen event time — the bounded-state
+    form for unbounded streams where plain dropDuplicates state grows
+    forever. Over one availableNow pass every duplicate falls within
+    the watermark horizon, so the result equals DISTINCT and the
+    oracle hash applies; on a live stream the horizon becomes the
+    dedup guarantee window. Requires an event-time watermark on the
+    deduped columns' frame (Spark 3.5+ API surface)."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append")
