@@ -3,13 +3,15 @@
 The reference's "streaming" is an hourly micro-batch pull loop
 (daemon/src/main.rs:33-50) plus filename-time pruning; the Spark
 shape for that is a file-source stream with an ``availableNow``
-trigger (SURVEY §2.8). Three operators:
+trigger (SURVEY §2.8). Four operators:
 
 - ``stream_windowed_counts`` — watermark + tumbling event-time window
   aggregate (oracle-checked: one availableNow pass over a static
   dataset must equal the batch aggregate).
 - ``stream_dedup_keys`` — streaming dropDuplicates (state-backed
   exact dedup; oracle-checked against DISTINCT).
+- ``stream_dedup_within_watermark`` — the bounded-state variant:
+  per-key state evicted when the watermark passes (Spark 3.5 API).
 - ``stream_sessionize_state`` — custom stateful operator via
   ``applyInPandasWithState`` (30-min-gap sessionization; no SQL
   oracle — rows-only check + pytest golden values).

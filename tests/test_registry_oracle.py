@@ -46,3 +46,20 @@ def test_canon_stability():
     assert canon(None) == "NULL"
     assert canon(1.5) == "1.5"
     assert canon([1, None]) == "[1,NULL]"
+
+
+def test_gate_priority_covers_all_unchecked_entries():
+    """Every registry entry without a round-1 driver-gate row must be
+    listed in GATE_PRIORITY (iteration-ordered first), so new entries
+    can't silently land beyond the driver's ~50-entry window."""
+    import json
+
+    from noaa_data_pipeline_spark.plans import GATE_PRIORITY, load_all
+
+    with open("/root/repo/CORRECTNESS_r01.json") as fh:
+        r1_checked = set(json.load(fh))
+    unchecked = set(load_all()) - r1_checked
+    missing = unchecked - set(GATE_PRIORITY)
+    assert not missing, f"add to GATE_PRIORITY: {sorted(missing)}"
+    # and the priority list itself stays within the observed window
+    assert len(GATE_PRIORITY) <= 50
