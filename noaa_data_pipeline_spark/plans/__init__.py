@@ -53,6 +53,7 @@ GATE_PRIORITY = [
     "q6_forecast_revenue_delta", "q10_returned_items_customers",
     "q22_global_sales_opportunity", "events_column_profile",
     "text_token_rarity", "stream_dedup_within_watermark",
+    "orders_status_transitions", "events_anomaly_zscore",
 ]
 
 

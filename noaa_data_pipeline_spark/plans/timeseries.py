@@ -780,3 +780,94 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+@register(
+    "orders_status_transitions",
+    oracle="""
+    SELECT prev_status, o_orderstatus AS next_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT o_orderstatus,
+               lag(o_orderstatus) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_status
+        FROM orders
+    ) t
+    WHERE prev_status IS NOT NULL
+    GROUP BY prev_status, next_status
+    """,
+)
+def orders_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence analytics: the status-transition matrix of each
+    customer's order history (lag over the per-customer date order,
+    then pair counts) — the Markov-chain counting shape behind
+    conversion and lifecycle modeling. Scale: one shuffle on
+    o_custkey shared by the window and implicitly combined into the
+    tiny (status x status) aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("next_status"),
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+        .filter(F.col("prev_status").isNotNull())
+        .groupBy("prev_status", "next_status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH stats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * {SCALE}) AS BIGINT)) AS DOUBLE) / {SCALE} AS s1,
+               CAST(SUM(CAST(FLOOR(value * value * {SCALE}) AS BIGINT)) AS DOUBLE) / {SCALE} AS s2
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_anomalies
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE s.n >= 2
+      AND abs(e.value - s.s1 / s.n)
+          > {ZSCORE_THRESHOLD} * sqrt(greatest(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n), 0))
+    GROUP BY e.user_id
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score anomaly counts: values more than
+    {ZSCORE_THRESHOLD} sigma from their key's mean. Mean and variance
+    derive from scaled-long exact sums (sum, sum-of-squares), then a
+    FIXED double expression sequence — identical in both engines, so
+    the threshold comparison can't flip (a native STDDEV would hang
+    engine-specific accumulation order into the gate). Scale: stats
+    are one map-side-combined groupBy; the stats join shuffles on the
+    key both sides already share."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.floor(F.col("value") * SCALE).cast("long")).cast("double") / SCALE)
+        .alias("s1"),
+        (
+            F.sum(F.floor(F.col("value") * F.col("value") * SCALE).cast("long"))
+            .cast("double")
+            / SCALE
+        ).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    return (
+        ev.join(stats, "user_id")
+        .filter(
+            (F.col("n") >= 2)
+            & (F.abs(F.col("value") - mean) > ZSCORE_THRESHOLD * F.sqrt(var))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_anomalies"))
+    )
