@@ -54,6 +54,10 @@ GATE_PRIORITY = [
     "q22_global_sales_opportunity", "events_column_profile",
     "text_token_rarity", "stream_dedup_within_watermark",
     "orders_status_transitions", "events_anomaly_zscore",
+    "q7_volume_shipping", "q9_product_type_profit",
+    "q13_customer_order_distribution", "q16_supplier_part_relationships",
+    "q17_small_quantity_revenue", "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 
