@@ -57,7 +57,9 @@ GATE_PRIORITY = [
     "q7_volume_shipping", "q9_product_type_profit",
     "q13_customer_order_distribution", "q16_supplier_part_relationships",
     "q17_small_quantity_revenue", "q20_excess_stock_suppliers",
-    "q21_waiting_suppliers",
+    "q21_waiting_suppliers", "decontam_ngram_overlap",
+    "text_repetition_ratio", "text_mask_numbers",
+    "orders_scd2_status_intervals",
 ]
 
 

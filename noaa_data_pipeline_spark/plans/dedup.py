@@ -489,3 +489,81 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= EMB_COSINE_MIN)
     )
+
+
+# --- train/test decontamination --------------------------------------
+
+# Split thresholds match plans/text.py split_train_val_hash: the held
+# -out set is the hash bucket >= 95; everything else may be trained on.
+EVAL_PCT = 95
+_SQL_DOC_PCT = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+def _doc_pct() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH shingles AS ({_SQL_SHINGLES}),
+    split AS (SELECT doc_id, {_SQL_DOC_PCT} AS pct FROM documents),
+    train_sh AS (
+        SELECT DISTINCT shingle FROM shingles JOIN split USING (doc_id)
+        WHERE pct < {EVAL_PCT}
+    ),
+    test_sh AS (
+        SELECT shingles.doc_id, shingle FROM shingles JOIN split USING (doc_id)
+        WHERE pct >= {EVAL_PCT}
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM test_sh GROUP BY doc_id),
+    hits AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM test_sh t JOIN train_sh tr USING (shingle)
+        GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           COALESCE(h.n_overlap, 0) * 1.0 / s.n_shingles AS contam_ratio,
+           COALESCE(h.n_overlap, 0) > 0 AS contaminated
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every held-out document, the
+    count of its {textops.SHINGLE_N}-gram shingles that also appear
+    anywhere in the training split (the standard n-gram-collision
+    contamination check run before LLM evals). A single shared
+    shingle flags the document.
+
+    Scale: the only join is test-shingles x distinct-train-shingles
+    on the shingle key — at 100 TB both sides would be md5(shingle)
+    keys against a materialized signature table, never text, and the
+    train side is distinct-reduced before the shuffle. The shingle
+    frame itself is the same temp-parquet materialization every other
+    dedup entry shares."""
+    sh = _shingles_cached(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", _doc_pct().alias("pct"))
+    sh = sh.join(docs, "doc_id")
+    train_sh = sh.filter(F.col("pct") < EVAL_PCT).select("shingle").distinct()
+    test_sh = sh.filter(F.col("pct") >= EVAL_PCT).select("doc_id", "shingle")
+    sizes = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        test_sh.join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_overlap.alias("n_overlap"),
+        (n_overlap * F.lit(1.0) / F.col("n_shingles")).alias("contam_ratio"),
+        (n_overlap > 0).alias("contaminated"),
+    )

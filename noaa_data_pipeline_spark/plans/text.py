@@ -536,3 +536,83 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("mean_rarity"),
     )
+
+
+REPETITION_FLAG = 0.2  # duplicate-bigram fraction above which a doc is flagged
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH toks AS ({textops.sql_tokens('documents')}),
+    bigrams AS (
+        SELECT doc_id, tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(bigram) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_distinct,
+           1.0 - COUNT(DISTINCT bigram) * 1.0 / COUNT(bigram) AS dup_ratio,
+           (1.0 - COUNT(DISTINCT bigram) * 1.0 / COUNT(bigram)) > {REPETITION_FLAG} AS repetitive
+    FROM bigrams
+    WHERE bigram IS NOT NULL
+    GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: the fraction of duplicate
+    bigrams per document (1 - distinct/total). Boilerplate, spam, and
+    degenerate generations repeat n-grams far above natural prose;
+    docs over {REPETITION_FLAG} are flagged. The ratio is a division
+    of two exact longs, so both engines produce the identical double.
+    Scale: one shuffle on doc_id shared by the bigram window and the
+    per-doc aggregate; COUNT(DISTINCT) expands within the same
+    partitioning."""
+    toks = textops.tokens_df(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "doc_id",
+        F.concat(F.col("tok"), F.lit(" "), F.lead("tok", 1).over(w)).alias("bigram"),
+    ).filter(F.col("bigram").isNotNull())
+    dup_ratio = 1.0 - F.countDistinct("bigram") * F.lit(1.0) / F.count("bigram")
+    return bigrams.groupBy("doc_id").agg(
+        F.count("bigram").alias("n_bigrams"),
+        F.countDistinct("bigram").alias("n_distinct"),
+        dup_ratio.alias("dup_ratio"),
+        (dup_ratio > REPETITION_FLAG).alias("repetitive"),
+    )
+
+
+# PII-style masking: digit runs are the only deterministic PII-shaped
+# tokens present in the synthetic corpus; emails/phones would use the
+# same plan with richer patterns. '[0-9]+' (not '\\d') pins identical
+# semantics in Java regex (Spark) and RE2 (DuckDB).
+MASK_RE = "[0-9]+"
+MASK_TOKEN = "<NUM>"
+
+
+@register(
+    "text_mask_numbers",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{MASK_RE}')) AS BIGINT) AS n_masked,
+           md5(regexp_replace(text, '{MASK_RE}', '{MASK_TOKEN}', 'g')) AS masked_hash,
+           CAST(length(regexp_replace(text, '{MASK_RE}', '{MASK_TOKEN}', 'g')) AS BIGINT) AS masked_len
+    FROM documents
+    """,
+)
+def text_mask_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing plumbing: replace every digit run with a
+    mask token, counting replacements per document — the exact plan
+    shape (regexp_count + global regexp_replace, all JVM-side) that a
+    real pipeline points at email/phone/SSN patterns. The masked text
+    is compared by md5 so the gate hashes stay small. Scale: pure
+    map-side transform, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(F.col("text"), MASK_RE, MASK_TOKEN)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(MASK_RE)).cast("long").alias("n_masked"),
+        F.md5(masked).alias("masked_hash"),
+        F.length(masked).cast("long").alias("masked_len"),
+    )

@@ -871,3 +871,71 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_anomalies"))
     )
+
+
+@register(
+    "orders_scd2_status_intervals",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+             - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                                  ORDER BY o_orderdate, o_orderkey) AS island
+        FROM orders
+    ),
+    runs AS (
+        SELECT o_custkey, o_orderstatus,
+               MIN(o_orderdate) AS valid_from,
+               MAX(o_orderdate) AS last_seen,
+               MIN(o_orderkey) AS first_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM seq GROUP BY o_custkey, o_orderstatus, island
+    )
+    SELECT o_custkey, o_orderstatus, valid_from, last_seen,
+           lead(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY valid_from, first_orderkey) AS valid_to,
+           n_orders
+    FROM runs
+    """,
+)
+def orders_scd2_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval construction via gaps-and-islands: collapse each
+    customer's consecutive same-status orders into validity runs
+    (valid_from = first order of the run, valid_to = start of the
+    next run, NULL while current) — the slowly-changing-dimension
+    type-2 build every warehouse needs, as the difference of two
+    row_numbers. o_orderkey tie-breaks same-day runs so the interval
+    chain is deterministic. Scale: one shuffle on o_custkey that all
+    three windows and the run aggregate reuse (the per-status window
+    keys are a refinement of the customer partitioning)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_st = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    runs = (
+        orders.select(
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_orderkey",
+            (F.row_number().over(w_all) - F.row_number().over(w_st)).alias("island"),
+        )
+        .groupBy("o_custkey", "o_orderstatus", "island")
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.max("o_orderdate").alias("last_seen"),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w_runs = Window.partitionBy("o_custkey").orderBy("valid_from", "first_orderkey")
+    return runs.select(
+        "o_custkey",
+        "o_orderstatus",
+        "valid_from",
+        "last_seen",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+        "n_orders",
+    )
