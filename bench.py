@@ -36,6 +36,10 @@ HEADLINE = [
     "dedup_simhash",
     "sim_ann_lsh_hyperplane",
     "text_fingerprint_winnow",
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
+    "orders_scd2_status_intervals",
+    "decontam_ngram_overlap",
 ]
 
 
