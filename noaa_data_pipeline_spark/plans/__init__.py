@@ -59,7 +59,8 @@ GATE_PRIORITY = [
     "q17_small_quantity_revenue", "q20_excess_stock_suppliers",
     "q21_waiting_suppliers", "decontam_ngram_overlap",
     "text_repetition_ratio", "text_mask_numbers",
-    "orders_scd2_status_intervals",
+    "orders_scd2_status_intervals", "emb_quantize_int8",
+    "bpe_train_merges",
 ]
 
 

@@ -227,3 +227,136 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_rep")
     )
+
+
+# --- BPE tokenizer training ------------------------------------------
+
+BPE_MERGES = 12
+WORD_END = "</w>"
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(pair struct(l, r), cnt) — adjacent-symbol pair frequencies
+    weighted by word count. Map-side: pairs come from zipping each
+    symbol array with its own tail; the only shuffle is the tiny
+    groupBy on pair."""
+    tail = F.slice(
+        F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))
+    )
+    pair_col = F.zip_with(
+        F.col("syms"), tail, lambda l, r: F.struct(l.alias("l"), r.alias("r"))
+    )
+    return (
+        words.select("wcount", F.explode(pair_col).alias("p"))
+        .filter(F.col("p.r").isNotNull())
+        .groupBy("p")
+        .agg(F.sum("wcount").alias("cnt"))
+    )
+
+
+def _merge_pair(syms: F.Column, left: str, right: str) -> F.Column:
+    """One BPE merge applied to a symbol array: leftmost-first,
+    non-overlapping, single pass — an aggregate fold carrying
+    (emitted symbols, pending symbol)."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        hit = acc["pend"].eqNullSafe(F.lit(left)) & (s == F.lit(right))
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(left + right))).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["pend"].isNull(), acc["out"])
+                .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+                .alias("out"),
+                s.alias("pend"),
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def bpe_train(
+    spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Learn BPE merges over a document corpus, Sennrich-style: words
+    split into characters (last char carries {WORD_END}), then
+    n_merges rounds of count-adjacent-pairs -> merge the argmax.
+
+    Determinism: the argmax orders by (count DESC, left, right) so
+    ties never depend on partitioning. Scale: the corpus collapses to
+    the distinct-word frame ONCE (weighted by frequency — the classic
+    BPE trick that makes each round O(vocabulary), not O(corpus));
+    each round is one tiny pair-count shuffle plus a map-side merge
+    rewrite, with persist-per-round lineage cuts. Only the single
+    argmax row ever reaches the driver per round.
+    """
+    from ..operators import textops
+
+    spark_parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    docs.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        toks = textops.tokens_df(docs)
+        chars = F.split(F.col("tok"), "")
+        syms = F.concat(
+            F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0))),
+            F.array(F.concat(F.element_at(chars, -1), F.lit(WORD_END))),
+        )
+        words = (
+            toks.filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count("*").alias("wcount"))
+            .select("wcount", syms.alias("syms"))
+            .persist()
+        )
+        words.count()
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(n_merges):
+            top = (
+                _pair_counts(words)
+                .orderBy(F.desc("cnt"), F.asc("p.l"), F.asc("p.r"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < 2:
+                break
+            left, right, cnt = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["cnt"]
+            merges.append((rank, left, right, int(cnt)))
+            new_words = words.select(
+                "wcount", _merge_pair(F.col("syms"), left, right).alias("syms")
+            ).persist()
+            new_words.count()
+            words.unpersist()
+            words = new_words
+        words.unpersist()
+        return merges
+    finally:
+        docs.sparkSession.conf.set("spark.sql.shuffle.partitions", spark_parts)
+
+
+@register("bpe_train_merges", oracle=None)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table ({BPE_MERGES} ranks) over the
+    documents corpus — the tokenizer-training step of a data
+    pipeline, as a driver-looped DataFrame program. Rows-only in the
+    gate (iterative argmax isn't one SQL query);
+    tests/test_iterative.py replays a pure-Python Sennrich BPE on the
+    same corpus and asserts the identical merge table."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(spark, docs)
+    return spark.createDataFrame(
+        [(r, l, rt, l + rt, c) for r, l, rt, c in merges],
+        "rank INT, left STRING, right STRING, merged STRING, pair_count LONG",
+    )

@@ -397,3 +397,83 @@ def sim_block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(block_topk, schema=_BLOCK_TOPK_SCHEMA)
         .orderBy("query_id", "rnk")
     )
+
+
+# int8 quantization: symmetric per-vector absmax scaling, the layout
+# faiss/SQ8-style stores use. 1e9 fixed-point keeps the error metric
+# exact and order-independent.
+_Q_LEVELS = 127
+_ERR_SCALE = 10**9
+
+
+@register(
+    "emb_quantize_int8",
+    oracle=f"""
+    WITH prepped AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS absmax
+        FROM embeddings
+    ),
+    quantized AS (
+        SELECT vec_id, emb, absmax,
+               absmax / {_Q_LEVELS} AS scale,
+               CASE WHEN absmax = 0
+                    THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(emb, x -> CAST(round(x / (absmax / {_Q_LEVELS})) AS BIGINT))
+               END AS q
+        FROM prepped
+    )
+    SELECT vec_id, scale, q,
+           CAST(list_sum(list_transform(list_zip(emb, q),
+                p -> CAST(FLOOR(abs(p[1] - p[2] * scale) * {_ERR_SCALE}) AS BIGINT)))
+                AS DOUBLE) / {_ERR_SCALE} / {DIM} AS mae
+    FROM quantized
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax / {_Q_LEVELS} scale — the SQ8 storage layout ANN indexes
+    and embedding caches use, 4x smaller than float32) plus the exact
+    mean-absolute reconstruction error per vector. Rounding is
+    half-away-from-zero in both engines; the error sums in 1e-9
+    fixed point so element order can't change it. Scale: pure
+    map-side transform over the vector column, no shuffle; at 100 TB
+    this runs as a projection inside whatever scan already reads the
+    embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    prepped = emb.select(
+        "vec_id",
+        e.alias("emb"),
+        F.array_max(F.transform(e, lambda x: F.abs(x))).alias("absmax"),
+    )
+    scale = F.col("absmax") / _Q_LEVELS
+    quantized = prepped.select(
+        "vec_id",
+        "emb",
+        scale.alias("scale"),
+        F.when(
+            F.col("absmax") == 0,
+            F.transform(F.col("emb"), lambda x: F.lit(0).cast("long")),
+        )
+        .otherwise(
+            F.transform(F.col("emb"), lambda x: F.round(x / scale).cast("long"))
+        )
+        .alias("q"),
+    )
+    err_terms = F.zip_with(
+        F.col("emb"),
+        F.col("q"),
+        lambda x, qv: F.floor(F.abs(x - qv * F.col("scale")) * _ERR_SCALE).cast("long"),
+    )
+    return quantized.select(
+        "vec_id",
+        "scale",
+        "q",
+        (
+            F.aggregate(err_terms, F.lit(0).cast("long"), lambda a, v: a + v)
+            .cast("double")
+            / _ERR_SCALE
+            / DIM
+        ).alias("mae"),
+    )

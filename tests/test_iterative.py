@@ -101,3 +101,59 @@ def test_dedup_clusters_cc_matches_union_find_on_real_pairs(spark):
         for m in row.members:
             clusters[m] = row.cluster_rep
     assert clusters == expected
+
+
+# --- BPE training -----------------------------------------------------
+
+
+def _python_bpe(texts, n_merges):
+    """Independent Sennrich-style BPE: same tokenization, same
+    leftmost-nonoverlapping merge, same (count desc, pair asc)
+    argmax."""
+    import collections
+    import re
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" "):
+            if w:
+                vocab[w] += 1
+    words = {w: tuple(list(w[:-1]) + [w[-1] + "</w>"]) for w in vocab}
+    merges = []
+    for rank in range(n_merges):
+        pairs = collections.Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[w]
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((rank, left, right, cnt))
+        new_words = {}
+        for w, syms in words.items():
+            out, pend = [], None
+            for s in syms:
+                if pend == left and s == right:
+                    out.append(left + right)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges
+
+
+def test_bpe_matches_python(spark, duck, sf_dir):
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in iterative.bpe_train_merges(spark, sf_dir).collect()
+    ]
+    texts = [r[0] for r in duck.execute("SELECT text FROM documents").fetchall()]
+    expected = _python_bpe(texts, iterative.BPE_MERGES)
+    assert got == expected
