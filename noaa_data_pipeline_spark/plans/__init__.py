@@ -60,7 +60,8 @@ GATE_PRIORITY = [
     "q21_waiting_suppliers", "decontam_ngram_overlap",
     "text_repetition_ratio", "text_mask_numbers",
     "orders_scd2_status_intervals", "emb_quantize_int8",
-    "bpe_train_merges",
+    "bpe_train_merges", "sim_ann_recall_eval",
+    "events_grouping_sets_marginals",
 ]
 
 

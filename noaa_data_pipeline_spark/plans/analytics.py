@@ -1063,3 +1063,42 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "events_grouping_sets_marginals",
+    oracle=f"""
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(m, '<all>') AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM (
+        SELECT event_type, strftime(ts, '%Y-%m') AS m, value FROM events
+    ) e
+    GROUP BY GROUPING SETS ((event_type), (m))
+    """,
+)
+def events_grouping_sets_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE,
+    both covered elsewhere): independent per-type and per-month
+    marginals in ONE pass over events — a set combination neither
+    rollup nor cube expresses. Scale: Spark plans it as a single
+    Expand(x2) + one map-side-combined hash aggregate, i.e. one scan
+    and one shuffle instead of the two scans a UNION ALL of groupBys
+    would pay."""
+    ev = load_table(spark, sf_dir, "events")
+    prepped = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("m"),
+        "value",
+    )
+    return (
+        prepped.groupingSets([["event_type"], ["m"]], "event_type", "m")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("m", F.lit("<all>")).alias("m"),
+            "n_events",
+            "sum_value",
+        )
+    )

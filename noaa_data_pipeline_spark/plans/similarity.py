@@ -143,6 +143,20 @@ def sim_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_comp(plane: int, dim: int) -> float:
+    """Hyperplane component: same md5 derivation as _sql_planes,
+    computed driver-side (Python md5 == JVM md5 == DuckDB md5)."""
+    h = hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()[:8]
+    return (int(h, 16) % 2001 - 1000) / 1000.0
+
+
+def _sign_bit(plane: int) -> Column:
+    """One LSH sign bit, inlined as a literal plane array so the dot
+    product is a map-side zip_with/aggregate over the embedding."""
+    vec = F.array(*[F.lit(_plane_comp(plane, d + 1)) for d in range(DIM)])
+    return F.when(_dot(F.col("emb"), vec) > 0, F.lit("1")).otherwise(F.lit("0"))
+
+
 def _sql_planes() -> str:
     return f"""
         SELECT p.range AS plane, d.range + 1 AS dim,
@@ -216,17 +230,7 @@ def ann_lsh_pairs(
     corpus never self-joins all-pairs; cost grows with bands, not
     corpus^2."""
     emb = _embeddings(spark, sf_dir)
-    # same md5 derivation as _planes/_sql_planes, computed driver-side
-    # (Python md5 == JVM md5) and inlined as literals so each sign bit
-    # is one map-side zip_with/aggregate over the embedding array
-    def comp(plane: int, dim: int) -> float:
-        h = hashlib.md5(f"{plane}|{dim}".encode()).hexdigest()[:8]
-        return (int(h, 16) % 2001 - 1000) / 1000.0
-
-    def bit(plane: int) -> Column:
-        vec = F.array(*[F.lit(comp(plane, d + 1)) for d in range(DIM)])
-        return F.when(_dot(F.col("emb"), vec) > 0, F.lit("1")).otherwise(F.lit("0"))
-
+    bit = _sign_bit
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
@@ -476,4 +480,107 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             / _ERR_SCALE
             / DIM
         ).alias("mae"),
+    )
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.emb', 'c.emb')} / (q.norm * c.norm) AS cosine
+        FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rnk FROM scored
+        ) r WHERE rnk <= {TOP_K}
+    ),
+    planes AS ({_sql_planes()}),
+    comps AS (
+        SELECT vec_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+        FROM emb
+    ),
+    sigs AS (
+        SELECT c.vec_id, p.plane,
+               CASE WHEN SUM(CAST(c.val * p.comp AS {_SQL_DEC})) > 0 THEN '1' ELSE '0' END AS bit
+        FROM comps c JOIN planes p ON c.dim = p.dim
+        GROUP BY c.vec_id, p.plane
+    ),
+    buckets AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
+        FROM sigs GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+        FROM buckets q JOIN buckets c
+          ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    n_cand AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM cand GROUP BY query_id
+    ),
+    hits AS (
+        SELECT t.query_id, CAST(COUNT(c.cand_id) AS BIGINT) AS n_hit
+        FROM topk t LEFT JOIN cand c
+          ON t.query_id = c.query_id AND t.neighbor_id = c.cand_id
+        GROUP BY t.query_id
+    )
+    SELECT h.query_id, COALESCE(n.n_candidates, 0) AS n_candidates, h.n_hit,
+           h.n_hit * 1.0 / {TOP_K} AS recall_at_k
+    FROM hits h LEFT JOIN n_cand n ON h.query_id = n.query_id
+    """,
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation: recall@{TOP_K} of the hyperplane
+    bucketing against the exact cosine top-{TOP_K}, per query, plus
+    the candidate-set size the bucket probe paid for it — the
+    recall/cost curve point every ANN deployment monitors. Recall is
+    a long/long division so both engines emit the identical double.
+    Scale: the truth side is the broadcast-query brute plan; the
+    retrieved side joins bucket keys only; both reuse the shared
+    signature derivation, and the corpus is never all-pairs joined —
+    evaluation stays as cheap as the index itself."""
+    emb = _embeddings(spark, sf_dir)
+    topk = sim_cosine_topk_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    buckets = emb.select(
+        "vec_id",
+        F.concat(*[_sign_bit(p) for p in range(LSH_PLANES)]).alias("bucket"),
+    ).persist()
+    buckets.count()
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
+    )
+    cand = (
+        buckets.join(
+            F.broadcast(qb),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    n_cand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    hits = (
+        topk.join(
+            cand.withColumnRenamed("query_id", "c_query_id"),
+            (F.col("query_id") == F.col("c_query_id"))
+            & (F.col("neighbor_id") == F.col("cand_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("cand_id").alias("n_hit"))
+    )
+    return (
+        hits.join(n_cand, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "n_hit",
+            (F.col("n_hit") * F.lit(1.0) / TOP_K).alias("recall_at_k"),
+        )
     )
