@@ -175,3 +175,45 @@ def test_q5_correct_without_broadcast(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert got == expected
+
+
+# --- round-2 late additions ------------------------------------------
+
+
+def test_mask_numbers_is_pure_mapside(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_mask_numbers")
+    # a scrub is a projection over the scan: any exchange is a bug
+    assert "Exchange" not in plan
+
+
+def test_quantize_is_pure_mapside(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "emb_quantize_int8")
+    assert "Exchange" not in plan
+
+
+def test_q7_no_cartesian_and_broadcast_nations(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q7_volume_shipping")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # both nation roles
+
+
+def test_q21_single_lineitem_agg_no_expand(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+    # the two-level distinct-count rewrite must not plan an Expand
+    # (the COUNT(DISTINCT)-pair form does, doubling fact rows)
+    assert "Expand" not in plan
+
+
+def test_scd2_reuses_one_customer_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orders_scd2_status_intervals")
+    # all three windows + the run aggregate share hash(o_custkey):
+    # exactly one exchange in the whole plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_grouping_sets_marginals")
+    # one pass: Expand over the scan, not a union of two aggregates
+    assert plan.count("Expand") == 1
+    assert plan.count("Union") == 0

@@ -139,3 +139,76 @@ def test_sql_guard_rejects_embedded_dml(prefix, payload):
         validate_select_only(payload)
     # plain reads pass
     validate_select_only(f"{prefix} 1")
+
+
+_SYM = st.text(alphabet="ab</w>", min_size=1, max_size=3)
+
+
+@given(
+    st.lists(st.lists(_SYM, min_size=1, max_size=8), min_size=1, max_size=6),
+    _SYM,
+    _SYM,
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_merge_fold_matches_python(spark, word_syms, left, right):
+    """The Spark aggregate-fold merge (_merge_pair) implements exactly
+    the leftmost-nonoverlapping single-pass merge, for arbitrary
+    symbol arrays including overlap chains like a,a,a."""
+    from pyspark.sql import functions as F
+
+    from noaa_data_pipeline_spark.plans.iterative import _merge_pair
+
+    def py_merge(syms):
+        out, pend = [], None
+        for s in syms:
+            if pend == left and s == right:
+                out.append(left + right)
+                pend = None
+            else:
+                if pend is not None:
+                    out.append(pend)
+                pend = s
+        if pend is not None:
+            out.append(pend)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(word_syms)], "i INT, syms ARRAY<STRING>"
+    )
+    got = {
+        r.i: r.merged
+        for r in df.select(
+            "i", _merge_pair(F.col("syms"), left, right).alias("merged")
+        ).collect()
+    }
+    for i, syms in enumerate(word_syms):
+        assert got[i] == py_merge(syms), (syms, left, right)
+
+
+def test_scd2_intervals_partition_orders(spark, duck, sf_dir):
+    """SCD2 invariants per customer: exactly one open run (NULL
+    valid_to); n_orders sums to the customer's order count; and the
+    runs form one chain — the multiset of valid_to values equals the
+    multiset of valid_from values minus one occurrence of the
+    earliest (the chain head has no predecessor)."""
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["orders_scd2_status_intervals"](spark, sf_dir).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    counts = dict(
+        duck.execute(
+            "SELECT o_custkey, COUNT(*) FROM orders GROUP BY o_custkey"
+        ).fetchall()
+    )
+    for cust, runs in by_cust.items():
+        opens = [r for r in runs if r.valid_to is None]
+        assert len(opens) == 1  # exactly one current run
+        assert sum(r.n_orders for r in runs) == counts[cust]
+        froms = Counter(r.valid_from for r in runs)
+        froms[min(froms)] -= 1
+        tos = Counter(r.valid_to for r in runs if r.valid_to is not None)
+        assert tos == +froms, cust
