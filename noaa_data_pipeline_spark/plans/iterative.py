@@ -207,7 +207,12 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final step that turns pairwise near-dup evidence into a
     keep/drop decision per document. Rows-only in the gate (iterative
     multi-round algorithm); tests/test_iterative.py verifies the
-    clustering against a pure-Python union-find on the same pairs."""
+    clustering against a pure-Python union-find on the same pairs.
+
+    The member list is emitted as a comma-joined string, not an
+    array column: the gate canonicalizer compares flat cells, and a
+    delimited string carries the same information for a keep/drop
+    consumer (the first id is the kept representative)."""
     from .dedup import minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(spark, sf_dir).select(
@@ -218,7 +223,9 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy("component")
         .agg(
             F.count("*").alias("n_members"),
-            F.sort_array(F.collect_list("node")).alias("members"),
+            F.array_join(
+                F.sort_array(F.collect_list("node")).cast("array<string>"), ","
+            ).alias("members"),
         )
         .select(
             F.col("component").alias("cluster_rep"),

@@ -427,7 +427,7 @@ _ERR_SCALE = 10**9
                END AS q
         FROM prepped
     )
-    SELECT vec_id, scale, q,
+    SELECT vec_id, scale, array_to_string(q, ',') AS q,
            CAST(list_sum(list_transform(list_zip(emb, q),
                 p -> CAST(FLOOR(abs(p[1] - p[2] * scale) * {_ERR_SCALE}) AS BIGINT)))
                 AS DOUBLE) / {_ERR_SCALE} / {DIM} AS mae
@@ -443,7 +443,11 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed point so element order can't change it. Scale: pure
     map-side transform over the vector column, no shuffle; at 100 TB
     this runs as a projection inside whatever scan already reads the
-    embeddings."""
+    embeddings.
+
+    The quantized vector is emitted as a comma-joined string (the
+    gate canonicalizer compares flat cells, not arrays); a storage
+    consumer would keep the array form from the `quantized` stage."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding").cast("array<double>")
     prepped = emb.select(
@@ -473,7 +477,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized.select(
         "vec_id",
         "scale",
-        "q",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q"),
         (
             F.aggregate(err_terms, F.lit(0).cast("long"), lambda a, v: a + v)
             .cast("double")

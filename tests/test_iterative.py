@@ -96,9 +96,11 @@ def test_dedup_clusters_cc_matches_union_find_on_real_pairs(spark):
     expected = _union_find(pairs)
     clusters = {}
     for row in dedup_clusters_cc(spark, sf).collect():
-        assert row.cluster_rep == min(row.members)
-        assert row.n_members == len(row.members)
-        for m in row.members:
+        # members is a comma-joined string (gate-canonicalizer-safe)
+        members = [int(m) for m in row.members.split(",")]
+        assert row.cluster_rep == min(members)
+        assert row.n_members == len(members)
+        for m in members:
             clusters[m] = row.cluster_rep
     assert clusters == expected
 

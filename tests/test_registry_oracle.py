@@ -49,16 +49,19 @@ def test_canon_stability():
 
 
 def test_gate_priority_covers_all_unchecked_entries():
-    """Every registry entry without a round-1 driver-gate row must be
-    listed in GATE_PRIORITY (iteration-ordered first), so new entries
-    can't silently land beyond the driver's ~50-entry window."""
+    """The driver gate records exactly the first 50 registry entries.
+    Round-4 invariant: every entry must either (a) have a clean
+    (non-error) round-3 driver row — meaning the driver saw current
+    code — or (b) sit inside GATE_PRIORITY so round 4 produces one.
+    New entries therefore can't silently land beyond the window."""
     import json
 
     from noaa_data_pipeline_spark.plans import GATE_PRIORITY, load_all
 
-    with open("/root/repo/CORRECTNESS_r01.json") as fh:
-        r1_checked = set(json.load(fh))
-    unchecked = set(load_all()) - r1_checked
+    with open("/root/repo/CORRECTNESS_r03.json") as fh:
+        r3 = json.load(fh)
+    r3_clean = {name for name, row in r3.items() if row.get("err") in (None, "no_oracle")}
+    unchecked = set(load_all()) - r3_clean
     missing = unchecked - set(GATE_PRIORITY)
     assert not missing, f"add to GATE_PRIORITY: {sorted(missing)}"
     # and the priority list itself stays within the observed window

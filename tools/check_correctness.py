@@ -87,6 +87,23 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         spark_s = time.time() - t0
+        # The driver's pandas canonicalizer cannot sort list/struct
+        # cells (Categorical -> "unhashable type: 'list'"), so a
+        # top-level complex column is a gate crash even for rows-only
+        # entries. Fail here so the replica can't mask that class.
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: top-level complex column(s) {complex_cols} "
+                "would crash the driver canonicalizer — emit a delimited "
+                "string (concat_ws/array_join) instead"
+            )
+            continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {spark_s:.1f}s) — no oracle")
             continue
