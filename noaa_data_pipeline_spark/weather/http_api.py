@@ -194,11 +194,16 @@ class WeatherApp:
         files_dir: str,
         oracle_seckey: bytes | None = None,
         now=None,
+        require_nip98: bool = False,
     ):
         self.spark = spark
         self.lake_root = lake_root
         self.store = store
         self.files = FileExchange(files_dir)
+        # NIP-98 gate on the two write routes the reference
+        # authenticates (oracle_routes.rs:92,143); opt-in so the
+        # unauthenticated shim keeps working for local tooling
+        self.require_nip98 = require_nip98
         if oracle_seckey is not None:
             from ..functions import schnorr
 
@@ -252,7 +257,7 @@ class WeatherApp:
         ]
         return out
 
-    def create_event(self, body: dict) -> dict:
+    def create_event(self, body: dict, auth_pubkey: str | None = None) -> dict:
         try:
             event_id = self.store.add_event(
                 body.get("id"),
@@ -262,14 +267,26 @@ class WeatherApp:
                 int(body["total_allowed_entries"]),
                 int(body["number_of_values_per_entry"]),
                 int(body["number_of_places_win"]),
-                body.get("coordinator_pubkey"),
+                # authenticated mode: the signer IS the coordinator
+                # (oracle.rs:183-206 threads the NostrAuth pubkey in)
+                auth_pubkey or body.get("coordinator_pubkey"),
             )
         except (KeyError, TypeError, ValueError) as exc:
             raise HTTPError(400, f"invalid event payload: {exc}") from exc
         return self.get_event(event_id)
 
-    def add_entry(self, event_id: str, body: dict) -> dict:
+    def add_entry(self, event_id: str, body: dict, auth_pubkey: str | None = None) -> dict:
         entry_id = body.get("id") or str(uuidlib.uuid4())
+        if auth_pubkey is not None:
+            # entry creation requires the event coordinator's own
+            # signature (oracle.rs:234-240)
+            coord = self.get_event(event_id).get("coordinator_pubkey")
+            if coord != auth_pubkey:
+                raise HTTPError(
+                    400,
+                    "Client needs the valid coordinator signature in "
+                    f"header for this event {event_id}",
+                )
         try:
             choices = [
                 (c["station"], c.get("temp_low"), c.get("temp_high"), c.get("wind_speed"))
@@ -335,6 +352,27 @@ class _Handler(BaseHTTPRequestHandler):
         self._dispatch("POST")
 
     # -- routing ---------------------------------------------------------
+
+    def _authenticate(self, method: str) -> str | None:
+        """NIP-98 gate (nostr_extractor.rs:26-110): verify the
+        Authorization header against the reconstructed absolute URL
+        and method; returns the authenticated pubkey hex. No-op
+        (returns None) unless the app opted in."""
+        if not self.app.require_nip98:
+            return None
+        from . import nostr_auth
+
+        scheme = "https" if self.headers.get("x-forwarded-proto") else "http"
+        url = f"{scheme}://{self.headers.get('Host', '')}{self.path}"
+        try:
+            return nostr_auth.verify_header(
+                self.headers.get("Authorization"),
+                method,
+                url,
+                now=self.app._now().replace(tzinfo=dt.timezone.utc).timestamp(),
+            )
+        except nostr_auth.NostrAuthError as exc:
+            raise HTTPError(exc.status, f"{exc.kind}: {exc.detail}") from exc
 
     def _route(self, method: str, parts: list[str], q: dict) -> None:
         app = self.app
@@ -404,13 +442,15 @@ class _Handler(BaseHTTPRequestHandler):
                     [r.asDict() for r in app.store.list_events().collect()]
                 )
             if rest == ["events"] and method == "POST":
+                auth_pubkey = self._authenticate(method)
                 body = json.loads(self._body() or b"{}")
-                return self._send_json(app.create_event(body), 201)
+                return self._send_json(app.create_event(body, auth_pubkey), 201)
             if len(rest) == 2 and rest[0] == "events" and method == "GET":
                 return self._send_json(app.get_event(rest[1]))
             if len(rest) == 3 and rest[0] == "events" and rest[2] == "entry" and method == "POST":
+                auth_pubkey = self._authenticate(method)
                 body = json.loads(self._body() or b"{}")
-                return self._send_json(app.add_entry(rest[1], body), 201)
+                return self._send_json(app.add_entry(rest[1], body, auth_pubkey), 201)
             if (
                 len(rest) == 4
                 and rest[0] == "events"
