@@ -53,10 +53,182 @@ def validate_select_only(sql: str) -> None:
         raise SqlGuardError(f"forbidden keyword(s): {sorted(hit)}")
 
 
-def run_user_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """Execute guarded ad-hoc SQL against the registered views."""
+def run_user_sql(spark: SparkSession, sql: str, dialect: str = "spark") -> DataFrame:
+    """Execute guarded ad-hoc SQL against the registered views.
+
+    ``dialect="duckdb"`` accepts the reference UI's dialect
+    (duckdb-wasm, ui/main.js:131-141) and translates the common
+    idioms to Spark SQL first — see :func:`translate_duckdb`."""
+    if dialect == "duckdb":
+        sql = translate_duckdb(sql)
     validate_select_only(sql)
     return spark.sql(sql)
+
+
+# --- DuckDB-dialect translation (SURVEY §3.3 dialect gap) -------------
+#
+# The reference's ad-hoc surface is duckdb-wasm, so users arrive with
+# saved DuckDB SQL. The overlap with Spark SQL is large (the shipped
+# example query, ui/main.js:52, runs unmodified); this layer maps the
+# common divergent idioms and rejects the known-untranslatable ones
+# with actionable guidance instead of an opaque parser error.
+
+_DUCKDB_FUNC_RENAMES = {
+    # DuckDB name -> Spark name (same argument shape AND result type)
+    "epoch_ms": "unix_millis",
+    "epoch_us": "unix_micros",
+    "to_timestamp": "timestamp_seconds",  # seconds -> TIMESTAMP
+    "list_contains": "array_contains",
+    "len": "length",
+    "regexp_matches": "rlike",
+}
+
+_DUCKDB_UNSUPPORTED = {
+    "read_csv": "register the data as a view instead (tables.register_views)",
+    "read_json": "register the data as a view instead",
+    "unnest": "use LATERAL VIEW explode(...) or the explode() table function",
+    "struct_pack": "use named_struct(name1, val1, ...)",
+    "list_value": "use array(...)",
+    "string_agg": "use array_join(collect_list(x), sep) (note: unordered)",
+    "arg_max": "use max_by(x, y)",
+    "arg_min": "use min_by(x, y)",
+}
+
+# C-style strftime codes -> Java datetime pattern (literal formats only)
+_STRFTIME_CODES = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%M": "mm", "%S": "ss", "%j": "DDD", "%y": "yy", "%%": "%",
+}
+
+def _mask_literals(sql: str) -> tuple[str, dict[str, str]]:
+    """Replace every '...' string literal with an identifier-shaped
+    placeholder so regex rewrites can never touch literal contents;
+    returns (masked_sql, placeholder -> original literal)."""
+    import re
+
+    table: dict[str, str] = {}
+
+    def repl(m: "re.Match[str]") -> str:
+        key = f"__SQLLIT{len(table)}X__"
+        table[key] = m.group(0)
+        return key
+
+    return re.sub(r"'(?:[^']|'')*'", repl, sql), table
+
+
+def _translate_strftime_format(fmt: str) -> str:
+    out = fmt
+    for c_code, java in _STRFTIME_CODES.items():
+        out = out.replace(c_code, java)
+    return out
+
+
+def _rewrite_call(code: str, name: str, template: str) -> str:
+    """Replace every ``name(args)`` call (balanced parens) with
+    ``template.format(args=...)``."""
+    import re
+
+    pat = re.compile(rf"\b{name}\s*\(", flags=re.I)
+    while True:
+        m = pat.search(code)
+        if not m:
+            return code
+        depth, i = 1, m.end()
+        while i < len(code) and depth:
+            if code[i] == "(":
+                depth += 1
+            elif code[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced: leave as-is for the SQL parser to report
+            return code
+        args = code[m.end() : i - 1]
+        code = code[: m.start()] + template.format(args=args) + code[i:]
+
+
+def _rewrite_casts(code: str) -> str:
+    """``expr::TYPE`` -> ``CAST(expr AS TYPE)``. Operand forms: an
+    identifier/number/placeholder token, or a balanced parenthesized
+    expression (the shapes DuckDB UIs produce). Iterates so chained
+    and nested casts resolve."""
+    import re
+
+    simple = re.compile(
+        r"([A-Za-z_][A-Za-z_0-9.]*|[0-9][0-9.]*)::([A-Za-z_]+(?:\(\d+(?:,\s*\d+)?\))?)"
+    )
+    prev = None
+    while prev != code:
+        prev = code
+        code = simple.sub(r"CAST(\1 AS \2)", code)
+        m = re.search(r"\)::([A-Za-z_]+(?:\(\d+(?:,\s*\d+)?\))?)", code)
+        if m:
+            depth, i = 0, m.start()
+            while i >= 0:
+                if code[i] == ")":
+                    depth += 1
+                elif code[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            if i >= 0:
+                expr = code[i : m.start() + 1]
+                code = code[:i] + f"CAST({expr} AS {m.group(1)})" + code[m.end():]
+    return code
+
+
+def translate_duckdb(sql: str) -> str:
+    """Best-effort DuckDB -> Spark SQL translation of the common
+    idioms; raises SqlGuardError with guidance for the known
+    untranslatable ones. Covered: ``expr::TYPE`` casts, the
+    ``epoch``/``epoch_ms``/``epoch_us`` family, single-path
+    ``read_parquet('p')`` (-> ``parquet.`p```), ``strftime`` with a
+    literal format (C codes -> Java pattern), and a rename table for
+    aligned scalar functions. String literals are masked first so no
+    rewrite can alter quoted data."""
+    import re
+
+    masked, literals = _mask_literals(_strip_comments(sql))
+
+    for fn, hint in _DUCKDB_UNSUPPORTED.items():
+        if re.search(rf"\b{fn}\s*\(", masked, flags=re.I):
+            raise SqlGuardError(f"unsupported DuckDB function {fn}(): {hint}")
+    if re.search(r"\bread_parquet\s*\(\s*\[", masked, flags=re.I):
+        raise SqlGuardError(
+            "unsupported: read_parquet with a path LIST — register the "
+            "files as one view (mergeSchema read) and query the view"
+        )
+
+    masked = _rewrite_casts(masked)
+    for old, new in _DUCKDB_FUNC_RENAMES.items():
+        masked = re.sub(rf"\b{old}\s*\(", f"{new}(", masked, flags=re.I)
+    # epoch(ts) returns fractional-second DOUBLE in DuckDB;
+    # unix_timestamp truncates, so wrap unix_micros instead
+    masked = _rewrite_call(
+        masked, "epoch", "(unix_micros({args}) / 1000000.0D)"
+    )
+
+    # read_parquet('path') -> parquet.`path` (single literal path)
+    def _rp(m: "re.Match[str]") -> str:
+        path = literals[m.group(1)][1:-1]
+        return f"parquet.`{path}`"
+
+    masked = re.sub(
+        r"(?i)\bread_parquet\s*\(\s*(__SQLLIT\d+X__)\s*(?:,[^)]*)?\)", _rp, masked
+    )
+
+    # strftime(expr, '%Y-%m') -> date_format(expr, 'yyyy-MM')
+    def _strf(m: "re.Match[str]") -> str:
+        fmt = literals[m.group(2)][1:-1]
+        return f"date_format({m.group(1)}, '{_translate_strftime_format(fmt)}')"
+
+    masked = re.sub(
+        r"(?i)\bstrftime\s*\(\s*([^,()]+?)\s*,\s*(__SQLLIT\d+X__)\s*\)", _strf, masked
+    )
+
+    for key, lit in literals.items():
+        masked = masked.replace(key, lit)
+    return masked
 
 
 def table_schemas(spark: SparkSession, tables: list[str]) -> dict[str, list[dict[str, str]]]:

@@ -51,3 +51,58 @@ def test_schema_introspection(spark):
     assert {c["column_name"] for c in schemas["region"]} >= {"r_regionkey", "r_name"}
     types = {c["column_name"]: c["column_type"] for c in schemas["events"]}
     assert types["ts"] == "timestamp"
+
+
+# --- DuckDB-dialect acceptance (ui/main.js:131-141 parity gap) -------
+
+
+def test_duckdb_colon_casts_translate_and_run(spark, duck):
+    """::TYPE casts + epoch(): a saved DuckDB query runs unmodified
+    through dialect='duckdb' and matches DuckDB's own answer."""
+    q = (
+        "SELECT user_id, epoch(ts::TIMESTAMP) AS es "
+        "FROM events WHERE user_id = 7 ORDER BY es LIMIT 5"
+    )
+    got = [tuple(r) for r in sql_surface.run_user_sql(spark, q, dialect="duckdb").collect()]
+    want = duck.execute(
+        "SELECT user_id, epoch(ts::TIMESTAMP) AS es "
+        "FROM events WHERE user_id = 7 ORDER BY es LIMIT 5"
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_duckdb_strftime_translates(spark, duck):
+    q = "SELECT strftime(ts, '%Y-%m') AS m, COUNT(*) AS n FROM events GROUP BY m ORDER BY m"
+    got = [tuple(r) for r in sql_surface.run_user_sql(spark, q, dialect="duckdb").collect()]
+    want = [tuple(r) for r in duck.execute(q).fetchall()]
+    assert got == want
+
+
+def test_duckdb_read_parquet_single_path(spark, sf_dir):
+    q = f"SELECT COUNT(*) AS n FROM read_parquet('{sf_dir}/region.parquet')"
+    n = sql_surface.run_user_sql(spark, q, dialect="duckdb").collect()[0].n
+    assert n == 5
+
+
+def test_duckdb_cast_inside_string_untouched(spark):
+    # a literal containing '::' must survive translation verbatim
+    df = sql_surface.run_user_sql(
+        spark, "SELECT 'a::b' AS s, (1+1)::BIGINT AS two", dialect="duckdb"
+    )
+    row = df.collect()[0]
+    assert row.s == "a::b" and row.two == 2
+
+
+@pytest.mark.parametrize(
+    "q,needle",
+    [
+        ("SELECT read_parquet(['a.parquet','b.parquet'])", "path LIST"),
+        ("SELECT unnest(xs) FROM t", "explode"),
+        ("SELECT string_agg(x, ',') FROM t", "collect_list"),
+        ("SELECT arg_max(a, b) FROM t", "max_by"),
+        ("SELECT struct_pack(a := 1)", "named_struct"),
+    ],
+)
+def test_duckdb_unsupported_rejected_with_guidance(q, needle):
+    with pytest.raises(sql_surface.SqlGuardError, match=needle):
+        sql_surface.translate_duckdb(q)
