@@ -53,9 +53,13 @@ GATE_PRIORITY = [
     "stream_sessionize_state",
     # --- promoted rows-only -> oracle-checked this round
     "dedup_clusters_cc", "events_distinct_users_hll",
-    # --- last driver evidence is round 3 (40)
+    # --- new this round
+    "text_tfidf_topk",
+    # --- last driver evidence is round 3 (39; sim_block_matmul_topk
+    # deferred to r6 — rows-only, so a gate row adds no evidence
+    # beyond its np.isclose pytest)
     "sim_cosine_topk_brute", "sim_ann_lsh_hyperplane", "sim_ivf_probe1",
-    "sim_block_matmul_topk", "sim_ann_recall_eval",
+    "sim_ann_recall_eval",
     "mm_binary_metadata", "mm_feature_extract_pandas",
     "mm_frame_sample", "mm_resize_dims",
     "q3_shipping_priority", "q5_regional_revenue", "sql_adhoc_guarded",

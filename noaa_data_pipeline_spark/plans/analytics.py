@@ -826,7 +826,12 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ps_supplycost — no partsupp in the synthetic schema). Scale:
     the p_name filter reduces part BEFORE its join so the selective
     dimension drives the probe side; nation broadcasts; profit sums
-    via scaled-long fixed point."""
+    via scaled-long fixed point. Orders is pre-projected to
+    (o_orderkey, o_year) before its join — year() evaluates once per
+    order instead of once per lineitem row, and the join payload
+    carries a long instead of a date (A/B at 5x sf0.1: 0.65s vs
+    0.84s). The same projection is what a shuffle join ships at
+    cluster scale, so the trim pays in both regimes."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     sup = load_table(spark, sf_dir, "supplier")
@@ -835,15 +840,15 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
         COST_FRACTION
     ) * F.col("p_retailprice") * F.col("l_quantity")
+    order_years = orders.select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
     return (
         li.join(part.filter(F.col("p_name").like("%red%")), F.col("p_partkey") == F.col("l_partkey"))
         .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(order_years, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("o_year"),
-        )
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
         .agg(dsum(profit, "sum_profit"))
     )
 

@@ -616,3 +616,70 @@ def text_mask_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(masked).alias("masked_hash"),
         F.length(masked).cast("long").alias("masked_len"),
     )
+
+
+# --- TF-IDF-style characteristic terms --------------------------------
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS ({textops.sql_tokens('documents')}),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT t.doc_id, t.tok, t.tf, d.df,
+               CAST(t.tf AS DOUBLE) / d.df AS score
+        FROM tf t JOIN dfreq d ON t.tok = d.tok
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, tok
+        ) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TFIDF_TOPK}
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per document: top-{TFIDF_TOPK} tokens by
+    tf weighted against document frequency — the tf-idf family signal
+    a curation pipeline uses for topic tagging and boilerplate
+    spotting. The weight is the rational tf/df (one IEEE division,
+    bit-identical across engines) rather than a log-idf, so ranking
+    and the hash gate are engine-deterministic; ties break on the
+    token itself.
+
+    Scale: tf is one map-side-combined shuffle on (doc_id, tok); df
+    reduces the tf frame again on tok (vocabulary-sized, no second
+    corpus scan); the join back to tf is on tok — at 100 TB
+    stopword-dominated tok keys skew that shuffle, so cap df (terms
+    in >half the corpus carry no signal and can be dropped before
+    the join) or salt the hot keys. The final per-doc window rides
+    the existing doc_id clustering."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        textops.tokens_df(docs)
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "rnk", "tok", "tf", "df", "score")
+    )

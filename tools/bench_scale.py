@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Scale-up benchmark: demonstrates fixed-cost amortization.
+
+The per-round BENCH runs at sf0.1, where several sub-second queries
+sit outside the 2x-of-DuckDB bar purely on Spark's constant per-job
+cost (~0.2-0.3 s of scheduling/codegen per query). This harness
+builds a ~5x lake (facts replicated with remapped keys so join and
+group cardinalities scale linearly; dimensions untouched — the way
+real fact tables grow) and times the five flagged queries on Spark
+AND on DuckDB (each query's own registry oracle SQL) over the SAME
+files. If the gap is fixed cost, the ratio must fall toward (and
+under) 2x as the work per job grows; a bad plan would keep or grow
+its ratio.
+
+Usage: python tools/bench_scale.py [--replicas N]
+Writes BENCH_SCALE.json at the repo root and prints one JSON line.
+Scaled data lives under .bench_scale/ (gitignored), rebuilt only
+when absent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+QUERIES = [
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
+    "text_fingerprint_winnow",
+    "orders_scd2_status_intervals",
+    "decontam_ngram_overlap",
+]
+
+# fact table -> key column remapped per replica (keeps each replica a
+# self-contained join island so semantics scale linearly)
+FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey", "documents": "doc_id"}
+DIMS = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
+
+
+def build_scaled_lake(replicas: int) -> str:
+    out_dir = os.path.join(REPO, ".bench_scale", f"x{replicas}")
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for table, key in FACTS.items():
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = os.path.join(BASE, f"{table}.parquet")
+        mx = con.execute(
+            f"SELECT MAX({key}) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        con.execute(
+            f"""
+            COPY (
+                SELECT * REPLACE ({key} + r.i * {mx + 1} AS {key})
+                FROM read_parquet('{src}'),
+                     (SELECT UNNEST(range({replicas})) AS i) r
+            ) TO '{dst}' (FORMAT PARQUET)
+            """
+        )
+    for table in DIMS:
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE, f"{table}.parquet"), dst)
+    con.close()
+    return out_dir
+
+
+def time_best_of(fn, n: int = 3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=5)
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    sf_dir = build_scaled_lake(args.replicas)
+
+    from noaa_data_pipeline_spark.plans import load_all
+    from noaa_data_pipeline_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("bench_scale")
+
+    duck = duckdb.connect()
+    from noaa_data_pipeline_spark.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    results: dict[str, dict] = {}
+    for name in args.queries or QUERIES:
+        q = registry[name]
+
+        def run_spark():
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        def run_duck():
+            duck.execute(q.oracle).fetchall()
+
+        # warm: codegen + C2 JIT + parquet footers need several
+        # passes in a fresh JVM before the steady state appears
+        for _ in range(3):
+            run_spark()
+        run_duck()
+        spark_s = time_best_of(run_spark)
+        duck_s = time_best_of(run_duck)
+        results[name] = {
+            "spark_sec": spark_s,
+            "duckdb_sec": duck_s,
+            "ratio": round(spark_s / duck_s, 2) if duck_s else None,
+        }
+
+    out = {
+        "metric": "scale_bench_spark_vs_duckdb",
+        "replicas": args.replicas,
+        "base_sf": os.path.basename(BASE.rstrip("/")),
+        "queries": results,
+    }
+    # accumulate scale points: one file, one entry per replica factor
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    merged: dict = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        if "scale_points" in prior:
+            merged = prior
+        elif "queries" in prior:  # migrate single-run format
+            merged = {
+                "metric": prior["metric"],
+                "base_sf": prior["base_sf"],
+                "scale_points": {f"x{prior['replicas']}": prior["queries"]},
+            }
+    if not merged:
+        merged = {
+            "metric": out["metric"],
+            "base_sf": out["base_sf"],
+            "scale_points": {},
+        }
+    merged["scale_points"].setdefault(f"x{args.replicas}", {}).update(results)
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
