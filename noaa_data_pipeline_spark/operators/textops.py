@@ -34,8 +34,24 @@ def norm_text(col: Column) -> Column:
 SQL_NORM = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
 
 
-def tokens_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, pos, tok) — one row per token, position-preserving."""
+def tokens_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, pos, tok) — one row per token, position-preserving.
+
+    ``partitions`` hash-repartitions the documents BEFORE the
+    tokenize+explode: the corpus arrives as one small parquet file,
+    so without it the whole normalize/split/explode stage runs on
+    1-2 input partitions (and AQE pins later stages there too —
+    explicit repartitions are exempt). Consumers whose next step
+    groups or windows on doc_id also reuse the clustering. Worth it
+    whenever per-token work follows; skip for cheap map-only
+    projections where the shuffle outweighs the compute."""
+    if partitions:
+        docs = docs.repartition(partitions, id_col)
     return docs.select(
         id_col,
         F.posexplode(F.split(norm_text(F.col(text_col)), " ")).alias("pos", "tok"),

@@ -380,7 +380,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bit row explosion); the band join shuffles only (band,
     bucket) keys; verification is an O(1) xor per candidate."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = textops.tokens_df(docs)
+    toks = textops.tokens_df(
+        docs, partitions=spark.sparkContext.defaultParallelism
+    )
     hashed = toks.select(
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),

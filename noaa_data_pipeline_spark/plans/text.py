@@ -247,7 +247,8 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, one shuffle total; fingerprints shrink each doc to a few
     ints, which is what makes downstream overlap detection cheap."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = textops.tokens_df(docs)
+    n = spark.sparkContext.defaultParallelism
+    toks = textops.tokens_df(docs, partitions=n)
     w = Window.partitionBy("doc_id").orderBy("pos")
     gram_parts: list[Column] = [F.col("tok")]
     for i in range(1, FP_GRAM):
@@ -478,7 +479,8 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, not a full sort. Deterministic tiebreak on
     the bigram itself."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = textops.tokens_df(docs)
+    n = spark.sparkContext.defaultParallelism
+    toks = textops.tokens_df(docs, partitions=n)
     w = Window.partitionBy("doc_id").orderBy("pos")
     bigrams = toks.select(
         F.concat_ws(" ", "tok", F.lead("tok").over(w)).alias("bigram"),
@@ -568,7 +570,10 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on doc_id shared by the bigram window and the
     per-doc aggregate; COUNT(DISTINCT) expands within the same
     partitioning."""
-    toks = textops.tokens_df(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens_df(
+        docs, partitions=docs.sparkSession.sparkContext.defaultParallelism
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     bigrams = toks.select(
         "doc_id",
@@ -664,7 +669,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the existing doc_id clustering."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
-        textops.tokens_df(docs)
+        textops.tokens_df(docs, partitions=spark.sparkContext.defaultParallelism)
         .filter(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
