@@ -688,3 +688,51 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOPK)
         .select("doc_id", "rnk", "tok", "tf", "df", "score")
     )
+
+
+# --- per-source curation report ---------------------------------------
+
+
+@register(
+    "source_curation_report",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+               / COUNT(*) AS dup_rate,
+           CAST(SUM(CAST(len(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT)) AS BIGINT)
+               AS total_tokens,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*)
+               AS mean_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the rollup a curation
+    pipeline runs before deciding per-source mixture weights: volume
+    (docs, tokens), exact-duplicate rate (content-hash distinct),
+    size profile, and language spread. All measures are counts and
+    single divisions of counts, so the result is engine-deterministic
+    and oracle-checked. Scale: one corpus scan; md5 computes
+    map-side; the per-source COUNT(DISTINCT hash) expands within the
+    source partitioning (partial distinct map-side); no second
+    scan — at 100 TB this is strictly cheaper than the dedup job it
+    gates."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = F.count("*")
+    n_unique = F.count_distinct(F.md5("text"))
+    toks = F.size(F.split(textops.norm_text(F.col("text")), " ")).cast("long")
+    return docs.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        n_unique.alias("n_unique_texts"),
+        ((n_docs - n_unique).cast("double") / n_docs).alias("dup_rate"),
+        F.sum(toks).alias("total_tokens"),
+        (F.sum(F.length("text").cast("long")).cast("double") / n_docs).alias(
+            "mean_chars"
+        ),
+        F.count_distinct("lang").alias("n_langs"),
+    )
