@@ -57,14 +57,13 @@ GATE_PRIORITY = [
     # embedding repartition re-verified): tfidf new; winnow + simhash
     # re-added because their token stage changed
     "text_tfidf_topk", "text_fingerprint_winnow", "dedup_simhash",
-    "source_curation_report",
-    # --- last driver evidence is round 3 (36; deferred to r6:
-    # sim_block_matmul_topk [rows-only, np.isclose pytest],
-    # mm_frame_sample + mm_resize_dims + mm_binary_metadata
-    # [metadata-only, unchanged])
+    "source_curation_report", "bpe_encode_docs",
+    # --- last driver evidence is round 3 (35; deferred to r6:
+    # sim_block_matmul_topk + mm_feature_extract_pandas [rows-only,
+    # value-level pytest], mm_frame_sample + mm_resize_dims +
+    # mm_binary_metadata [metadata-only, unchanged])
     "sim_cosine_topk_brute", "sim_ann_lsh_hyperplane", "sim_ivf_probe1",
     "sim_ann_recall_eval",
-    "mm_feature_extract_pandas",
     "q3_shipping_priority", "q5_regional_revenue", "sql_adhoc_guarded",
     "events_percentiles_approx_sketch", "events_column_profile",
     "bpe_train_merges", "events_funnel_ordered",

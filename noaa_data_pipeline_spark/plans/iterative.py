@@ -16,6 +16,7 @@ numpy implementation.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -400,4 +401,69 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r, l, rt, l + rt, c) for r, l, rt, c in merges],
         "rank INT, left STRING, right STRING, merged STRING, pair_count LONG",
+    )
+
+
+def _bpe_encode_token(tok: str, ranks: dict) -> list[str]:
+    """Standard BPE encode for one pre-tokenized word: start from
+    characters (last carries WORD_END), repeatedly merge the
+    lowest-rank adjacent pair until none applies."""
+    syms = list(tok[:-1]) + [tok[-1] + WORD_END] if tok else []
+    while len(syms) > 1:
+        best, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+@register("bpe_encode_docs", oracle=None)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with the merge
+    table learned by :func:`bpe_train` — the inference half of the
+    BPE story (training is ``bpe_train_merges``). The merge table is
+    driver-small and ships in the UDF closure; encoding is an
+    Arrow-batched scalar pandas UDF (one Python crossing, no
+    per-row pickling) over the same normalization the trainer used,
+    so round-tripping the symbols reconstructs the normalized text
+    exactly — tests/test_iterative.py asserts that property plus
+    merge-vocabulary closure per symbol. Rows-only in the gate (the
+    encode depends on the trained ranks, not SQL-expressible);
+    output is hashed per doc for stable comparison. Scale: training
+    collapses to the distinct-word frame; encoding is map-side over
+    the corpus with the ranks dict broadcast by closure — the
+    standard deploy shape for a learned tokenizer."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(spark, docs)
+    ranks = {(left, right): rank for rank, left, right, _ in merges}
+    norm_re = re.compile(r"[^a-z0-9]+")
+
+    @pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        def enc(text: str) -> list[str]:
+            out: list[str] = []
+            for tok in norm_re.sub(" ", (text or "").lower()).strip().split():
+                out.extend(_bpe_encode_token(tok, ranks))
+            return out
+
+        return texts.map(enc)
+
+    n = spark.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n, "doc_id")
+        .select("doc_id", encode(F.col("text")).alias("syms"))
+        .select(
+            "doc_id",
+            F.size("syms").cast("long").alias("n_symbols"),
+            F.md5(F.array_join("syms", " ")).alias("symbols_hash"),
+            F.array_join(F.slice("syms", 1, 8), " ").alias("preview"),
+        )
     )

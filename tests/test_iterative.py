@@ -159,3 +159,43 @@ def test_bpe_matches_python(spark, duck, sf_dir):
     texts = [r[0] for r in duck.execute("SELECT text FROM documents").fetchall()]
     expected = _python_bpe(texts, iterative.BPE_MERGES)
     assert got == expected
+
+
+def test_bpe_encode_roundtrip_and_vocab_closure(spark, duck, sf_dir):
+    """bpe_encode_docs: joining a doc's symbols (stripping the
+    word-end markers) must reconstruct its normalized text exactly,
+    and every emitted symbol must be either a single character or a
+    product of the learned merge table. Verified on the symbol
+    arrays recomputed the same way the operator's hash was built."""
+    import re
+
+    df = iterative.bpe_encode_docs(spark, sf_dir)
+    rows = {r.doc_id: r for r in df.collect()}
+    texts = dict(duck.execute("SELECT doc_id, text FROM documents").fetchall())
+    assert set(rows) == set(texts)
+
+    merges = _python_bpe(list(texts.values()), iterative.BPE_MERGES)
+    ranks = {(left, right): rank for rank, left, right, _ in merges}
+    vocab = {left + right for _, left, right, _ in merges}
+    norm_re = re.compile(r"[^a-z0-9]+")
+
+    import hashlib
+
+    for doc_id, text in texts.items():
+        norm = norm_re.sub(" ", text.lower()).strip()
+        syms = []
+        for tok in norm.split():
+            syms.extend(iterative._bpe_encode_token(tok, ranks))
+        # independent reconstruction property, not the operator's code:
+        joined = " ".join(syms).replace(iterative.WORD_END + " ", "#").replace(
+            iterative.WORD_END, "#"
+        ).replace(" ", "").replace("#", " ").strip()
+        assert joined == norm, doc_id
+        for s in syms:
+            base = s[:-len(iterative.WORD_END)] if s.endswith(iterative.WORD_END) else s
+            assert s in vocab or len(base) <= 1 or s == iterative.WORD_END or all(
+                part in vocab or len(part) == 1 for part in [base]
+            ) or len(s) == 1, (doc_id, s)
+        row = rows[doc_id]
+        assert row.n_symbols == len(syms), doc_id
+        assert row.symbols_hash == hashlib.md5(" ".join(syms).encode()).hexdigest()

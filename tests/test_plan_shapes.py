@@ -217,3 +217,25 @@ def test_grouping_sets_single_expand(spark, sf_dir):
     # one pass: Expand over the scan, not a union of two aggregates
     assert plan.count("Expand") == 1
     assert plan.count("Union") == 0
+
+
+# --- round-5: single-file-scan parallelism guards --------------------
+
+
+def test_token_pipeline_tokenizes_in_parallel(spark, sf_dir):
+    """The corpus is one small parquet file (1-2 raw splits); token
+    pipelines with per-token downstream work must hash-repartition on
+    doc_id BEFORE the explode or the whole tokenize stage (and, under
+    AQE, everything after it) serializes. Guard the explicit exchange."""
+    for name in ("text_fingerprint_winnow", "text_tfidf_topk", "dedup_simhash"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange hashpartitioning(doc_id" in plan, name
+
+
+def test_embedding_compute_spreads_over_cores(spark, sf_dir):
+    """Same guard for the embeddings table: the decimal dot-product
+    compute (norms/sign bits/scoring) must sit behind an explicit
+    vec_id repartition (AQE-exempt), not on the raw file splits."""
+    for name in ("sim_cosine_topk_brute", "sim_ann_lsh_hyperplane"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange hashpartitioning(vec_id" in plan, name
