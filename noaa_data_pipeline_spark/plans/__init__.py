@@ -52,19 +52,20 @@ GATE_PRIORITY = [
     "stream_dedup_keys", "stream_dedup_within_watermark",
     "stream_sessionize_state",
     # --- promoted rows-only -> oracle-checked this round
-    "dedup_clusters_cc", "events_distinct_users_hll",
+    "dedup_clusters_cc", "events_distinct_users_hll", "kmeans_embeddings",
     # --- new or plan-changed this round (parallel tokenize /
     # embedding repartition re-verified): tfidf new; winnow + simhash
     # re-added because their token stage changed
     "text_tfidf_topk", "text_fingerprint_winnow", "dedup_simhash",
     "source_curation_report", "bpe_encode_docs",
-    # --- last driver evidence is round 3 (35; deferred to r6:
+    # --- last driver evidence is round 3 (34; deferred to r6:
     # sim_block_matmul_topk + mm_feature_extract_pandas [rows-only,
     # value-level pytest], mm_frame_sample + mm_resize_dims +
-    # mm_binary_metadata [metadata-only, unchanged])
+    # mm_binary_metadata [metadata-only, unchanged],
+    # q3_shipping_priority [unchanged, q5 covers the same 3-way shape])
     "sim_cosine_topk_brute", "sim_ann_lsh_hyperplane", "sim_ivf_probe1",
     "sim_ann_recall_eval",
-    "q3_shipping_priority", "q5_regional_revenue", "sql_adhoc_guarded",
+    "q5_regional_revenue", "sql_adhoc_guarded",
     "events_percentiles_approx_sketch", "events_column_profile",
     "bpe_train_merges", "events_funnel_ordered",
     "events_retention_cohorts", "events_session_window_native",

@@ -94,11 +94,70 @@ def kmeans(
     return assigned, centroids
 
 
-@register("kmeans_embeddings", oracle=None)
+def _kmeans_oracle_sql(k: int = K, iterations: int = ITERATIONS) -> str:
+    """DuckDB exact twin of the Lloyd loop, unrolled: ``iterations``
+    assign CTEs interleaved with ``iterations - 1`` recompute CTEs
+    (the final recompute never reaches the output). Cross-engine
+    determinism: centroid means use the identical scaled-long
+    formula as :func:`_recompute`; squared-L2 distances accumulate
+    dimension-by-dimension in index order in both engines (Spark
+    F.aggregate fold vs DuckDB list_sum) and argmin ties break on
+    cid; and the emitted columns are integers only."""
+    dist = (
+        "list_sum(list_transform(list_zip(e.emb, c.c_emb), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, emb AS c_emb FROM emb ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""assign{i} AS (
+            SELECT vec_id, emb, cid FROM (
+                SELECT e.vec_id, e.emb, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id ORDER BY {dist}, c.cid
+                       ) AS rn
+                FROM emb e CROSS JOIN cent{i - 1} c
+            ) ranked WHERE rn = 1
+        )"""
+        )
+        if i < iterations:
+            parts.append(
+                f"""cent{i} AS (
+                SELECT cid, list(mean ORDER BY dim) AS c_emb FROM (
+                    SELECT cid, dim,
+                           (CAST(SUM(CAST(FLOOR(val * {SCALE}) AS BIGINT)) AS DOUBLE)
+                               / {SCALE}) / COUNT(val) AS mean
+                    FROM (
+                        SELECT cid, generate_subscripts(emb, 1) AS dim,
+                               unnest(emb) AS val
+                        FROM assign{i}
+                    ) comps
+                    GROUP BY cid, dim
+                ) m GROUP BY cid
+            )"""
+            )
+    ctes = ",\n".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(vec_id) AS lowest_member
+    FROM assign{iterations}
+    GROUP BY cid
+    """
+
+
+@register("kmeans_embeddings", oracle=_kmeans_oracle_sql())
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means cluster sizes + within-cluster dispersion after
-    {ITERATIONS} Lloyd iterations (rows-only in the gate; pytest
-    verifies assignments against a numpy reference)."""
+    """K-means cluster sizes after {ITERATIONS} Lloyd iterations.
+    Oracle-checked: the driver loop has an exact unrolled-SQL twin
+    (_kmeans_oracle_sql) — centroid means are scaled-long exact in
+    both engines, distance argmin ties break on cid, and the output
+    is integer-only, so the hash gate applies to an iterative
+    algorithm. pytest additionally verifies assignments against a
+    numpy reference."""
     raw = load_table(spark, sf_dir, "embeddings")
     emb = raw.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     assigned, centroids = kmeans(spark, emb)
