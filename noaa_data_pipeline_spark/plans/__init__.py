@@ -53,19 +53,21 @@ GATE_PRIORITY = [
     "stream_sessionize_state",
     # --- promoted rows-only -> oracle-checked this round
     "dedup_clusters_cc", "events_distinct_users_hll", "kmeans_embeddings",
+    "sim_block_matmul_topk",
     # --- new or plan-changed this round (parallel tokenize /
     # embedding repartition re-verified): tfidf new; winnow + simhash
     # re-added because their token stage changed
     "text_tfidf_topk", "text_fingerprint_winnow", "dedup_simhash",
     "source_curation_report", "bpe_encode_docs",
-    # --- last driver evidence is round 3 (34; deferred to r6:
-    # sim_block_matmul_topk + mm_feature_extract_pandas [rows-only,
-    # value-level pytest], mm_frame_sample + mm_resize_dims +
-    # mm_binary_metadata [metadata-only, unchanged],
-    # q3_shipping_priority [unchanged, q5 covers the same 3-way shape])
+    # --- last driver evidence is round 3 (33; deferred to r6:
+    # mm_feature_extract_pandas [rows-only, value-level pytest],
+    # mm_frame_sample + mm_resize_dims + mm_binary_metadata
+    # [metadata-only, unchanged], q3_shipping_priority +
+    # q5_regional_revenue [unchanged classic 3-way joins, r3-green
+    # and pytest-covered])
     "sim_cosine_topk_brute", "sim_ann_lsh_hyperplane", "sim_ivf_probe1",
     "sim_ann_recall_eval",
-    "q5_regional_revenue", "sql_adhoc_guarded",
+    "sql_adhoc_guarded",
     "events_percentiles_approx_sketch", "events_column_profile",
     "bpe_train_merges", "events_funnel_ordered",
     "events_retention_cohorts", "events_session_window_native",

@@ -138,7 +138,20 @@ def q1_pricing_summary_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_percentiles_approx_sketch", oracle=None)
+GK_ACCURACY = 10000  # rank error <= n / accuracy per group
+GK_PERCENTILES = [0.5, 0.95, 0.99]
+
+
+@register(
+    "events_percentiles_approx_sketch",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok, TRUE AS p99_rank_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def events_percentiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (approx_percentile / Greenwald-
     Khanna): p50/p95/p99 of value per event_type at accuracy 10^4 —
@@ -146,24 +159,37 @@ def events_percentiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFr
     percentile entry (events_value_percentiles sorts per group). At
     100 TB the sketch is what runs: partial sketches merge
     associatively map-side, memory is O(accuracy) per group
-    regardless of row count. Rows-only in the gate (sketch internals
-    are engine-specific by construction); tests/test_scale_ops.py
-    bounds the error against the exact per-group percentiles."""
+    regardless of row count.
+
+    Oracle-checked via the GK rank guarantee (the sketch values
+    themselves are engine-specific): each returned value v must
+    occupy a rank interval [count(<v)+1, count(<=v)] intersecting
+    the target rank p*n within ±(n/accuracy + 1) — verified exactly
+    by one extra pass over the group and emitted as booleans the
+    oracle asserts TRUE. tests/test_scale_ops.py additionally bounds
+    the values against exact percentiles."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "event_type",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p95"),
-            F.col("pcts")[2].alias("p99"),
-            "n",
-        )
+    sketch = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", GK_PERCENTILES, GK_ACCURACY).alias("pcts"),
     )
+    joined = ev.join(F.broadcast(sketch), "event_type")
+    aggs = [F.count("*").alias("n")]
+    for i, _ in enumerate(GK_PERCENTILES):
+        v = F.col("pcts")[i]
+        aggs += [
+            F.sum((F.col("value") < v).cast("long")).alias(f"lt_{i}"),
+            F.sum((F.col("value") <= v).cast("long")).alias(f"le_{i}"),
+        ]
+    counted = joined.groupBy("event_type").agg(*aggs)
+    out_cols = [F.col("event_type"), F.col("n")]
+    for i, p in enumerate(GK_PERCENTILES):
+        target = F.lit(p) * F.col("n")
+        slack = F.col("n") / GK_ACCURACY + 1
+        ok = (F.col(f"lt_{i}") + 1 <= target + slack) & (
+            F.col(f"le_{i}") >= target - slack
+        )
+        out_cols.append(ok.alias(f"p{int(p * 100)}_rank_ok"))
+    return counted.select(*out_cols)
 
 
 @register(

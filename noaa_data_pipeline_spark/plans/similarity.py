@@ -362,22 +362,9 @@ _BLOCK_TOPK_SCHEMA = (
 )
 
 
-@register("sim_block_matmul_topk", oracle=None)
-def sim_block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-{TOP_K} cosine via per-block BLAS: vectors group by
-    their blocking key (label ~ IVF cell) and each block computes a
-    single numpy matmul of (queries_in_block x members) inside
-    applyInPandas — the throughput path for verified similarity at
-    100 TB, where the decimal-exact formulation
-    (sim_cosine_topk_brute) is the correctness oracle and this is
-    what actually runs: one Arrow crossing per block, C-speed GEMM
-    instead of per-pair expression evaluation.
-
-    Rows-only in the driver gate (float64 GEMM vs decimal differs in
-    final ulps, so a value-hash against the DuckDB oracle would be
-    flaky by design); tests/test_ann_recall.py asserts equality of
-    the returned neighbor sets and np.allclose on the scores against
-    the exact entry."""
+def block_matmul_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block BLAS top-k WITH float64 cosine scores — the frame
+    tests compare against the decimal-exact IVF entry."""
     import numpy as np
     import pandas as pd
 
@@ -411,6 +398,48 @@ def sim_block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.groupBy("label")
         .applyInPandas(block_topk, schema=_BLOCK_TOPK_SCHEMA)
         .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "sim_block_matmul_topk",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.emb', 'c.emb')} / (q.norm * c.norm) AS cosine
+        FROM emb q
+        JOIN emb c ON c.label = q.label AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{TOP_K} cosine via per-block BLAS: vectors group by
+    their blocking key (label ~ IVF cell) and each block computes a
+    single numpy matmul of (queries_in_block x members) inside
+    applyInPandas — the throughput path for verified similarity at
+    100 TB, where the decimal-exact formulations are the correctness
+    oracles and this is what actually runs: one Arrow crossing per
+    block, C-speed GEMM instead of per-pair expression evaluation.
+
+    Oracle-checked on the INTEGER result (query_id, neighbor_id,
+    rnk): neighbor identity and ranking must match the decimal-exact
+    SQL twin — a rank flip would need two cosines within float64
+    GEMM error (~1e-15 relative) at a rank boundary. The float
+    scores themselves are excluded from the hash by design (BLAS
+    summation order differs from decimal accumulation in final
+    ulps); tests/test_ann_recall.py asserts np.isclose on them
+    against the exact IVF entry."""
+    return block_matmul_scored(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk")
     )
 
 

@@ -120,11 +120,11 @@ def test_block_matmul_topk_matches_exact_within_block(spark):
     import numpy as np
 
     from noaa_data_pipeline_spark.plans.similarity import (
-        sim_block_matmul_topk,
+        block_matmul_scored,
         sim_ivf_probe1,
     )
 
-    fast = sim_block_matmul_topk(spark, SF_DIR).collect()
+    fast = block_matmul_scored(spark, SF_DIR).collect()
     exact = sim_ivf_probe1(spark, SF_DIR).collect()
     fast_k = {(r.query_id, r.rnk): (r.neighbor_id, r.cosine) for r in fast}
     exact_k = {(r.query_id, r.rnk): (r.neighbor_id, r.cosine) for r in exact}

