@@ -447,14 +447,87 @@ def bpe_train(
         docs.sparkSession.conf.set("spark.sql.shuffle.partitions", spark_parts)
 
 
-@register("bpe_train_merges", oracle=None)
+def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB exact twin of the Sennrich training loop, unrolled.
+
+    Symbol sequences are encoded as strings with every symbol wrapped
+    in parentheses (parens cannot occur in [a-z0-9]/``</w>`` symbol
+    text), so applying one merge IS one sequential ``replace``:
+    scanning left to right and resuming after each replacement gives
+    exactly the leftmost-first non-overlapping semantics of the
+    Spark fold in :func:`_merge_pair` — e.g. ``(a)(a)(a)`` with
+    pattern ``(a)(a)`` becomes ``(aa)(a)``, and a symbol that merely
+    suffixes another token cannot match because every symbol start
+    is anchored by ``(``. Each round: adjacent-pair counts from the
+    split symbol string, argmax with the same (cnt DESC, l, r)
+    tie-break, then the replace. A round whose best count drops
+    below 2 yields an empty 1-row CTE, emptying every later round —
+    mirroring the Spark loop's break."""
+    from ..operators import textops
+
+    parts = [
+        f"toks AS ({textops.sql_tokens('documents')})",
+        """wordcounts AS (
+            SELECT tok, COUNT(*) AS wcount FROM toks
+            WHERE tok <> '' GROUP BY tok
+        )""",
+        """words0 AS (
+            SELECT wcount,
+                   array_to_string(list_transform(
+                       range(1, length(tok) + 1),
+                       i -> '(' || substr(tok, i, 1)
+                            || CASE WHEN i = length(tok) THEN '</w>' ELSE '' END
+                            || ')'
+                   ), '') AS w
+            FROM wordcounts
+        )""",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""pairs{i} AS (
+            SELECT syms[idx] AS l, syms[idx + 1] AS r, SUM(wcount) AS cnt
+            FROM (
+                SELECT wcount, string_split(trim(w, '()'), ')(') AS syms
+                FROM words{i - 1}
+            ) s, UNNEST(range(1, len(syms))) AS t(idx)
+            GROUP BY 1, 2
+        )""")
+        parts.append(
+            f"""best{i} AS (
+            SELECT l, r, cnt FROM pairs{i} WHERE cnt >= 2
+            ORDER BY cnt DESC, l, r LIMIT 1
+        )""")
+        if i < n_merges:
+            # MATERIALIZED: each words CTE feeds both the next round's
+            # pair count AND the next replace; inlined, the 12-round
+            # chain re-evaluates exponentially (times out at sf0.1)
+            parts.append(
+                f"""words{i} AS MATERIALIZED (
+                SELECT wcount,
+                       replace(w, '(' || b.l || ')(' || b.r || ')',
+                               '(' || b.l || b.r || ')') AS w
+                FROM words{i - 1}, best{i} b
+            )""")
+    ctes = ",\n".join(parts)
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({i - 1} AS INT) AS rank, l AS "left", r AS "right",
+               l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
+        FROM best{i}"""
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {ctes}\n{selects}"
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle_sql())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table ({BPE_MERGES} ranks) over the
     documents corpus — the tokenizer-training step of a data
-    pipeline, as a driver-looped DataFrame program. Rows-only in the
-    gate (iterative argmax isn't one SQL query);
-    tests/test_iterative.py replays a pure-Python Sennrich BPE on the
-    same corpus and asserts the identical merge table."""
+    pipeline, as a driver-looped DataFrame program. Oracle-checked:
+    the iterative argmax loop has an exact unrolled-SQL twin
+    (_bpe_oracle_sql, paren-delimited string replace == the
+    leftmost-first merge fold); tests/test_iterative.py additionally
+    replays a pure-Python Sennrich BPE on the same corpus and
+    asserts the identical merge table."""
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(spark, docs)
     return spark.createDataFrame(
