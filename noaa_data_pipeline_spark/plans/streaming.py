@@ -196,14 +196,38 @@ def _sessionize(
     yield out[["user_id", "session_start", "session_end", "n_events"]]
 
 
-@register("stream_sessionize_state", oracle=None)
+@register(
+    "stream_sessionize_state",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM ordered
+    ) t
+    GROUP BY user_id, session_id
+    """,
+)
 def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user 30-min-gap
     sessionization via applyInPandasWithState (the Spark form of a
-    hand-rolled stateful stream operator). Rows-only check here;
-    tests/test_streaming.py pins golden session counts. Scale: state
-    is per-user and Arrow-batched; a processing-time timeout would
-    evict idle users on an unbounded stream."""
+    hand-rolled stateful stream operator). Oracle-checked: one
+    availableNow pass over the static lake must produce exactly the
+    batch sessionization (the lag/cumsum SQL twin) — the same
+    equality tests/test_streaming.py asserts value-for-value. Scale:
+    state is per-user and Arrow-batched; a processing-time timeout
+    would evict idle users on an unbounded stream."""
     ev = _events_stream(spark, sf_dir)
     sessions = (
         ev.select("user_id", "ts")
