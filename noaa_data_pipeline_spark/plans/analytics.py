@@ -825,13 +825,23 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and order year (cost = {COST_FRACTION} x list price standing in
     for ps_supplycost — no partsupp in the synthetic schema). Scale:
     the p_name filter reduces part BEFORE its join so the selective
-    dimension drives the probe side; nation broadcasts; profit sums
-    via scaled-long fixed point. Orders is pre-projected to
-    (o_orderkey, o_year) before its join — year() evaluates once per
-    order instead of once per lineitem row, and the join payload
-    carries a long instead of a date (A/B at 5x sf0.1: 0.65s vs
-    0.84s). The same projection is what a shuffle join ships at
-    cluster scale, so the trim pays in both regimes."""
+    dimension probes map-side; nation broadcasts; profit sums via
+    scaled-long fixed point.
+
+    The orders edge is the one fact-join-fact in the plan and it is
+    pinned to a SHUFFLE join (shuffle_hash hint). The r5 scale audit
+    (BENCH_SCALE x20, profile in tools/profile_q9.py) found the
+    session's 64 MB dim-broadcast threshold was letting the
+    (o_orderkey, o_year) projection of 3M orders broadcast, and the
+    driver-side single-threaded hash build of that relation was the
+    whole regression: 1.92 s broadcast vs 0.93-1.00 s shuffled at
+    x20, worsening with scale. Broadcasting a fact side is wrong at
+    100 TB regardless; shuffle_hash (build = the smaller projected
+    orders side, per partition) beats sort-merge there too because
+    it never sorts the 4x-larger lineitem side. Before that shuffle
+    the lineitem side is projected down to (l_orderkey, s_nationkey,
+    scaled-profit long) — 3 longs/row instead of 5 doubles — which
+    is what the exchange ships on a real cluster."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     sup = load_table(spark, sf_dir, "supplier")
@@ -843,13 +853,20 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_years = orders.select(
         "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
     )
-    return (
+    pre = (
         li.join(part.filter(F.col("p_name").like("%red%")), F.col("p_partkey") == F.col("l_partkey"))
         .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(order_years, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "s_nationkey",
+            F.floor(profit * SCALE).cast("long").alias("profit_scaled"),
+        )
+    )
+    return (
+        pre.join(order_years.hint("shuffle_hash"), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), "o_year")
-        .agg(dsum(profit, "sum_profit"))
+        .agg((F.sum("profit_scaled").cast("double") / SCALE).alias("sum_profit"))
     )
 
 
