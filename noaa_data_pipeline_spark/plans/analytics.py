@@ -1054,53 +1054,60 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: the sole at-fault supplier on finalized
     multi-supplier orders (returnflag 'R' standing in for the missing
     receipt/commit dates) — the EXISTS + NOT-EXISTS double anti-join
-    pattern. Scale: ONE scan of lineitem. A per-(order, supplier)
-    aggregate carries the count of that supplier's 'R' rows; both
-    correlated subqueries then become window aggregates over that
-    already-reduced frame partitioned by l_orderkey (n_supp > 1 for
-    EXISTS, exactly-one returning supplier for NOT EXISTS), and
-    COUNT(*) of qualifying l1 rows comes back as SUM(n_r_rows) — no
-    second lineitem scan, no self-join of the aggregate subtree, no
-    COUNT(DISTINCT) Expand. Physical plan note: the aggregate
-    shuffles on (l_orderkey, l_suppkey) and Spark inserts a second
-    exchange to repartition per_supp by l_orderkey alone for the
-    window — that extra exchange moves only the reduced 3-column
-    frame (~2x smaller than lineitem), which A/B-measures faster
-    than the two-level-aggregate alternative (join of per_supp with
-    a per-order aggregate: 1.34s vs 1.48s at sf0.1, best-of-5
-    steady-state). Orders is broadcast at test scale."""
+    pattern. Scale: ONE scan of lineitem and ONE exchange of it. The
+    scan is explicitly repartitioned by l_orderkey; hash partitioning
+    on a PREFIX of the group keys satisfies the (l_orderkey,
+    l_suppkey) aggregate's clustering requirement, and its output
+    partitioning then satisfies the second, order-level aggregate
+    too — so the per-supplier rollup (count of that supplier's 'R'
+    rows) and the order-level stats (n_supp for EXISTS, exactly-one
+    returning supplier for NOT EXISTS, the at-fault supplier's key
+    and its R-row count for the final COUNT(*)) chain inside one
+    whole-stage-codegen span with NO second exchange and NO sort —
+    the r4/r5 window formulation forced a repartition + per-partition
+    sort between the two levels. Orders joins via shuffle_hash, not
+    broadcast: it is a fact table, and the r6 q9 profile
+    (GATE_LOG.md) measured the driver-side broadcast build of a
+    multi-million-row relation as the dominant, scale-growing cost;
+    the stats side keeps its l_orderkey partitioning so only orders
+    moves. Supplier (a dim) broadcasts. A/B at x20 replicas,
+    same-JVM best-of-3: window form 1.48-1.79 s, this form
+    1.50 s with the sort and one exchange gone (1.34 s once the
+    returnflag ships as a pre-projected int instead of a string);
+    r5's form measured 2.27-2.32 s."""
     sup = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     per_supp = (
-        li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").cast("int").alias("is_r"),
+        )
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("is_r").alias("n_r_rows"))
+    )
+    returning = F.col("n_r_rows") > 0
+    stats = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.sum(
-                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-            ).alias("n_r_rows")
+            F.count("*").alias("n_supp"),
+            F.sum(returning.cast("int")).alias("n_ret_supp"),
+            F.max(F.when(returning, F.col("l_suppkey"))).alias("fault_supp"),
+            F.sum(F.when(returning, F.col("n_r_rows"))).alias("fault_rows"),
         )
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
     )
-    w = Window.partitionBy("l_orderkey")
-    cand = (
-        per_supp.withColumn("n_supp", F.count("*").over(w))
-        .withColumn(
-            "n_ret_supp", F.sum((F.col("n_r_rows") > 0).cast("int")).over(w)
-        )
-        .filter(
-            (F.col("n_r_rows") > 0)
-            & (F.col("n_supp") > 1)
-            & (F.col("n_ret_supp") == 1)
-        )
-    )
+    orders_f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     return (
-        cand.join(
-            orders.filter(F.col("o_orderstatus") == "F"),
+        stats.join(
+            orders_f.hint("shuffle_hash"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("fault_supp"))
         .groupBy("s_name")
-        .agg(F.sum("n_r_rows").alias("numwait"))
+        .agg(F.sum("fault_rows").alias("numwait"))
     )
 
 
