@@ -406,8 +406,14 @@ def bpe_train(
     """
     from ..operators import textops
 
+    # Pair-count shuffles are vocabulary-sized (thousands of rows),
+    # so the session's fact-scale shuffle width only adds per-round
+    # scheduling overhead — but a fixed width would throttle a real
+    # cluster, so scale with the input's own partitioning instead
+    # (one reduce slot per input partition, floor of 8).
     spark_parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    docs.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+    width = max(8, docs.rdd.getNumPartitions())
+    docs.sparkSession.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         toks = textops.tokens_df(docs)
         chars = F.split(F.col("tok"), "")
@@ -447,8 +453,9 @@ def bpe_train(
         docs.sparkSession.conf.set("spark.sql.shuffle.partitions", spark_parts)
 
 
-def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
-    """DuckDB exact twin of the Sennrich training loop, unrolled.
+def _bpe_cte_parts(n_merges: int = BPE_MERGES, final_words: bool = False) -> list[str]:
+    """Shared CTE chain for both BPE oracles: the Sennrich training
+    loop, unrolled.
 
     Symbol sequences are encoded as strings with every symbol wrapped
     in parentheses (parens cannot occur in [a-z0-9]/``</w>`` symbol
@@ -461,8 +468,13 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
     is anchored by ``(``. Each round: adjacent-pair counts from the
     split symbol string, argmax with the same (cnt DESC, l, r)
     tie-break, then the replace. A round whose best count drops
-    below 2 yields an empty 1-row CTE, emptying every later round —
-    mirroring the Spark loop's break."""
+    below 2 yields an EMPTY best CTE; the LEFT JOIN in words{{i}}
+    then passes the frame through unchanged, so every later round
+    re-derives the same empty best — mirroring the Spark loop's
+    break. ``final_words`` additionally emits words{n_merges} (the
+    trainer's final per-word segmentation), which the encode oracle
+    reads directly. ``tok`` rides along untouched so the final state
+    can be joined back to the token stream."""
     from ..operators import textops
 
     parts = [
@@ -472,7 +484,7 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
             WHERE tok <> '' GROUP BY tok
         )""",
         """words0 AS (
-            SELECT wcount,
+            SELECT tok, wcount,
                    array_to_string(list_transform(
                        range(1, length(tok) + 1),
                        i -> '(' || substr(tok, i, 1)
@@ -497,18 +509,24 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
             SELECT l, r, cnt FROM pairs{i} WHERE cnt >= 2
             ORDER BY cnt DESC, l, r LIMIT 1
         )""")
-        if i < n_merges:
+        if i < n_merges or final_words:
             # MATERIALIZED: each words CTE feeds both the next round's
             # pair count AND the next replace; inlined, the 12-round
             # chain re-evaluates exponentially (times out at sf0.1)
             parts.append(
                 f"""words{i} AS MATERIALIZED (
-                SELECT wcount,
-                       replace(w, '(' || b.l || ')(' || b.r || ')',
-                               '(' || b.l || b.r || ')') AS w
-                FROM words{i - 1}, best{i} b
+                SELECT tok, wcount,
+                       CASE WHEN b.l IS NULL THEN w
+                            ELSE replace(w, '(' || b.l || ')(' || b.r || ')',
+                                         '(' || b.l || b.r || ')') END AS w
+                FROM words{i - 1} LEFT JOIN best{i} b ON TRUE
             )""")
-    ctes = ",\n".join(parts)
+    return parts
+
+
+def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
+    """Training oracle: the merge table read off the unrolled chain."""
+    ctes = ",\n".join(_bpe_cte_parts(n_merges))
     selects = "\nUNION ALL\n".join(
         f"""SELECT CAST({i - 1} AS INT) AS rank, l AS "left", r AS "right",
                l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
@@ -516,6 +534,39 @@ def _bpe_oracle_sql(n_merges: int = BPE_MERGES) -> str:
         for i in range(1, n_merges + 1)
     )
     return f"WITH {ctes}\n{selects}"
+
+
+def _bpe_encode_oracle_sql(n_merges: int = BPE_MERGES) -> str:
+    """Encode oracle: the trainer's final words{n} CTE IS the
+    segmentation of every corpus word under rank-order merge
+    application, so encoding = join each position-preserving token
+    to its final symbol string and re-concatenate in document
+    order. No per-token merge loop needed on the SQL side."""
+    parts = _bpe_cte_parts(n_merges, final_words=True)
+    parts.append(
+        f"""final AS (
+        SELECT tok, string_split(trim(w, '()'), ')(') AS syms
+        FROM words{n_merges}
+    )""")
+    parts.append(
+        """doc_syms AS (
+        SELECT t.doc_id, t.pos, u.idx, f.syms[u.idx] AS sym
+        FROM toks t
+        JOIN final f ON f.tok = t.tok,
+             UNNEST(range(1, len(f.syms) + 1)) AS u(idx)
+        WHERE t.tok <> ''
+    )""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+    SELECT d.doc_id,
+           CAST(COUNT(s.sym) AS BIGINT) AS n_symbols,
+           md5(COALESCE(string_agg(s.sym, ' ' ORDER BY s.pos, s.idx), '')) AS symbols_hash,
+           COALESCE(array_to_string(
+               list_slice(list(s.sym ORDER BY s.pos, s.idx), 1, 8), ' '
+           ), '') AS preview
+    FROM documents d
+    LEFT JOIN doc_syms s ON s.doc_id = d.doc_id
+    GROUP BY d.doc_id"""
 
 
 @register("bpe_train_merges", oracle=_bpe_oracle_sql())
@@ -536,24 +587,35 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_token(tok: str, ranks: dict) -> list[str]:
-    """Standard BPE encode for one pre-tokenized word: start from
-    characters (last carries WORD_END), repeatedly merge the
-    lowest-rank adjacent pair until none applies."""
-    syms = list(tok[:-1]) + [tok[-1] + WORD_END] if tok else []
-    while len(syms) > 1:
-        best, best_i = None, -1
-        for i in range(len(syms) - 1):
-            r = ranks.get((syms[i], syms[i + 1]))
-            if r is not None and (best is None or r < best):
-                best, best_i = r, i
-        if best is None:
-            break
-        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+def _bpe_encode_token(tok: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Training-consistent BPE encode for one pre-tokenized word:
+    start from characters (last carries WORD_END), then apply the
+    learned merges IN RANK ORDER, each as one leftmost-first
+    non-overlapping pass — the identical fold the trainer applies to
+    the word corpus (:func:`_merge_pair`), so every corpus word
+    reproduces the trainer's final symbol state exactly. (The
+    rank-priority-queue encode differs from the trainer on words
+    where a late merge recreates an early pair; rank-order
+    application is the variant with a closed form over the training
+    state, which is what makes the operator oracle-checkable.)"""
+    if not tok:
+        return []
+    syms = list(tok[:-1]) + [tok[-1] + WORD_END]
+    for left, right in merges:
+        out: list[str] = []
+        i, n = 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
     return syms
 
 
-@register("bpe_encode_docs", oracle=None)
+@register("bpe_encode_docs", oracle=_bpe_encode_oracle_sql())
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION: encode every document with the merge
     table learned by :func:`bpe_train` — the inference half of the
@@ -563,19 +625,22 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row pickling) over the same normalization the trainer used,
     so round-tripping the symbols reconstructs the normalized text
     exactly — tests/test_iterative.py asserts that property plus
-    merge-vocabulary closure per symbol. Rows-only in the gate (the
-    encode depends on the trained ranks, not SQL-expressible);
-    output is hashed per doc for stable comparison. Scale: training
-    collapses to the distinct-word frame; encoding is map-side over
-    the corpus with the ranks dict broadcast by closure — the
-    standard deploy shape for a learned tokenizer."""
+    merge-vocabulary closure per symbol. Oracle-checked (promoted in
+    r6): merges apply in rank order, so a corpus word's encoding IS
+    the trainer's final segmentation of that word, and the oracle
+    (:func:`_bpe_encode_oracle_sql`) reads it off the last words CTE
+    of the same unrolled twin that verifies training — no SQL-side
+    merge loop. Scale: training collapses to the distinct-word
+    frame; encoding is map-side over the corpus with the merge list
+    broadcast by closure — the standard deploy shape for a learned
+    tokenizer."""
     import re
 
     from pyspark.sql.functions import pandas_udf
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(spark, docs)
-    ranks = {(left, right): rank for rank, left, right, _ in merges}
+    merge_list = [(left, right) for _rank, left, right, _cnt in merges]
     norm_re = re.compile(r"[^a-z0-9]+")
 
     @pandas_udf("array<string>")
@@ -583,7 +648,7 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         def enc(text: str) -> list[str]:
             out: list[str] = []
             for tok in norm_re.sub(" ", (text or "").lower()).strip().split():
-                out.extend(_bpe_encode_token(tok, ranks))
+                out.extend(_bpe_encode_token(tok, merge_list))
             return out
 
         return texts.map(enc)

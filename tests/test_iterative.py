@@ -175,7 +175,7 @@ def test_bpe_encode_roundtrip_and_vocab_closure(spark, duck, sf_dir):
     assert set(rows) == set(texts)
 
     merges = _python_bpe(list(texts.values()), iterative.BPE_MERGES)
-    ranks = {(left, right): rank for rank, left, right, _ in merges}
+    merge_list = [(left, right) for _rank, left, right, _cnt in merges]
     vocab = {left + right for _, left, right, _ in merges}
     norm_re = re.compile(r"[^a-z0-9]+")
 
@@ -185,7 +185,7 @@ def test_bpe_encode_roundtrip_and_vocab_closure(spark, duck, sf_dir):
         norm = norm_re.sub(" ", text.lower()).strip()
         syms = []
         for tok in norm.split():
-            syms.extend(iterative._bpe_encode_token(tok, ranks))
+            syms.extend(iterative._bpe_encode_token(tok, merge_list))
         # independent reconstruction property, not the operator's code:
         joined = " ".join(syms).replace(iterative.WORD_END + " ", "#").replace(
             iterative.WORD_END, "#"
