@@ -119,18 +119,62 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
-@register("mm_feature_extract_pandas", oracle=None)
-def mm_feature_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract stage as ``mapInPandas``: payload bytes
-    -> numeric features via vectorized numpy per Arrow batch (decode
-    itself stubbed — no codecs in this container). No SQL oracle: the
-    driver's rows-only check applies; tests/test_multimodal.py pins
-    the values instead. Scale: Arrow transfer batches ~10k rows, so
-    Python crossing cost is per-batch, not per-row; the stage
-    preserves partitioning (no shuffle)."""
+def mm_features_with_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw ``mapInPandas`` stage INCLUDING the n_batch_rows
+    batch-shape witness column. tests/test_multimodal.py asserts the
+    witness (rows per Arrow batch > 1 proves vectorized batching);
+    the registry entry below drops it so the feature columns are
+    oracle-checkable."""
     docs = load_table(spark, sf_dir, "documents")
     mm = _with_payload(docs).select("doc_id", "payload")
     return mm.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+# Hex-nibble decode: DuckDB has no byte-indexing on BLOBs, but
+# hex(encode(text)) exposes every byte as two hex digits, and strpos
+# over the digit alphabet converts a pair back to its integer value —
+# exact for arbitrary bytes, no ASCII assumption. mean_byte divides
+# two exact integers in double, which both engines round identically
+# (numpy's .mean() on uint8 is the same exact-int division).
+_SQL_BYTE = (
+    "(strpos('0123456789ABCDEF', upper(substr(h, 2 * i - 1, 1))) - 1) * 16"
+    " + (strpos('0123456789ABCDEF', upper(substr(h, 2 * i, 1))) - 1)"
+)
+
+
+@register(
+    "mm_feature_extract_pandas",
+    oracle=f"""
+    WITH bytes AS (
+        SELECT doc_id, {_SQL_BYTE} AS b
+        FROM (SELECT doc_id, hex(encode(text)) AS h FROM documents) s,
+             UNNEST(range(1, length(h) // 2 + 1)) AS u(i)
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(b.b) AS BIGINT) AS n_bytes,
+           COALESCE(CAST(SUM(b.b) AS DOUBLE) / NULLIF(COUNT(b.b), 0), 0.0)
+               AS mean_byte,
+           CAST(COALESCE(MAX(b.b), 0) AS INTEGER) AS max_byte
+    FROM documents d
+    LEFT JOIN bytes b USING (doc_id)
+    GROUP BY d.doc_id
+    """,
+)
+def mm_feature_extract_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract stage as ``mapInPandas``: payload bytes
+    -> numeric features via vectorized numpy per Arrow batch (decode
+    itself stubbed — no codecs in this container). Oracle-checked
+    (promoted in r6): the byte-level stats are deterministic
+    functions of the payload, and the oracle re-derives every byte
+    from the hex expansion of the same utf8 payload — the
+    n_batch_rows batch-shape witness that previously blocked an
+    oracle moved to :func:`mm_features_with_witness`, asserted by
+    pytest. Scale: Arrow transfer batches ~10k rows, so Python
+    crossing cost is per-batch, not per-row; the stage preserves
+    partitioning (no shuffle)."""
+    return mm_features_with_witness(spark, sf_dir).select(
+        "doc_id", "n_bytes", "mean_byte", "max_byte"
+    )
 
 
 @register(

@@ -19,7 +19,9 @@ def test_feature_extract_values_match_python(spark, duck, sf_dir):
         assert abs(r.mean_byte - sum(raw) / len(raw)) < 1e-9
 
 def test_feature_extract_is_arrow_batched(spark, sf_dir):
-    sdf = entrymod.queries()["mm_feature_extract_pandas"](spark, sf_dir)
+    from noaa_data_pipeline_spark.plans import multimodal
+
+    sdf = multimodal.mm_features_with_witness(spark, sf_dir)
     batch_sizes = {r.n_batch_rows for r in sdf.collect()}
     # vectorized Arrow batches, not per-row Python calls
     assert max(batch_sizes) > 1
