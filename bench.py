@@ -43,6 +43,25 @@ HEADLINE = [
 ]
 
 
+def _calibration(spark) -> None:
+    """Fixed-shape, sf-independent job: 64M-long map-side aggregate
+    into a 1024-group shuffle. Times the BOX (scheduler + codegen
+    dispatch + CPU + exchange layer), not any query — its best-of-3
+    is reported alongside the raw total so cross-round BENCH numbers
+    can be normalized for host drift (GATE_LOG.md r5: identical
+    trees measured >20% apart across days; within-day ±2-3%)."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, 1 << 26, 1, 32)
+        .groupBy((F.col("id") % 1024).alias("k"))
+        .agg(F.sum("id").alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = sys.argv[1:] or None
@@ -77,17 +96,33 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
+    # Calibration: identical warm + best-of-3 protocol on the
+    # fixed-shape box probe, measured AFTER the queries so JIT state
+    # matches. value_calibrated = raw total / calibration — a
+    # box-speed-normalized, dimensionless figure comparable across
+    # rounds even when the host drifts.
+    _calibration(spark)
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration(spark)
+        cal = min(cal, time.perf_counter() - t0)
+    cal = round(cal, 3)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "calibration_sec": cal,
+        "value_calibrated": round(total / cal, 2) if cal else None,
     }
     print(json.dumps(out))
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from . import register
-from .common import SCALE, davg, dsum, sql_dsum
+from .common import SCALE, davg, dsum, prefer_broadcast, sql_dsum
 
 
 @register(
@@ -828,16 +828,19 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension probes map-side; nation broadcasts; profit sums via
     scaled-long fixed point.
 
-    The orders edge is the one fact-join-fact in the plan and it is
-    pinned to a SHUFFLE join (shuffle_hash hint). The r5 scale audit
-    (BENCH_SCALE x20, profile in tools/profile_q9.py) found the
-    session's 64 MB dim-broadcast threshold was letting the
-    (o_orderkey, o_year) projection of 3M orders broadcast, and the
-    driver-side single-threaded hash build of that relation was the
-    whole regression: 1.92 s broadcast vs 0.93-1.00 s shuffled at
-    x20, worsening with scale. Broadcasting a fact side is wrong at
-    100 TB regardless; shuffle_hash (build = the smaller projected
-    orders side, per partition) beats sort-merge there too because
+    The orders edge is the one fact-join-fact in the plan and it
+    joins by SIZE-ADAPTIVE strategy (common.prefer_broadcast): the
+    r5 scale audit (BENCH_SCALE x20, profile in tools/profile_q9.py)
+    found the session's 64 MB dim-broadcast threshold was letting
+    the (o_orderkey, o_year) projection of 3M orders broadcast, and
+    the driver-side single-threaded hash build of that relation was
+    the whole regression: 1.92 s broadcast vs 0.93-1.00 s shuffled
+    at x20, worsening with scale — while at sf0.1 (150k orders) the
+    broadcast build is trivially cheap and the shuffle's fixed cost
+    dominates instead (0.82 s vs 1.07 s). So the plan broadcasts
+    only when the measured on-disk footprint is provably dim-sized
+    and otherwise pins shuffle_hash — build side = the smaller
+    projected orders side, which beats sort-merge at scale because
     it never sorts the 4x-larger lineitem side. Before that shuffle
     the lineitem side is projected down to (l_orderkey, s_nationkey,
     scaled-profit long) — 3 longs/row instead of 5 doubles — which
@@ -862,8 +865,12 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(profit * SCALE).cast("long").alias("profit_scaled"),
         )
     )
+    if prefer_broadcast(sf_dir, "orders"):
+        order_years = F.broadcast(order_years)
+    else:
+        order_years = order_years.hint("shuffle_hash")
     return (
-        pre.join(order_years.hint("shuffle_hash"), F.col("o_orderkey") == F.col("l_orderkey"))
+        pre.join(order_years, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), "o_year")
         .agg((F.sum("profit_scaled").cast("double") / SCALE).alias("sum_profit"))
@@ -1065,12 +1072,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its R-row count for the final COUNT(*)) chain inside one
     whole-stage-codegen span with NO second exchange and NO sort —
     the r4/r5 window formulation forced a repartition + per-partition
-    sort between the two levels. Orders joins via shuffle_hash, not
-    broadcast: it is a fact table, and the r6 q9 profile
-    (GATE_LOG.md) measured the driver-side broadcast build of a
-    multi-million-row relation as the dominant, scale-growing cost;
-    the stats side keeps its l_orderkey partitioning so only orders
-    moves. Supplier (a dim) broadcasts. A/B at x20 replicas,
+    sort between the two levels. Orders joins size-adaptively
+    (common.prefer_broadcast): it is a fact table, and the r6 q9
+    profile (GATE_LOG.md) measured the driver-side broadcast build
+    of a multi-million-row relation as the dominant, scale-growing
+    cost — so it broadcasts only when its measured footprint is
+    dim-sized and otherwise joins shuffle_hash, where the stats side
+    keeps its l_orderkey partitioning so only orders moves. Supplier
+    (a dim) broadcasts. A/B at x20 replicas,
     same-JVM best-of-3: window form 1.48-1.79 s, this form
     1.50 s with the sort and one exchange gone (1.34 s once the
     returnflag ships as a pre-projected int instead of a string);
@@ -1100,9 +1109,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
     )
     orders_f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    if prefer_broadcast(sf_dir, "orders"):
+        orders_f = F.broadcast(orders_f)
+    else:
+        orders_f = orders_f.hint("shuffle_hash")
     return (
         stats.join(
-            orders_f.hint("shuffle_hash"),
+            orders_f,
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("fault_supp"))

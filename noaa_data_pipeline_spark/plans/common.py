@@ -24,6 +24,8 @@ Every helper has a DuckDB SQL twin so oracle queries cannot drift.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,3 +114,43 @@ def exact_agg(
     if count_alias:
         combine.append(F.sum("__cnt").alias(count_alias))
     return phase1.groupBy(*keys).agg(*combine)
+
+
+def table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk parquet footprint of one lake table, or None when the
+    path isn't local (object stores) — callers must treat None as
+    "assume fact-sized". This is the cheap cardinality signal plans
+    use to pick broadcast vs shuffle for MID-SIZED tables: dimension
+    tables (nation, supplier) broadcast unconditionally, fact tables
+    must never broadcast, and the gray zone (orders projections)
+    gets the measured answer — the same decision a cost-based
+    optimizer makes from table stats. See q9/q21: a fact side that
+    slips under the session's 64 MB broadcast threshold costs a
+    driver-side single-threaded hash build that grows with scale
+    (GATE_LOG.md round 6 profile)."""
+    import glob as _glob
+
+    from ..tables import table_path
+
+    path = table_path(sf_dir, name)
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(p)
+                for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+                if os.path.isfile(p)
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+# Broadcast a gray-zone table only when its on-disk footprint is
+# provably dim-sized; an unknown footprint defaults to shuffle (the
+# scale-safe choice).
+BROADCAST_FILE_CAP = 16 * 1024 * 1024
+
+
+def prefer_broadcast(sf_dir: str, name: str) -> bool:
+    b = table_bytes(sf_dir, name)
+    return b is not None and b < BROADCAST_FILE_CAP
