@@ -43,9 +43,17 @@ QUERIES = [
 ]
 
 # fact table -> key column remapped per replica (keeps each replica a
-# self-contained join island so semantics scale linearly)
-FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey", "documents": "doc_id"}
-DIMS = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
+# self-contained join island so semantics scale linearly); embeddings
+# replicates too so the ANN scale points search a genuinely larger
+# corpus (replicated vectors = exact-dup clusters, which only makes
+# the LSH bucket-skew path work harder)
+FACTS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
 
 
 def build_scaled_lake(replicas: int) -> str:
@@ -54,6 +62,8 @@ def build_scaled_lake(replicas: int) -> str:
     con = duckdb.connect()
     for table, key in FACTS.items():
         dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.islink(dst):  # table reclassified dim -> fact
+            os.unlink(dst)
         if os.path.exists(dst):
             continue
         src = os.path.join(BASE, f"{table}.parquet")
