@@ -60,9 +60,33 @@ def run_user_sql(spark: SparkSession, sql: str, dialect: str = "spark") -> DataF
     (duckdb-wasm, ui/main.js:131-141) and translates the common
     idioms to Spark SQL first — see :func:`translate_duckdb`."""
     if dialect == "duckdb":
-        sql = translate_duckdb(sql)
+        sql = translate_duckdb(sql, spark)
     validate_select_only(sql)
     return spark.sql(sql)
+
+
+def register_ui_bootstrap(spark: SparkSession, sql: str) -> str:
+    """Accept the reference UI's table-registration statement
+    VERBATIM — ``CREATE TABLE <name> AS SELECT * FROM
+    read_parquet(['url1', 'url2'], union_by_name = true);``
+    (ui/main.js:112-123) — and realize it as a session-scoped TEMP
+    VIEW (the moral equivalent of a table inside the UI's in-browser
+    DuckDB instance; the SELECT-only guard on the ad-hoc surface
+    stays intact because this entry point only ever creates views
+    from the statement's inner SELECT). Returns the registered view
+    name."""
+    import re
+
+    m = re.match(
+        r"(?is)\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z_0-9]*)\s+AS\s+(.*?);?\s*$",
+        _strip_comments(sql).strip(),
+    )
+    if not m:
+        raise SqlGuardError("not a 'CREATE TABLE <name> AS SELECT ...' statement")
+    name, select = m.group(1), m.group(2)
+    df = run_user_sql(spark, select, dialect="duckdb")
+    df.createOrReplaceTempView(name)
+    return name
 
 
 # --- DuckDB-dialect translation (SURVEY §3.3 dialect gap) -------------
@@ -79,7 +103,6 @@ _DUCKDB_FUNC_RENAMES = {
     "epoch_us": "unix_micros",
     "to_timestamp": "timestamp_seconds",  # seconds -> TIMESTAMP
     "list_contains": "array_contains",
-    "len": "length",
     "regexp_matches": "rlike",
 }
 
@@ -92,6 +115,9 @@ _DUCKDB_UNSUPPORTED = {
     "string_agg": "use array_join(collect_list(x), sep) (note: unordered)",
     "arg_max": "use max_by(x, y)",
     "arg_min": "use min_by(x, y)",
+    # DuckDB len() is polymorphic (strings AND lists); Spark splits
+    # the two, and a blind rename to length() breaks list arguments
+    "len": "use length(x) for strings or size(x) for lists",
 }
 
 # C-style strftime codes -> Java datetime pattern (literal formats only)
@@ -148,18 +174,21 @@ def _rewrite_call(code: str, name: str, template: str) -> str:
 
 def _rewrite_casts(code: str) -> str:
     """``expr::TYPE`` -> ``CAST(expr AS TYPE)``. Operand forms: an
-    identifier/number/placeholder token, or a balanced parenthesized
-    expression (the shapes DuckDB UIs produce). Iterates so chained
-    and nested casts resolve."""
+    identifier/number/placeholder token, a balanced parenthesized
+    expression, or a FUNCTION CALL ``f(args)::TYPE`` (the backward
+    scan that finds the balanced opening paren keeps extending left
+    over an adjacent identifier, so ``count(*)::DOUBLE`` captures
+    ``count(*)``, not ``(*)``). Iterates so chained and nested casts
+    resolve."""
     import re
 
     simple = re.compile(
         r"([A-Za-z_][A-Za-z_0-9.]*|[0-9][0-9.]*)::([A-Za-z_]+(?:\(\d+(?:,\s*\d+)?\))?)"
     )
+    ident = re.compile(r"[A-Za-z_0-9.]")
     prev = None
     while prev != code:
         prev = code
-        code = simple.sub(r"CAST(\1 AS \2)", code)
         m = re.search(r"\)::([A-Za-z_]+(?:\(\d+(?:,\s*\d+)?\))?)", code)
         if m:
             depth, i = 0, m.start()
@@ -172,20 +201,38 @@ def _rewrite_casts(code: str) -> str:
                         break
                 i -= 1
             if i >= 0:
+                # include a function name directly left of the paren
+                while i > 0 and ident.match(code[i - 1]):
+                    i -= 1
                 expr = code[i : m.start() + 1]
                 code = code[:i] + f"CAST({expr} AS {m.group(1)})" + code[m.end():]
+                continue
+        code = simple.sub(r"CAST(\1 AS \2)", code)
     return code
 
 
-def translate_duckdb(sql: str) -> str:
+_RP_LIST = (
+    r"(?i)\bread_parquet\s*\(\s*\[\s*(__SQLLIT\d+X__(?:\s*,\s*__SQLLIT\d+X__)*)"
+    r"\s*\]\s*(?:,[^)]*)?\)"
+)
+
+
+def translate_duckdb(sql: str, spark: SparkSession | None = None) -> str:
     """Best-effort DuckDB -> Spark SQL translation of the common
     idioms; raises SqlGuardError with guidance for the known
-    untranslatable ones. Covered: ``expr::TYPE`` casts, the
+    untranslatable ones. Covered: ``expr::TYPE`` casts (including
+    function-call operands like ``count(*)::DOUBLE``), the
     ``epoch``/``epoch_ms``/``epoch_us`` family, single-path
-    ``read_parquet('p')`` (-> ``parquet.`p```), ``strftime`` with a
-    literal format (C codes -> Java pattern), and a rename table for
-    aligned scalar functions. String literals are masked first so no
-    rewrite can alter quoted data."""
+    ``read_parquet('p')`` (-> ``parquet.`p```), LIST-path
+    ``read_parquet(['a','b'], union_by_name = true)`` — the
+    reference UI's own registration idiom (ui/main.js:112-123) —
+    when a ``spark`` session is supplied (the paths become one
+    mergeSchema temp view, Spark's by-name union, substituted into
+    the query), ``strftime`` with a literal format (C codes -> Java
+    pattern), and a rename table for aligned scalar functions.
+    String literals are masked first so no rewrite can alter quoted
+    data."""
+    import hashlib
     import re
 
     masked, literals = _mask_literals(_strip_comments(sql))
@@ -193,11 +240,26 @@ def translate_duckdb(sql: str) -> str:
     for fn, hint in _DUCKDB_UNSUPPORTED.items():
         if re.search(rf"\b{fn}\s*\(", masked, flags=re.I):
             raise SqlGuardError(f"unsupported DuckDB function {fn}(): {hint}")
-    if re.search(r"\bread_parquet\s*\(\s*\[", masked, flags=re.I):
-        raise SqlGuardError(
-            "unsupported: read_parquet with a path LIST — register the "
-            "files as one view (mergeSchema read) and query the view"
+
+    def _rp_list(m: "re.Match[str]") -> str:
+        paths = [literals[k][1:-1] for k in re.split(r"\s*,\s*", m.group(1))]
+        view = "read_parquet_" + hashlib.md5("|".join(paths).encode()).hexdigest()[:8]
+        (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .createOrReplaceTempView(view)
         )
+        return view
+
+    if re.search(r"\bread_parquet\s*\(\s*\[", masked, flags=re.I):
+        if spark is None:
+            raise SqlGuardError(
+                "read_parquet with a path LIST needs a session to register "
+                "the mergeSchema view — call run_user_sql(spark, sql, "
+                "dialect='duckdb') (or register the files as one view "
+                "yourself and query the view)"
+            )
+        masked = re.sub(_RP_LIST, _rp_list, masked)
 
     masked = _rewrite_casts(masked)
     for old, new in _DUCKDB_FUNC_RENAMES.items():

@@ -106,3 +106,56 @@ def test_duckdb_cast_inside_string_untouched(spark):
 def test_duckdb_unsupported_rejected_with_guidance(q, needle):
     with pytest.raises(sql_surface.SqlGuardError, match=needle):
         sql_surface.translate_duckdb(q)
+
+
+def test_duckdb_function_call_cast_operands(spark, duck):
+    # f(args)::TYPE must capture the whole call, not just (args)
+    q = (
+        "SELECT count(*)::DOUBLE AS c, epoch_ms(ts)::DOUBLE AS e "
+        "FROM events WHERE user_id = 7 GROUP BY ts ORDER BY e LIMIT 3"
+    )
+    t = sql_surface.translate_duckdb(q)
+    assert "CAST(count(*) AS DOUBLE)" in t
+    assert "CAST(unix_millis(ts) AS DOUBLE)" in t
+    got = [tuple(r) for r in sql_surface.run_user_sql(spark, q, dialect="duckdb").collect()]
+    want = [tuple(r) for r in duck.execute(q).fetchall()]
+    assert got == want
+
+
+def test_duckdb_len_rejected_with_guidance():
+    # DuckDB len() is polymorphic over strings AND lists; a blind
+    # rename to length() silently breaks list args, so reject with
+    # the explicit choice instead
+    with pytest.raises(sql_surface.SqlGuardError, match="size"):
+        sql_surface.translate_duckdb("SELECT len(xs) FROM t")
+
+
+def test_duckdb_read_parquet_list_registers_mergeschema_view(spark, sf_dir):
+    q = (
+        f"SELECT COUNT(*) AS n FROM read_parquet(["
+        f"'{sf_dir}/region.parquet', '{sf_dir}/nation.parquet'"
+        f"], union_by_name = true)"
+    )
+    n = sql_surface.run_user_sql(spark, q, dialect="duckdb").collect()[0].n
+    assert n == 30  # 5 regions + 25 nations, unioned by name
+
+
+def test_duckdb_read_parquet_list_without_session_guides():
+    with pytest.raises(sql_surface.SqlGuardError, match="run_user_sql"):
+        sql_surface.translate_duckdb(
+            "SELECT * FROM read_parquet(['a.parquet','b.parquet'])"
+        )
+
+
+def test_ui_bootstrap_registration_verbatim(spark, sf_dir):
+    # the reference UI's own registration statement shape,
+    # ui/main.js:112-123, pasted verbatim
+    sql = (
+        "\n        CREATE TABLE observations AS SELECT * FROM read_parquet(["
+        f"'{sf_dir}/region.parquet', '{sf_dir}/nation.parquet'"
+        "], union_by_name = true);\n        "
+    )
+    name = sql_surface.register_ui_bootstrap(spark, sql)
+    assert name == "observations"
+    assert spark.sql("SELECT * FROM observations LIMIT 1;").count() == 1
+    assert spark.table("observations").count() == 30
