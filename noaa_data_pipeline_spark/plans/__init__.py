@@ -58,6 +58,8 @@ GATE_PRIORITY = [
     # --- heavies re-benched at scale this round (plan re-verified if
     # the scale audit forces an edit)
     "dedup_simhash", "dedup_minhash_lsh", "sim_ann_lsh_hyperplane",
+    # --- new entries this round (first driver evidence)
+    "docs_chunk_overlap", "dedup_purge_report",
 ]
 
 

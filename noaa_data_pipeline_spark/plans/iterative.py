@@ -259,16 +259,16 @@ def connected_components(
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
-def _cc_oracle_sql() -> str:
-    """DuckDB exact twin: transitive closure by recursive CTE over the
-    same verified LSH pair set (dedup.SQL_LSH_VERIFIED_PAIRS). For
-    every node the set of starts that can reach it IS its undirected
-    component, so MIN(start) per node is the component label — the
-    same labeling the label-propagation loop converges to."""
+def _cc_labels_cte() -> str:
+    """Shared CTE prefix: transitive closure by recursive CTE over the
+    same verified LSH pair set (dedup.SQL_LSH_VERIFIED_PAIRS),
+    yielding ``labels(node, component)``. For every node the set of
+    starts that can reach it IS its undirected component, so
+    MIN(start) per node is the component label — the same labeling
+    the label-propagation loop converges to."""
     from .dedup import SQL_LSH_VERIFIED_PAIRS
 
-    return f"""
-    WITH RECURSIVE {SQL_LSH_VERIFIED_PAIRS},
+    return f"""{SQL_LSH_VERIFIED_PAIRS},
     cc_edges AS MATERIALIZED (
         -- MATERIALIZED: the recursive step below re-reads this CTE
         -- every iteration; without the hint DuckDB inlines the whole
@@ -282,7 +282,12 @@ def _cc_oracle_sql() -> str:
         UNION
         SELECT e.dst, r.start FROM reach r JOIN cc_edges e ON e.src = r.node
     ),
-    labels AS (SELECT node, MIN(start) AS component FROM reach GROUP BY node)
+    labels AS (SELECT node, MIN(start) AS component FROM reach GROUP BY node)"""
+
+
+def _cc_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_labels_cte()}
     SELECT component AS cluster_rep,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
@@ -327,6 +332,58 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "members",
         )
         .orderBy("cluster_rep")
+    )
+
+
+def _purge_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_labels_cte()},
+    removed AS (SELECT node AS doc_id FROM labels WHERE node <> component)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_before,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS docs_removed,
+           CAST(COUNT(*) - COUNT(r.doc_id) AS BIGINT) AS docs_after
+    FROM documents d
+    LEFT JOIN removed r ON d.doc_id = r.doc_id
+    GROUP BY d.source
+    """
+
+
+@register("dedup_purge_report", oracle=_purge_oracle_sql())
+def dedup_purge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision applied: per source, how many documents
+    survive near-dup purging when each MinHash-LSH duplicate cluster
+    keeps only its smallest-id representative — the accounting a
+    curation pipeline reports (and mixes on) after dedup. Non-canonical
+    members are exactly the nodes whose component label differs from
+    their own id, so the purge set falls directly out of
+    :func:`connected_components`; singletons never enter the edge set
+    and are kept implicitly.
+
+    Scale: the removed set is a projection of the CC labels (already
+    far smaller than the corpus — only docs with at least one near-dup
+    pair); the left join against documents hash-partitions on doc_id
+    and the per-source rollup combines map-side. Nothing here touches
+    the corpus text a second time."""
+    from .dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    removed = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"), F.lit(1).alias("is_removed"))
+    )
+    return (
+        docs.join(removed, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_before"),
+            F.count("is_removed").alias("docs_removed"),
+            (F.count("*") - F.count("is_removed")).alias("docs_after"),
+        )
     )
 
 

@@ -736,3 +736,73 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_distinct("lang").alias("n_langs"),
     )
+
+
+# --- RAG / context chunking ------------------------------------------
+
+CHUNK_TOKENS = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # start-to-start distance (overlap = 32 - 24 = 8)
+
+
+@register(
+    "docs_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               greatest(1, CAST(ceil((len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE})
+                                     / {CHUNK_STRIDE}.0) AS INT)) AS nch
+        FROM t
+    ),
+    u AS (
+        SELECT doc_id, toks, unnest(range(0, nch)) AS gs FROM s
+    )
+    SELECT doc_id,
+           CAST(gs AS INT) AS chunk_idx,
+           array_to_string(
+               list_slice(toks, gs * {CHUNK_STRIDE} + 1,
+                          gs * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '
+           ) AS chunk_text,
+           CAST(len(list_slice(toks, gs * {CHUNK_STRIDE} + 1,
+                               gs * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS INT)
+               AS n_tokens
+    FROM u
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with token overlap — the
+    retrieval/context-window prep step of an LLM data pipeline: each
+    document becomes ceil((n_tokens - overlap) / stride) chunks of at
+    most CHUNK_TOKENS whitespace tokens, consecutive chunks sharing
+    CHUNK_TOKENS - CHUNK_STRIDE tokens so no boundary sentence is
+    ever split across chunks without a copy that contains it whole.
+
+    Scale: pure map-side — tokenize, sequence() the chunk starts,
+    explode, slice — no shuffle at all, so the operator streams
+    through a 100 TB corpus at scan speed and parallelizes per input
+    split. The explode fan-out (~n/stride rows per doc) happens
+    after column pruning, so only (doc_id, toks) is amplified.
+    Chunk boundaries are deterministic functions of the token count,
+    giving a stable chunk_id = (doc_id, chunk_idx) key for
+    downstream embedding + ANN indexing."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    nch = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(CHUNK_TOKENS - CHUNK_STRIDE)) / F.lit(float(CHUNK_STRIDE)))
+        .cast("int"),
+    )
+    starts = F.sequence(F.lit(0), (nch - F.lit(1)) * CHUNK_STRIDE, F.lit(CHUNK_STRIDE))
+    exploded = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start")
+    )
+    piece = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )

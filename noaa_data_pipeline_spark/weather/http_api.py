@@ -46,6 +46,7 @@ from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import SparkSession
 
+from ..functions.bech32 import normalize_pubkey
 from . import api, run
 from .event_store import EventStore
 
@@ -280,8 +281,15 @@ class WeatherApp:
         if auth_pubkey is not None:
             # entry creation requires the event coordinator's own
             # signature (oracle.rs:234-240)
-            coord = self.get_event(event_id).get("coordinator_pubkey")
-            if coord != auth_pubkey:
+            # compare in one canonical format: the reference converts
+            # the NIP-98 hex pubkey to bech32 before the equality
+            # check (oracle.rs:234-240); we normalize both sides to
+            # hex so events created while auth was off (npub-format
+            # coordinator_pubkey) still authenticate.
+            coord = normalize_pubkey(
+                self.get_event(event_id).get("coordinator_pubkey")
+            )
+            if coord != normalize_pubkey(auth_pubkey):
                 raise HTTPError(
                     400,
                     "Client needs the valid coordinator signature in "

@@ -69,6 +69,18 @@ def _tag_value(tags: list, key: str) -> str | None:
     return None
 
 
+def _normalize_netloc(scheme: str, netloc: str) -> str:
+    """Drop an explicit default port (http:80 / https:443), matching
+    the reference's parsed-Url comparison (rust Url strips default
+    ports when round-tripping), and lower-case the host."""
+    netloc = netloc.lower()
+    if scheme == "http" and netloc.endswith(":80"):
+        netloc = netloc[: -len(":80")]
+    elif scheme == "https" and netloc.endswith(":443"):
+        netloc = netloc[: -len(":443")]
+    return netloc
+
+
 def _urls_match(a: str, b: str) -> bool:
     """Component-wise comparison (the reference round-trips through a
     parsed Url, which normalizes default ports and trailing slashes)."""
@@ -77,7 +89,8 @@ def _urls_match(a: str, b: str) -> bool:
     path_b = pb.path or "/"
     return (
         pa.scheme == pb.scheme
-        and pa.netloc == pb.netloc
+        and _normalize_netloc(pa.scheme, pa.netloc)
+        == _normalize_netloc(pb.scheme, pb.netloc)
         and path_a == path_b
         and pa.query == pb.query
     )

@@ -213,3 +213,70 @@ def test_unsigned_and_badly_signed_posts_rejected(served_authed):
     # GET routes stay open (reference only guards the write routes)
     with urllib.request.urlopen(base + "/oracle/events") as resp:
         assert resp.status == 200
+
+
+# -- unit: URL normalization and pubkey-format canonicalization ------
+
+
+def test_default_port_url_match():
+    # rust Url strips default ports when round-tripping, so a client
+    # signing http://host:80/path must match http://host/path
+    # (and https :443 likewise); non-default ports still mismatch.
+    h = _header(url="http://127.0.0.1:80/oracle/events")
+    assert nostr_auth.verify_header(h, "POST", URL, now=NOW_TS)
+    assert nostr_auth._urls_match("https://h:443/x", "https://h/x")
+    assert nostr_auth._urls_match("http://H/x", "http://h/x")
+    assert not nostr_auth._urls_match("http://h:8080/x", "http://h/x")
+    assert not nostr_auth._urls_match("https://h:80/x", "https://h/x")
+
+
+def test_npub_roundtrip_and_vector():
+    from noaa_data_pipeline_spark.functions import bech32
+
+    # NIP-19's published example pair
+    hex_key = "3bf0c63fcb93463407af97a5e5ee64fa883d107ef9e558472c4eb9aaaefa459d"
+    npub = "npub180cvv07tjdrrgpa0j7j7tmnyl2yr6yr7l8j4s3evf6u64th6gkwsyjh6w6"
+    assert bech32.npub_encode(hex_key) == npub
+    assert bech32.npub_decode(npub) == hex_key
+    # normalize accepts either format, canonicalizes to hex
+    assert bech32.normalize_pubkey(npub) == hex_key
+    assert bech32.normalize_pubkey(hex_key.upper()) == hex_key
+    # opaque strings (legacy ids) pass through untouched
+    assert bech32.normalize_pubkey("not-a-key") == "not-a-key"
+    with pytest.raises(bech32.Bech32Error):
+        bech32.npub_decode("npub1qqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqq")
+
+
+def test_npub_coordinator_accepts_hex_signer(spark, tmp_path_factory):
+    """An event whose stored coordinator_pubkey is npub-format (created
+    while require_nip98 was off, mirroring oracle.rs:159's bech32
+    storage) must still authenticate the same key's NIP-98 hex pubkey
+    on add_entry (oracle.rs:234-240 compares in bech32 space)."""
+    from noaa_data_pipeline_spark.functions import bech32, schnorr
+
+    store, lake_root, _ = _build_fixture(spark, tmp_path_factory)
+    files_dir = str(tmp_path_factory.mktemp("files_npub"))
+    app = http_api.WeatherApp(spark, lake_root, store, files_dir, now=lambda: NOW)
+
+    hex_pk = schnorr.pubkey(SECKEY).hex()
+    ev_id = str(uuid.uuid4())
+    app.create_event({**EVENT_BODY, "id": ev_id,
+                      "coordinator_pubkey": bech32.npub_encode(hex_pk)})
+
+    ent = app.add_entry(
+        ev_id,
+        {"id": str(uuid.uuid4()),
+         "choices": [{"station": "PFNO", "temp_low": "par"}]},
+        auth_pubkey=hex_pk,
+    )
+    assert ent["event_id"] == ev_id
+
+    # a different authenticated key is still rejected
+    other_pk = schnorr.pubkey(OTHER_SECKEY).hex()
+    with pytest.raises(http_api.HTTPError):
+        app.add_entry(
+            ev_id,
+            {"id": str(uuid.uuid4()),
+             "choices": [{"station": "KSAW", "temp_low": "over"}]},
+            auth_pubkey=other_pk,
+        )

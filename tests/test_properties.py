@@ -212,3 +212,66 @@ def test_scd2_intervals_partition_orders(spark, duck, sf_dir):
         froms[min(froms)] -= 1
         tos = Counter(r.valid_to for r in runs if r.valid_to is not None)
         assert tos == +froms, cust
+
+
+def test_chunk_overlap_invariants(spark, sf_dir):
+    """docs_chunk_overlap: full coverage (every token lands in some
+    chunk), exact overlap between consecutive chunks, and lossless
+    reconstruction when each chunk contributes its leading stride
+    tokens."""
+    from noaa_data_pipeline_spark.plans.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        docs_chunk_overlap,
+    )
+
+    rows = docs_chunk_overlap(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert set(by_doc) == set(docs)
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id].split(" ")
+        n = len(toks)
+        expected_nch = max(1, -(-(n - overlap) // CHUNK_STRIDE))
+        assert sorted(chunks) == list(range(expected_nch))
+        # each chunk is exactly the tokens at its window
+        for idx, r in chunks.items():
+            window = toks[idx * CHUNK_STRIDE : idx * CHUNK_STRIDE + CHUNK_TOKENS]
+            assert r.chunk_text.split(" ") == window
+            assert r.n_tokens == len(window)
+        # last chunk reaches the end of the document -> full coverage
+        last = max(chunks)
+        assert last * CHUNK_STRIDE + chunks[last].n_tokens == n
+        # consecutive full chunks share exactly `overlap` tokens
+        if expected_nch > 1:
+            a = chunks[0].chunk_text.split(" ")
+            b = chunks[1].chunk_text.split(" ")
+            assert a[CHUNK_STRIDE:] == b[:overlap]
+
+
+def test_purge_report_consistent_with_clusters(spark, sf_dir):
+    """Per-source removed counts must equal the keep-one-per-cluster
+    decision implied by dedup_clusters_cc: sum(n_members - 1) over
+    clusters == total docs_removed, and before/after totals add up."""
+    from noaa_data_pipeline_spark.plans.iterative import (
+        dedup_clusters_cc,
+        dedup_purge_report,
+    )
+
+    report = dedup_purge_report(spark, sf_dir).collect()
+    clusters = dedup_clusters_cc(spark, sf_dir).collect()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.docs_before for r in report) == n_docs
+    for r in report:
+        assert r.docs_after == r.docs_before - r.docs_removed
+
+    expected_removed = sum(c.n_members - 1 for c in clusters)
+    assert sum(r.docs_removed for r in report) == expected_removed
