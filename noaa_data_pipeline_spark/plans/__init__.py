@@ -59,7 +59,7 @@ GATE_PRIORITY = [
     # the scale audit forces an edit)
     "dedup_simhash", "dedup_minhash_lsh", "sim_ann_lsh_hyperplane",
     # --- new entries this round (first driver evidence)
-    "docs_chunk_overlap", "dedup_purge_report",
+    "docs_chunk_overlap", "dedup_purge_report", "sim_ivf_multiprobe",
 ]
 
 

@@ -357,6 +357,137 @@ def sim_ivf_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 2
+
+_SQL_SQDIST = (
+    f"CAST(CAST(list_sum(list_transform(list_zip(q.q_emb, v.cvec), "
+    f"x -> CAST((x[1] - x[2]) * (x[1] - x[2]) AS {_SQL_DEC}))) AS VARCHAR) AS DOUBLE)"
+)
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Exact double squared-L2 distance via the same decimal
+    accumulation + string hop as :func:`_dot` (see its docstring for
+    why the VARCHAR hop is load-bearing)."""
+    diffs = F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_DEC))
+    return (
+        F.aggregate(diffs, F.lit(0).cast(_DEC), lambda acc, v: (acc + v).cast(_DEC))
+        .cast("string")
+        .cast("double")
+    )
+
+
+@register(
+    "sim_ivf_multiprobe",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    comps AS (
+        SELECT vec_id, label, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+        FROM emb
+    ),
+    centroids AS (
+        SELECT label, dim,
+               CAST(CAST(SUM(CAST(val AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS cval
+        FROM comps GROUP BY label, dim
+    ),
+    cvecs AS (
+        SELECT label, list(cval ORDER BY dim) AS cvec FROM centroids GROUP BY label
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+        FROM emb WHERE vec_id < {N_QUERIES}
+    ),
+    cellrank AS (
+        SELECT q.query_id, v.label AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_SQL_SQDIST} ASC, v.label
+               ) AS crnk
+        FROM queries q CROSS JOIN cvecs v
+    ),
+    probes AS (SELECT query_id, cell FROM cellrank WHERE crnk <= {NPROBE}),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.q_emb', 'c.emb')} / (q.q_norm * c.norm) AS cosine
+        FROM queries q
+        JOIN probes p ON p.query_id = q.query_id
+        JOIN emb c ON c.label = p.cell AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with multi-probe (nprobe={2}): per-cell mean centroids are
+    recomputed from the assignment, each query ranks ALL centroids by
+    exact squared-L2 distance and searches the union of its 2 nearest
+    cells — the standard recall-recovery knob when a query lands near
+    a cell boundary (probe-1 misses neighbors just across it).
+
+    Scale: the centroid table is k x dim (kilobytes at any corpus
+    size) and broadcasts; cell ranking is a map-side broadcast
+    cross of queries x centroids; the probe list (queries x nprobe
+    rows) broadcasts into the corpus scan, so the corpus itself never
+    shuffles — per-probe search cost is corpus_size x nprobe / k
+    rows scored, the IVF contract. All distances/cosines accumulate
+    in decimal and cross to double through strings, so ranking is
+    bit-identical in both engines (see _dot)."""
+    emb = _embeddings(spark, sf_dir)
+    comps = emb.select("label", F.posexplode("emb").alias("dim", "val"))
+    cent = comps.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("val").cast(_DEC)).cast("string").cast("double")
+            / F.count("*")
+        ).alias("cval")
+    )
+    cvecs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda s: s["cval"],
+        ).alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cellrank = q.crossJoin(F.broadcast(cvecs)).select(
+        "query_id",
+        F.col("label").alias("cell"),
+        "q_emb",
+        "q_norm",
+        _sqdist(F.col("q_emb"), F.col("cvec")).alias("d2"),
+    )
+    cw = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        cellrank.withColumn("crnk", F.row_number().over(cw))
+        .filter(F.col("crnk") <= NPROBE)
+        .select("query_id", "cell", "q_emb", "q_norm")
+    )
+    scored = emb.join(
+        F.broadcast(probes),
+        (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 _BLOCK_TOPK_SCHEMA = (
     "query_id long, neighbor_id long, cosine double, rnk int"
 )

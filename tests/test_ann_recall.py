@@ -154,3 +154,65 @@ def test_minhash_hot_bucket_cap(spark, jaccard_truth):
     }
     assert tight <= base
     assert tight <= jaccard_truth
+
+
+def test_ivf_multiprobe_structure_and_recall(spark):
+    """Multi-probe IVF: every neighbor comes from one of the query's
+    nprobe nearest cells, exactly TOP_K rows per query, and recall
+    against the exact numpy top-k is at least the single-cell
+    probe's (the whole point of probing a second cell)."""
+    from noaa_data_pipeline_spark.plans.similarity import (
+        N_QUERIES,
+        NPROBE,
+        TOP_K,
+        sim_ivf_multiprobe,
+        sim_ivf_probe1,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    emb = np.array(t["embedding"].to_pylist(), dtype=float)
+    ids = np.array(t["vec_id"].to_pylist())
+    labels = np.array(t["label"].to_pylist())
+    norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+    # exact top-k ground truth per query
+    truth = {}
+    for qid in range(N_QUERIES):
+        qi = int(np.where(ids == qid)[0][0])
+        cos = norm[qi] @ norm.T
+        order = np.lexsort((ids, -cos))
+        order = order[ids[order] != qid][:TOP_K]
+        truth[qid] = set(ids[order].tolist())
+
+    # numpy cell ranking: mean centroid per label, 2 nearest by L2
+    cells = {}
+    for lab in np.unique(labels):
+        cells[lab] = emb[labels == lab].mean(axis=0)
+    cell_ids = sorted(cells)
+    cmat = np.array([cells[c] for c in cell_ids])
+
+    multi = sim_ivf_multiprobe(spark, SF_DIR).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    lab_of = dict(zip(ids.tolist(), labels.tolist()))
+    for qid, rows in by_q.items():
+        assert len(rows) == TOP_K
+        qi = int(np.where(ids == qid)[0][0])
+        d2 = ((cmat - emb[qi]) ** 2).sum(axis=1)
+        probed = {cell_ids[j] for j in np.argsort(d2, kind="stable")[:NPROBE]}
+        assert {lab_of[r.neighbor_id] for r in rows} <= probed
+
+    def recall(rows_by_q):
+        hit = sum(
+            len({r.neighbor_id for r in rows} & truth[q])
+            for q, rows in rows_by_q.items()
+        )
+        return hit / (N_QUERIES * TOP_K)
+
+    p1 = sim_ivf_probe1(spark, SF_DIR).collect()
+    by_q1 = {}
+    for r in p1:
+        by_q1.setdefault(r.query_id, []).append(r)
+    assert recall(by_q) >= recall(by_q1)
