@@ -267,3 +267,50 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "event_type")
     )
     return _run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (customer segment) and rolls up per (segment, type) —
+    the standard streaming-ETL shape where a dimension table enriches
+    an unbounded fact stream. The stream-static inner join is
+    STATELESS (each micro-batch hash-joins against the static side;
+    no state store, no watermark needed for the join itself), which
+    is exactly why it scales: the broadcast dim is the only data that
+    moves. The value sum goes through the same fixed-point micro-unit
+    accumulator as stream_windowed_counts so the float total is
+    order- and engine-independent. Oracle: availableNow over a static
+    lake ≡ the batch join+rollup."""
+    from ..tables import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    agg = (
+        ev.join(dim, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000).cast("long")).cast("double")
+                / 1000000.0
+            ).alias("sum_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
