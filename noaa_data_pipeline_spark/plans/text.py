@@ -806,3 +806,61 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("n_tokens"),
     )
+
+
+# --- feature-hashing document vectors --------------------------------
+
+HASH_DIM = 16  # hashing-trick vector dimensionality
+
+
+@register(
+    "docs_embed_hash",
+    oracle=f"""
+    WITH toks AS ({{SQL_TOKENS}}),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        FROM toks WHERE tok <> ''
+    )
+    SELECT doc_id,
+           CAST(h % {HASH_DIM} AS INT) AS dim,
+           CAST(SUM(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)
+               AS weight
+    FROM hashed
+    GROUP BY doc_id, h % {HASH_DIM}
+    """.format(SQL_TOKENS=textops.sql_tokens("documents")),
+)
+def docs_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (the hashing trick): each token maps to
+    a bucket (md5 low bits mod dim) with a +/-1 sign drawn from an
+    independent hash bit, and the document vector is the per-bucket
+    signed count — the classic no-vocabulary, no-training path from
+    text to fixed-width vectors, feeding the same ANN/k-means stack
+    the embeddings table does. Signs make the estimator unbiased
+    (Weinberger et al., ICML'09); weights stay integers so the result
+    is engine-exact (downstream consumers L2-normalize).
+
+    Scale: tokenize + hash are map-side; the only shuffle is the
+    (doc_id, dim) rollup, which partial-aggregates map-side down to
+    at most HASH_DIM rows per document regardless of document length.
+    Vocabulary never materializes anywhere — the operator is
+    stateless and embarrassingly parallel, unlike dictionary-based
+    vectorizers that need a fitted vocabulary broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens_df(
+        docs, partitions=spark.sparkContext.defaultParallelism
+    )
+    hashed = toks.filter(F.col("tok") != "").select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    sign = F.when(
+        F.shiftright(F.col("h"), 4).bitwiseAND(F.lit(1)) == 1, 1
+    ).otherwise(-1)
+    return (
+        hashed.select(
+            "doc_id", (F.col("h") % HASH_DIM).cast("int").alias("dim"), sign.alias("s")
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("weight"))
+    )

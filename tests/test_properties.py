@@ -275,3 +275,28 @@ def test_purge_report_consistent_with_clusters(spark, sf_dir):
 
     expected_removed = sum(c.n_members - 1 for c in clusters)
     assert sum(r.docs_removed for r in report) == expected_removed
+
+
+def test_embed_hash_matches_pure_python(spark, sf_dir):
+    """docs_embed_hash against an independent hashlib referee: same
+    buckets, signs, and per-(doc, dim) signed counts."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from noaa_data_pipeline_spark.plans.text import HASH_DIM, docs_embed_hash
+
+    got = {
+        (r.doc_id, r.dim): r.weight
+        for r in docs_embed_hash(spark, sf_dir).collect()
+    }
+
+    expected: Counter = Counter()
+    for row in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        norm = re.sub(r"[^a-z0-9]+", " ", row.text.lower()).strip()
+        for tok in norm.split(" "):
+            if not tok:
+                continue
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            expected[(row.doc_id, h % HASH_DIM)] += 1 if (h >> 4) & 1 else -1
+    assert got == dict(expected)
