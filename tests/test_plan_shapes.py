@@ -239,3 +239,31 @@ def test_embedding_compute_spreads_over_cores(spark, sf_dir):
     for name in ("sim_cosine_topk_brute", "sim_ann_lsh_hyperplane"):
         plan = plan_of(spark, sf_dir, name)
         assert "Exchange hashpartitioning(vec_id" in plan, name
+
+
+def test_chunk_overlap_is_pure_mapside(spark, sf_dir):
+    # tokenize -> sequence -> explode -> slice: no exchange at all
+    plan = plan_of(spark, sf_dir, "docs_chunk_overlap")
+    assert "Exchange" not in plan
+
+
+def test_embed_hash_single_rollup_shuffle(spark, sf_dir):
+    # hash/sign are map-side; only the (doc_id, dim) combine shuffles
+    # (plus the explicit tokenize-spread repartition)
+    plan = plan_of(spark, sf_dir, "docs_embed_hash")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_multiprobe_corpus_never_shuffles(spark, sf_dir):
+    # centroids and probes broadcast into the corpus scan; the only
+    # hash exchanges belong to the tiny centroid aggregation and the
+    # final per-query top-k window — never a corpus-sized join
+    plan = plan_of(spark, sf_dir, "sim_ivf_multiprobe")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # probes broadcast into the corpus scan (hash join), and the
+    # query x centroid cross is a broadcast nested loop over the
+    # kilobyte centroid table — the corpus side never moves
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
