@@ -60,7 +60,7 @@ GATE_PRIORITY = [
     "dedup_simhash", "dedup_minhash_lsh", "sim_ann_lsh_hyperplane",
     # --- new entries this round (first driver evidence)
     "docs_chunk_overlap", "dedup_purge_report", "sim_ivf_multiprobe",
-    "stream_static_enrich", "docs_embed_hash",
+    "stream_static_enrich", "docs_embed_hash", "events_user_sequences",
 ]
 
 

@@ -939,3 +939,58 @@ def orders_scd2_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w_runs).alias("valid_to"),
         "n_orders",
     )
+
+
+# --- per-user behavior sequences -------------------------------------
+
+SEQ_MAX = 50  # events kept per user sequence
+
+
+@register(
+    "events_user_sequences",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id), 1, {SEQ_MAX}),
+               ','
+           ) AS seq
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user chronological event-type sequences, capped at the
+    first SEQ_MAX events — the behavior-sequence dataset prep step
+    for recommendation / next-action model training. The total event
+    count rides along so consumers can weight or filter truncated
+    users.
+
+    Scale: a naive collect_list-then-slice holds EVERY event of a
+    user in aggregation state (a power user with millions of events
+    OOMs the executor); instead a row_number window keeps only the
+    first SEQ_MAX rows per user before the collect, so per-group
+    state is bounded at SEQ_MAX regardless of user size. The
+    ordered-rank window, the total-count window, and the final
+    rollup all share hash(user_id) partitioning — ONE exchange
+    total. Ordering ties break on event_id, making the sequence a
+    deterministic total order in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n_total"),
+    ).filter(F.col("rn") <= SEQ_MAX)
+    return ranked.groupBy("user_id").agg(
+        F.max("n_total").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ",",
+        ).alias("seq"),
+    )

@@ -267,3 +267,10 @@ def test_ivf_multiprobe_corpus_never_shuffles(spark, sf_dir):
     # kilobyte centroid table — the corpus side never moves
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
+def test_user_sequences_single_exchange_bounded_state(spark, sf_dir):
+    # rank window, count window, and rollup share hash(user_id):
+    # one exchange; the rank filter bounds collect state at SEQ_MAX
+    plan = plan_of(spark, sf_dir, "events_user_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
