@@ -199,3 +199,21 @@ def test_bpe_encode_roundtrip_and_vocab_closure(spark, duck, sf_dir):
         row = rows[doc_id]
         assert row.n_symbols == len(syms), doc_id
         assert row.symbols_hash == hashlib.md5(" ".join(syms).encode()).hexdigest()
+
+
+def test_connected_components_long_chain_pointer_jump(spark):
+    """A 300-node chain has diameter 299: plain min-propagation needs
+    299 rounds (far past max_iterations=20), pointer jumping needs
+    ~log2(299) ~ 9. Converging under the default budget proves the
+    jump step works; the labeling must still be exact."""
+    from noaa_data_pipeline_spark.plans.iterative import connected_components
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, max_iterations=20).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
