@@ -759,3 +759,218 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit") * F.lit(1.0) / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+# --- MMR diversity re-ranking ----------------------------------------
+
+MMR_POOL = 10  # relevance candidates per query entering the re-rank
+MMR_K = 3  # diversified results emitted (greedy steps unrolled)
+MMR_LAMBDA = 0.5  # relevance vs diversity trade-off
+
+
+def _mmr_oracle_sql() -> str:
+    lam, one_m = MMR_LAMBDA, 1 - MMR_LAMBDA
+    return f"""
+    WITH emb AS ({_SQL_EMB}),
+    queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+        FROM emb WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.q_emb', 'c.emb')} / (q.q_norm * c.norm) AS rel
+        FROM queries q JOIN emb c ON c.vec_id <> q.query_id
+    ),
+    pool AS (
+        SELECT query_id, neighbor_id, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, neighbor_id
+            ) AS rn FROM scored
+        ) r WHERE rn <= {MMR_POOL}
+    ),
+    pairsim AS (
+        SELECT a.query_id, a.neighbor_id AS d, b.neighbor_id AS s,
+               {_sql_dot('ea.emb', 'eb.emb')} / (ea.norm * eb.norm) AS sim
+        FROM pool a
+        JOIN pool b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+        JOIN emb ea ON ea.vec_id = a.neighbor_id
+        JOIN emb eb ON eb.vec_id = b.neighbor_id
+    ),
+    s1 AS (
+        SELECT query_id, neighbor_id, rel AS score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, neighbor_id
+            ) AS rn FROM pool
+        ) r WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT p.query_id, p.neighbor_id,
+               {lam} * p.rel - {one_m} * ps.sim AS score
+        FROM pool p
+        JOIN s1 ON s1.query_id = p.query_id
+        JOIN pairsim ps ON ps.query_id = p.query_id
+                       AND ps.d = p.neighbor_id AND ps.s = s1.neighbor_id
+        WHERE p.neighbor_id <> s1.neighbor_id
+    ),
+    s2 AS (
+        SELECT query_id, neighbor_id, score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id
+            ) AS rn FROM c2
+        ) r WHERE rn = 1
+    ),
+    c3 AS (
+        SELECT p.query_id, p.neighbor_id,
+               {lam} * p.rel - {one_m} * greatest(p1.sim, p2.sim) AS score
+        FROM pool p
+        JOIN s1 ON s1.query_id = p.query_id
+        JOIN s2 ON s2.query_id = p.query_id
+        JOIN pairsim p1 ON p1.query_id = p.query_id
+                       AND p1.d = p.neighbor_id AND p1.s = s1.neighbor_id
+        JOIN pairsim p2 ON p2.query_id = p.query_id
+                       AND p2.d = p.neighbor_id AND p2.s = s2.neighbor_id
+        WHERE p.neighbor_id <> s1.neighbor_id AND p.neighbor_id <> s2.neighbor_id
+    ),
+    s3 AS (
+        SELECT query_id, neighbor_id, score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id
+            ) AS rn FROM c3
+        ) r WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id, CAST(1 AS INT) AS mmr_rank, score FROM s1
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(2 AS INT) AS mmr_rank, score FROM s2
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(3 AS INT) AS mmr_rank, score FROM s3
+    """
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle_sql())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from each query's top-{10} relevance pool, greedily
+    pick {3} results maximizing lambda*rel - (1-lambda)*max-sim-to-
+    already-picked — the diversity-aware top-k a retrieval pipeline
+    runs after ANN so near-duplicate hits don't crowd the context
+    window.
+
+    The greedy loop is unrolled for the fixed k (each step is one
+    argmax window over the surviving pool), so selection is pure
+    relational algebra and bit-identical in both engines — for
+    arbitrary k this becomes an applyInPandas per query group over
+    the same (pool, pairsim) inputs. Scale: relevance scoring is the
+    broadcast query-batch corpus scan every other similarity entry
+    uses; everything after operates on POOL-sized frames (pool m and
+    pairwise sims m^2 per query, m={10}) — the corpus is never
+    pair-joined, and each argmax is a WindowGroupLimit on a
+    kilobyte-scale frame."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))).alias(
+            "rel"
+        ),
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("query_id", "neighbor_id", "rel")
+        # feeds s1, pairsim (twice), c2, c3: materialize the tiny
+        # frame instead of re-running the corpus scan per consumer
+        .persist()
+    )
+    pool.count()
+    ea = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), F.col("norm").alias("a_norm")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), F.col("norm").alias("b_norm")
+    )
+    a = pool.select(F.col("query_id"), F.col("neighbor_id").alias("d"))
+    b = pool.select(F.col("query_id").alias("qb"), F.col("neighbor_id").alias("s"))
+    pairsim = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("d") != F.col("s")))
+        .join(ea, F.col("d") == F.col("a_id"))
+        .join(eb, F.col("s") == F.col("b_id"))
+        .select(
+            "query_id",
+            "d",
+            "s",
+            (_dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_norm") * F.col("b_norm"))).alias(
+                "sim"
+            ),
+        )
+        .persist()
+    )
+    pairsim.count()
+    lam, one_m = F.lit(MMR_LAMBDA), F.lit(1 - MMR_LAMBDA)
+
+    def argmax(df, score_col):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(score_col), F.asc("neighbor_id")
+        )
+        return (
+            df.withColumn("arn", F.row_number().over(w))
+            .filter(F.col("arn") == 1)
+            .select("query_id", "neighbor_id", F.col(score_col).alias("score"))
+        )
+
+    s1 = argmax(pool.withColumn("score1", F.col("rel")), "score1")
+    ps1 = pairsim.select(
+        F.col("query_id").alias("q1"), F.col("d").alias("d1"), F.col("s").alias("sel1"),
+        F.col("sim").alias("sim1"),
+    )
+    c2 = (
+        pool.join(
+            s1.select(F.col("query_id"), F.col("neighbor_id").alias("pick1")), "query_id"
+        )
+        .filter(F.col("neighbor_id") != F.col("pick1"))
+        .join(
+            ps1,
+            (F.col("q1") == F.col("query_id"))
+            & (F.col("d1") == F.col("neighbor_id"))
+            & (F.col("sel1") == F.col("pick1")),
+        )
+        .select(
+            "query_id", "neighbor_id", "rel", "pick1", "sim1",
+            (lam * F.col("rel") - one_m * F.col("sim1")).alias("score2"),
+        )
+    )
+    s2 = argmax(c2, "score2")
+    ps2 = pairsim.select(
+        F.col("query_id").alias("q2"), F.col("d").alias("d2"), F.col("s").alias("sel2"),
+        F.col("sim").alias("sim2"),
+    )
+    c3 = (
+        c2.join(
+            s2.select(F.col("query_id"), F.col("neighbor_id").alias("pick2")), "query_id"
+        )
+        .filter(F.col("neighbor_id") != F.col("pick2"))
+        .join(
+            ps2,
+            (F.col("q2") == F.col("query_id"))
+            & (F.col("d2") == F.col("neighbor_id"))
+            & (F.col("sel2") == F.col("pick2")),
+        )
+        .select(
+            "query_id", "neighbor_id",
+            (lam * F.col("rel") - one_m * F.greatest(F.col("sim1"), F.col("sim2"))).alias(
+                "score3"
+            ),
+        )
+    )
+    s3 = argmax(c3, "score3")
+    return (
+        s1.withColumn("mmr_rank", F.lit(1).cast("int"))
+        .unionByName(s2.withColumn("mmr_rank", F.lit(2).cast("int")))
+        .unionByName(s3.withColumn("mmr_rank", F.lit(3).cast("int")))
+        .select("query_id", "neighbor_id", "mmr_rank", "score")
+    )

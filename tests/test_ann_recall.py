@@ -216,3 +216,70 @@ def test_ivf_multiprobe_structure_and_recall(spark):
     for r in p1:
         by_q1.setdefault(r.query_id, []).append(r)
     assert recall(by_q) >= recall(by_q1)
+
+
+def test_mmr_rerank_matches_numpy_greedy(spark):
+    """sim_mmr_rerank against an independent numpy greedy MMR: same
+    picks in the same order for every query (float64 throughout, so
+    scores match to ~1e-12; pick identity must be exact)."""
+    from noaa_data_pipeline_spark.plans.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        N_QUERIES,
+        sim_mmr_rerank,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    emb = np.array(t["embedding"].to_pylist(), dtype=float)
+    ids = np.array(t["vec_id"].to_pylist())
+    norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+    got = {}
+    for r in sim_mmr_rerank(spark, SF_DIR).collect():
+        got.setdefault(r.query_id, []).append((r.mmr_rank, r.neighbor_id, r.score))
+
+    for qid in range(N_QUERIES):
+        qi = int(np.where(ids == qid)[0][0])
+        cos = norm[qi] @ norm.T
+        order = np.lexsort((ids, -cos))
+        order = order[ids[order] != qid][:MMR_POOL]
+        pool = ids[order].tolist()
+        rel = {int(ids[j]): float(cos[j]) for j in order}
+        picks = []
+        for _ in range(MMR_K):
+            best = None
+            for d in pool:
+                if d in picks:
+                    continue
+                di = int(np.where(ids == d)[0][0])
+                if picks:
+                    div = max(
+                        float(norm[di] @ norm[int(np.where(ids == p)[0][0])])
+                        for p in picks
+                    )
+                    score = MMR_LAMBDA * rel[d] - (1 - MMR_LAMBDA) * div
+                else:
+                    score = rel[d]
+                # tie-break: higher score, then smaller id
+                if best is None or score > best[0] + 1e-12 or (
+                    abs(score - best[0]) <= 1e-12 and d < best[1]
+                ):
+                    best = (score, d)
+            picks.append(best[1])
+        spark_picks = [n for _, n, _ in sorted(got[qid])]
+        assert spark_picks == picks, qid
+        numpy_scores = []
+        sel = []
+        for p in picks:
+            di = int(np.where(ids == p)[0][0])
+            if sel:
+                div = max(
+                    float(norm[di] @ norm[int(np.where(ids == q)[0][0])]) for q in sel
+                )
+                numpy_scores.append(MMR_LAMBDA * rel[p] - (1 - MMR_LAMBDA) * div)
+            else:
+                numpy_scores.append(rel[p])
+            sel.append(p)
+        for (rk, n, s), ns in zip(sorted(got[qid]), numpy_scores):
+            assert abs(s - ns) < 1e-9, (qid, rk)
