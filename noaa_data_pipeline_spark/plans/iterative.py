@@ -266,6 +266,11 @@ def connected_components(
                 .count()
             )
             propagated.unpersist()
+            # for the round-1 persisted frame this frees it directly;
+            # for later checkpointed frames unpersist is a no-op and
+            # the snapshot's blocks are released by the ContextCleaner
+            # once this (last) reference drops on the next line —
+            # bounded by max_iterations tiny label frames either way
             labels.unpersist()
             labels = new_labels
             if changed == 0:

@@ -288,19 +288,45 @@ def ann_lsh_pairs(
     )
 
 
-@register(
-    "sim_ivf_probe1",
-    oracle=f"""
-    WITH emb AS ({_SQL_EMB}),
+# Shared per-cell mean centroid computation (decimal-exact sum, then
+# the VARCHAR hop — see _dot — so both IVF entries derive the SAME
+# centroids): SQL CTE fragment (expects an `emb` CTE in scope) and
+# the DataFrame twin.
+_SQL_CENTROIDS = f"""
     comps AS (
         SELECT vec_id, label, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
         FROM emb
     ),
     centroids AS (
         SELECT label, dim,
-               CAST(SUM(CAST(val AS {_SQL_DEC})) AS DOUBLE) / COUNT(*) AS cval
+               CAST(CAST(SUM(CAST(val AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS cval
         FROM comps GROUP BY label, dim
-    ),
+    )"""
+
+
+def _centroid_vectors(emb: DataFrame) -> DataFrame:
+    """(label, cvec double[]) — per-cell mean centroids as arrays."""
+    comps = emb.select("label", F.posexplode("emb").alias("dim", "val"))
+    cent = comps.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("val").cast(_DEC)).cast("string").cast("double")
+            / F.count("*")
+        ).alias("cval")
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda s: s["cval"],
+        ).alias("cvec")
+    )
+
+
+@register(
+    "sim_ivf_probe1",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    {_SQL_CENTROIDS},
     assign AS (
         SELECT vec_id, label AS cell FROM emb
     ),
@@ -381,16 +407,7 @@ def _sqdist(a: Column, b: Column) -> Column:
     "sim_ivf_multiprobe",
     oracle=f"""
     WITH emb AS ({_SQL_EMB}),
-    comps AS (
-        SELECT vec_id, label, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
-        FROM emb
-    ),
-    centroids AS (
-        SELECT label, dim,
-               CAST(CAST(SUM(CAST(val AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE)
-                   / COUNT(*) AS cval
-        FROM comps GROUP BY label, dim
-    ),
+    {_SQL_CENTROIDS},
     cvecs AS (
         SELECT label, list(cval ORDER BY dim) AS cvec FROM centroids GROUP BY label
     ),
@@ -424,7 +441,7 @@ def _sqdist(a: Column, b: Column) -> Column:
     """,
 )
 def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with multi-probe (nprobe={2}): per-cell mean centroids are
+    """IVF with multi-probe (nprobe=NPROBE): per-cell mean centroids are
     recomputed from the assignment, each query ranks ALL centroids by
     exact squared-L2 distance and searches the union of its 2 nearest
     cells — the standard recall-recovery knob when a query lands near
@@ -439,19 +456,7 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     in decimal and cross to double through strings, so ranking is
     bit-identical in both engines (see _dot)."""
     emb = _embeddings(spark, sf_dir)
-    comps = emb.select("label", F.posexplode("emb").alias("dim", "val"))
-    cent = comps.groupBy("label", "dim").agg(
-        (
-            F.sum(F.col("val").cast(_DEC)).cast("string").cast("double")
-            / F.count("*")
-        ).alias("cval")
-    )
-    cvecs = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
-            lambda s: s["cval"],
-        ).alias("cvec")
-    )
+    cvecs = _centroid_vectors(emb)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
@@ -849,8 +854,8 @@ def _mmr_oracle_sql() -> str:
 @register("sim_mmr_rerank", oracle=_mmr_oracle_sql())
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
-    SIGIR'98): from each query's top-{10} relevance pool, greedily
-    pick {3} results maximizing lambda*rel - (1-lambda)*max-sim-to-
+    SIGIR'98): from each query's top-MMR_POOL relevance pool, greedily
+    pick MMR_K results maximizing lambda*rel - (1-lambda)*max-sim-to-
     already-picked — the diversity-aware top-k a retrieval pipeline
     runs after ANN so near-duplicate hits don't crowd the context
     window.
@@ -862,7 +867,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same (pool, pairsim) inputs. Scale: relevance scoring is the
     broadcast query-batch corpus scan every other similarity entry
     uses; everything after operates on POOL-sized frames (pool m and
-    pairwise sims m^2 per query, m={10}) — the corpus is never
+    pairwise sims m^2 per query, m=MMR_POOL) — the corpus is never
     pair-joined, and each argmax is a WindowGroupLimit on a
     kilobyte-scale frame."""
     emb = _embeddings(spark, sf_dir)

@@ -824,7 +824,7 @@ HASH_DIM = 16  # hashing-trick vector dimensionality
     )
     SELECT doc_id,
            CAST(h % {HASH_DIM} AS INT) AS dim,
-           CAST(SUM(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)
+           CAST(SUM(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)
                AS weight
     FROM hashed
     GROUP BY doc_id, h % {HASH_DIM}
@@ -854,8 +854,12 @@ def docs_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
     )
+    # sign comes from the TOP bit of the 32-bit hash so it stays
+    # independent of the bucket (= low bits) for any HASH_DIM up to
+    # 2^31 — a low sign bit would collide with the bucket index as
+    # soon as HASH_DIM grows past it, skewing signs within buckets
     sign = F.when(
-        F.shiftright(F.col("h"), 4).bitwiseAND(F.lit(1)) == 1, 1
+        F.shiftright(F.col("h"), 31).bitwiseAND(F.lit(1)) == 1, 1
     ).otherwise(-1)
     return (
         hashed.select(

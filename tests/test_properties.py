@@ -298,5 +298,5 @@ def test_embed_hash_matches_pure_python(spark, sf_dir):
             if not tok:
                 continue
             h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
-            expected[(row.doc_id, h % HASH_DIM)] += 1 if (h >> 4) & 1 else -1
+            expected[(row.doc_id, h % HASH_DIM)] += 1 if (h >> 31) & 1 else -1
     assert got == dict(expected)
