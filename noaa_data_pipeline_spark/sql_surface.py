@@ -172,6 +172,65 @@ def _rewrite_call(code: str, name: str, template: str) -> str:
         code = code[: m.start()] + template.format(args=args) + code[i:]
 
 
+_SQL_KEYWORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "ON", "BY", "THEN",
+    "ELSE", "WHEN", "CASE", "VALUES", "FROM", "JOIN", "HAVING",
+    "LIMIT", "OFFSET", "UNION", "ALL", "DISTINCT", "AS", "BETWEEN",
+    "LIKE", "ILIKE", "IS", "RETURN", "END",
+}
+
+
+def _rewrite_list_literals(code: str) -> str:
+    """DuckDB ``[a, b, ...]`` list literals -> Spark ``array(a, b,
+    ...)``. A ``[`` is a literal only in EXPRESSION position (after
+    an operator, comma, open paren, statement start, or a SQL
+    keyword); after an identifier/``)``/``]`` it is a subscript and
+    left for :func:`_rewrite_subscripts`."""
+    i = 0
+    while i < len(code):
+        if code[i] != "[":
+            i += 1
+            continue
+        j = i - 1
+        while j >= 0 and code[j].isspace():
+            j -= 1
+        literal_pos = j < 0 or code[j] in "(,=<>+-*/%|"
+        if not literal_pos and (code[j].isalnum() or code[j] == "_"):
+            k = j
+            while k >= 0 and (code[k].isalnum() or code[k] == "_"):
+                k -= 1
+            literal_pos = code[k + 1 : j + 1].upper() in _SQL_KEYWORDS
+        if not literal_pos:
+            i += 1
+            continue
+        depth, e = 1, i + 1
+        while e < len(code) and depth:
+            if code[e] == "[":
+                depth += 1
+            elif code[e] == "]":
+                depth -= 1
+            e += 1
+        if depth:  # unbalanced: let the parser report it
+            return code
+        inner = _rewrite_list_literals(code[i + 1 : e - 1])
+        code = code[:i] + "array(" + inner + ")" + code[e:]
+        i += 1
+    return code
+
+
+def _rewrite_subscripts(code: str) -> str:
+    """DuckDB integer list subscripts are 1-BASED while Spark's
+    bracket indexing is 0-based — a blind pass-through is a silent
+    off-by-one, so ``ident[n]`` becomes ``element_at(ident, n)``
+    (1-based in Spark, negative-from-end in both). Non-integer
+    subscripts (map keys) index identically and pass through."""
+    import re
+
+    return re.sub(
+        r"\b([A-Za-z_][\w.]*)\[(-?\d+)\]", r"element_at(\1, \2)", code
+    )
+
+
 def _rewrite_casts(code: str) -> str:
     """``expr::TYPE`` -> ``CAST(expr AS TYPE)``. Operand forms: an
     identifier/number/placeholder token, a balanced parenthesized
@@ -261,6 +320,8 @@ def translate_duckdb(sql: str, spark: SparkSession | None = None) -> str:
             )
         masked = re.sub(_RP_LIST, _rp_list, masked)
 
+    masked = _rewrite_list_literals(masked)
+    masked = _rewrite_subscripts(masked)
     masked = _rewrite_casts(masked)
     for old, new in _DUCKDB_FUNC_RENAMES.items():
         masked = re.sub(rf"\b{old}\s*\(", f"{new}(", masked, flags=re.I)
@@ -279,14 +340,46 @@ def translate_duckdb(sql: str, spark: SparkSession | None = None) -> str:
         r"(?i)\bread_parquet\s*\(\s*(__SQLLIT\d+X__)\s*(?:,[^)]*)?\)", _rp, masked
     )
 
-    # strftime(expr, '%Y-%m') -> date_format(expr, 'yyyy-MM')
-    def _strf(m: "re.Match[str]") -> str:
-        fmt = literals[m.group(2)][1:-1]
-        return f"date_format({m.group(1)}, '{_translate_strftime_format(fmt)}')"
-
-    masked = re.sub(
-        r"(?i)\bstrftime\s*\(\s*([^,()]+?)\s*,\s*(__SQLLIT\d+X__)\s*\)", _strf, masked
-    )
+    # strftime(expr, '%Y-%m') -> date_format(expr, 'yyyy-MM') with a
+    # balanced-paren scan so nested expressions (CAST(ts AS
+    # TIMESTAMP), function calls) work as the first argument
+    strf_pat = re.compile(r"(?i)\bstrftime\s*\(")
+    while True:
+        m = strf_pat.search(masked)
+        if not m:
+            break
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced: let the parser report it
+            break
+        args = masked[m.end() : i - 1]
+        d, split = 0, -1
+        for j, ch in enumerate(args):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "," and d == 0:
+                split = j  # LAST top-level comma = the format arg
+        fmt_tok = args[split + 1 :].strip() if split >= 0 else ""
+        if split < 0 or not re.fullmatch(r"__SQLLIT\d+X__", fmt_tok):
+            raise SqlGuardError(
+                "strftime requires a literal format string "
+                "('%Y-%m-%d'-style); use date_format(expr, 'java "
+                "pattern') directly for computed formats"
+            )
+        fmt = literals[fmt_tok][1:-1]
+        masked = (
+            masked[: m.start()]
+            + f"date_format({args[:split].strip()}, "
+            + f"'{_translate_strftime_format(fmt)}')"
+            + masked[i:]
+        )
 
     for key, lit in literals.items():
         masked = masked.replace(key, lit)

@@ -159,3 +159,81 @@ def test_ui_bootstrap_registration_verbatim(spark, sf_dir):
     assert name == "observations"
     assert spark.sql("SELECT * FROM observations LIMIT 1;").count() == 1
     assert spark.table("observations").count() == 30
+
+
+DIFFERENTIAL_QUERIES = [
+    # mixed ::casts + renames + arithmetic in one statement
+    "SELECT o_orderpriority, count(*)::BIGINT AS n, "
+    "(sum(o_totalprice)::DOUBLE / count(*))::DOUBLE AS avg_price "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    # epoch family + strftime over event time
+    "SELECT strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d') AS d, "
+    "count(*)::BIGINT AS n FROM events e GROUP BY d ORDER BY d LIMIT 5",
+    # rlike rename + string ops
+    "SELECT count(*)::BIGINT AS n FROM part "
+    "WHERE regexp_matches(p_name, 'red|blue')",
+    # list_contains on a built array + nested cast chains
+    "SELECT count(*)::BIGINT AS n FROM nation "
+    "WHERE list_contains(['ALGERIA', 'KENYA'], n_name)",
+    # epoch_ms on a timestamp expression inside an aggregate
+    "SELECT max(epoch_ms(CAST(ts AS TIMESTAMP)))::BIGINT AS mx FROM events",
+    # CTE + join + cast — the shape the UI's saved queries use
+    "WITH big AS (SELECT o_custkey, o_totalprice FROM orders "
+    "WHERE o_totalprice > 100000) "
+    "SELECT c.c_mktsegment, count(*)::BIGINT AS n "
+    "FROM big b JOIN customer c ON b.o_custkey = c.c_custkey "
+    "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment",
+]
+
+
+@pytest.mark.parametrize("q", DIFFERENTIAL_QUERIES)
+def test_duckdb_dialect_differential(spark, duck, q):
+    """Differential harness: each DuckDB-idiom query runs VERBATIM on
+    DuckDB and through translate_duckdb on Spark; row sets must match
+    exactly (the translator's contract is answer-preservation, not
+    just parseability)."""
+    from noaa_data_pipeline_spark import sql_surface
+
+    got = sorted(
+        tuple(r) for r in sql_surface.run_user_sql(spark, q, dialect="duckdb").collect()
+    )
+    want = sorted(tuple(r) for r in duck.execute(q).fetchall())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        for a, b in zip(g, w):
+            if isinstance(a, float) and isinstance(b, float):
+                assert abs(a - b) < 1e-9 * max(1.0, abs(b))
+            else:
+                assert a == b, (q, g, w)
+
+
+def test_duckdb_list_literal_and_subscript_translate(spark, duck):
+    q = ("SELECT n_name, ['ALGERIA','KENYA'] AS pair "
+         "FROM nation WHERE list_contains(['ALGERIA','KENYA'], n_name) "
+         "ORDER BY n_name")
+    from noaa_data_pipeline_spark import sql_surface
+
+    got = [(r.n_name, list(r.pair))
+           for r in sql_surface.run_user_sql(spark, q, dialect="duckdb").collect()]
+    want = [(n, list(p)) for n, p in duck.execute(q).fetchall()]
+    assert got == want
+
+    # DuckDB subscripts are 1-based; the translation must preserve that
+    q2 = "SELECT (['a','b','c'])[2] AS x"
+    t2 = sql_surface.translate_duckdb("SELECT xs[2] AS x FROM t")
+    assert "element_at(xs, 2)" in t2
+    assert duck.execute(q2).fetchone()[0] == "b"
+    got2 = spark.sql("SELECT element_at(array('a','b','c'), 2) AS x").collect()[0].x
+    assert got2 == "b"
+
+
+def test_duckdb_strftime_nested_expr_and_computed_format(duck):
+    from noaa_data_pipeline_spark import sql_surface
+
+    t = sql_surface.translate_duckdb(
+        "SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d FROM events"
+    )
+    assert "date_format(CAST(ts AS TIMESTAMP), 'yyyy-MM-dd')" in t
+    with pytest.raises(sql_surface.SqlGuardError):
+        sql_surface.translate_duckdb("SELECT strftime(ts, fmt_col) FROM t")
