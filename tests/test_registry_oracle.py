@@ -68,25 +68,35 @@ def _clean_rows(path):
 
 def test_gate_priority_covers_all_unchecked_entries():
     """The driver gate records exactly the first 50 registry entries.
-    Invariant: every entry must either (a) have a clean driver row in
-    one of the two most recent rounds — meaning the driver saw it run
-    and match — or (b) sit inside GATE_PRIORITY so the next round
-    produces one. New entries therefore can't silently land beyond
-    the window. MANUAL STEP this cannot catch: an entry clean in a
-    prior round whose plan is EDITED afterwards must be re-added to
-    GATE_PRIORITY by hand (the full local 97-entry gate in
-    tools/check_correctness.py is the backstop — see GATE_LOG.md)."""
+    Invariant: every entry must either (a) have a clean driver row
+    within the freshness window — the most recent rounds whose
+    combined 50-entry samples can cover the whole registry (currently
+    3: 107 entries > 2x50, so a 2-round bar became structurally
+    unsatisfiable when the registry passed 100) — or (b) sit inside
+    GATE_PRIORITY so the next round produces evidence. New entries
+    therefore can't silently land beyond the window. MANUAL STEP this
+    cannot catch: an entry clean in a prior round whose plan is
+    EDITED afterwards must be re-added to GATE_PRIORITY by hand (the
+    full-registry local gate in tools/check_correctness.py is the
+    backstop — see GATE_LOG.md)."""
+    import math
     from pathlib import Path
 
     from noaa_data_pipeline_spark.plans import GATE_PRIORITY, load_all
 
+    registry = set(load_all())
+    window_rounds = max(2, math.ceil(len(registry) / 50))
+    # the bar must stay satisfiable: the driver can only ever re-prove
+    # 50 entries per round, so the registry may not outgrow the
+    # freshness budget we are willing to tolerate (3 rounds)
+    assert len(registry) <= 3 * 50, "registry outgrew the rotation budget"
     repo = Path(__file__).resolve().parent.parent
     rounds = sorted(repo.glob("CORRECTNESS_r*.json"))
     assert rounds, "no driver correctness artifacts found"
     clean = set()
-    for path in rounds[-2:]:
+    for path in rounds[-window_rounds:]:
         clean |= _clean_rows(path)
-    unchecked = set(load_all()) - clean
+    unchecked = registry - clean
     missing = unchecked - set(GATE_PRIORITY)
     assert not missing, f"add to GATE_PRIORITY: {sorted(missing)}"
     # and the priority list itself stays within the observed window
