@@ -36,13 +36,12 @@ PLAN_MODULES = [
 # each round. Round 6 window: every entry in the r5 window came back
 # green (CORRECTNESS_r05: 49 PASS + 1 rows-only), so the list resets
 # to (a) the seven entries whose last driver evidence is round 3 —
-# they aged out of the 2-round freshness window the meta-test in
-# tests/test_registry_oracle.py enforces — and (b) every entry whose
-# plan is edited this round (q9/q21 reformulations, the bpe_encode
-# oracle promotion, the mm_feature_extract witness split, the BPE
-# shuffle-width parameterization, and the sql_surface translator
-# fixes behind sql_adhoc_guarded). The remaining ~35 window slots
-# fill in registration order, giving extra rotation for free.
+# they aged out of the freshness window the meta-test in
+# tests/test_registry_oracle.py enforces (ceil(registry/50) rounds,
+# currently 3 — see that test's docstring) — (b) every entry whose
+# plan was edited this round, and (c) the entries that are new this
+# round. The remaining window slots fill in registration order,
+# giving extra rotation for free.
 # NOTE (process): rotation only picks what the DRIVER re-checks;
 # every round must still pass the full-registry local gate
 # (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
