@@ -60,7 +60,7 @@ GATE_PRIORITY = [
     # --- new entries this round (first driver evidence)
     "docs_chunk_overlap", "dedup_purge_report", "sim_ivf_multiprobe",
     "stream_static_enrich", "docs_embed_hash", "events_user_sequences",
-    "sim_mmr_rerank",
+    "sim_mmr_rerank", "split_leakage_safe",
 ]
 
 

@@ -752,3 +752,77 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice("syms", 1, 8), " ").alias("preview"),
         )
     )
+
+
+def _leakage_safe_split_oracle_sql() -> str:
+    from .text import _HASH_PCT
+
+    canon_pct = _HASH_PCT.replace(
+        "CAST(doc_id AS VARCHAR)", "CAST(canon_id AS VARCHAR)"
+    )
+    return f"""
+    WITH RECURSIVE {_cc_labels_cte()},
+    canon AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(l.component, d.doc_id) AS canon_id,
+               CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        FROM documents d
+        LEFT JOIN labels l ON d.doc_id = l.node
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_members
+    FROM (
+        SELECT n_chars, is_dup,
+               CASE WHEN {canon_pct} < 90 THEN 'train'
+                    WHEN {canon_pct} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM canon
+    ) s GROUP BY split
+    """
+
+
+@register("split_leakage_safe", oracle=_leakage_safe_split_oracle_sql())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split hash is taken
+    over each document's CANONICAL id (its MinHash-LSH duplicate
+    cluster representative; its own id for singletons), so every
+    member of a duplicate cluster lands in the same split — the
+    plain per-doc hash split (split_train_val_hash) can put two
+    near-identical documents on opposite sides of the train/eval
+    boundary, which is evaluation contamination by construction.
+
+    Scale: the CC label table is tiny (only docs with at least one
+    near-dup pair, see dedup_purge_report) and hash-joins against
+    the corpus on doc_id; the split itself stays a map-side hash
+    bucket, so the operator costs one broadcast-or-hash join more
+    than the naive split. Output is the per-split rollup plus a
+    dup-member count so curation dashboards can see how much
+    near-dup mass each split carries."""
+    from .dedup import minhash_lsh_pairs
+    from .text import _hash_pct
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    canon = docs.join(labels, "doc_id", "left").select(
+        "n_chars",
+        F.coalesce("component", "doc_id").alias("canon_id"),
+        F.col("component").isNotNull().cast("int").alias("is_dup"),
+    )
+    pct = _hash_pct(F.col("canon_id"))
+    split = F.when(pct < 90, "train").when(pct < 95, "val").otherwise("test")
+    return (
+        canon.select(split.alias("split"), "n_chars", "is_dup")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("is_dup").cast("long").alias("n_dup_members"),
+        )
+    )

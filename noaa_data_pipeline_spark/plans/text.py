@@ -318,9 +318,10 @@ _HASH_PCT = (
 )
 
 
-def _hash_pct() -> Column:
+def _hash_pct(col: Column | None = None) -> Column:
+    col = F.col("doc_id") if col is None else col
     return (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
         .cast("long")
         % 100
     )

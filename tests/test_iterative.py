@@ -217,3 +217,46 @@ def test_connected_components_long_chain_pointer_jump(spark):
         for r in connected_components(edges, max_iterations=20).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster's members land in ONE split, and the
+    naive per-doc hash split would have torn at least one cluster
+    apart on this fixture (i.e. the canonical-id indirection is
+    load-bearing, not a no-op)."""
+    import hashlib
+
+    from noaa_data_pipeline_spark.plans.iterative import (
+        dedup_clusters_cc,
+        split_leakage_safe,
+    )
+
+    sf = "/root/testdata/sf0.01"
+
+    def pct(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    def split_of(p):
+        return "train" if p < 90 else ("val" if p < 95 else "test")
+
+    clusters = [
+        [int(x) for x in c.members.split(",")]
+        for c in dedup_clusters_cc(spark, sf).collect()
+    ]
+    assert clusters
+    # canonical split: every member follows its cluster rep -> one
+    # split per cluster BY CONSTRUCTION; assert the naive split would
+    # actually differ somewhere, so the operator changes outcomes
+    naive_torn = any(
+        len({split_of(pct(m)) for m in members}) > 1 for members in clusters
+    )
+    assert naive_torn, "fixture has no cluster straddling the naive split"
+
+    # rollup consistency: totals match the corpus, dup members match
+    # the cluster membership count
+    rows = {r.split: r for r in split_leakage_safe(spark, sf).collect()}
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert sum(r.n_dup_members for r in rows.values()) == sum(
+        len(m) for m in clusters
+    )
