@@ -61,6 +61,8 @@ GATE_PRIORITY = [
     "docs_chunk_overlap", "dedup_purge_report", "sim_ivf_multiprobe",
     "stream_static_enrich", "docs_embed_hash", "events_user_sequences",
     "sim_mmr_rerank", "split_leakage_safe",
+    "q8_national_market_share", "q11_important_stock_value",
+    "q15_top_supplier",
 ]
 
 

@@ -1172,3 +1172,213 @@ def events_grouping_sets_marginals(spark: SparkSession, sf_dir: str) -> DataFram
             "sum_value",
         )
     )
+
+
+@register(
+    "q8_national_market_share",
+    oracle=f"""
+    WITH all_lines AS (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN part     ON p_partkey = l_partkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           (CAST(SUM(CAST(FLOOR(CASE WHEN supp_nation = 'NATION_6'
+                      THEN volume ELSE 0 END * {SCALE}) AS BIGINT)) AS DOUBLE) / {SCALE}.0)
+             / NULLIF(CAST(SUM(CAST(FLOOR(volume * {SCALE}) AS BIGINT)) AS DOUBLE) / {SCALE}.0, 0)
+             AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM all_lines
+    GROUP BY o_year
+    """,
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for a
+    part family, per order year (reference family: the scoring joins
+    J6 / multi-dim rollups A1 re-expressed over the TPC-H lake). The
+    market filter lives on the CUSTOMER side (region of sale) while
+    the share numerator keys on the SUPPLIER side's nation — the two
+    nation joins with distinct roles are the point of the shape.
+    Scale: part (filtered to one type) and all dim tables broadcast;
+    the only fact-fact edge is lineitem⋈orders, which shuffles on
+    orderkey with both sides pre-projected to join key + 2 columns;
+    the share divides two scaled-long sums in ONE aggregate pass
+    (conditional numerator), not two query branches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    sup = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+
+    amer_keys = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("amer_nationkey"))
+    )
+    cust_amer = cust.join(
+        F.broadcast(amer_keys), F.col("c_nationkey") == F.col("amer_nationkey")
+    ).select("c_custkey")
+    orders_amer = (
+        orders.join(cust_amer.hint("broadcast") if prefer_broadcast(sf_dir, "customer") else cust_amer,
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
+    supp_nation = sup.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pre = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp_nation.hint("broadcast") if prefer_broadcast(sf_dir, "supplier") else supp_nation,
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "l_orderkey",
+            "supp_nation",
+            F.floor(volume * SCALE).cast("long").alias("vol_scaled"),
+        )
+    )
+    joined = pre.join(
+        orders_amer.hint("shuffle_hash") if not prefer_broadcast(sf_dir, "orders") else F.broadcast(orders_amer),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    brazil = F.when(F.col("supp_nation") == "NATION_6", F.col("vol_scaled")).otherwise(F.lit(0))
+    return joined.groupBy("o_year").agg(
+        (
+            (F.sum(brazil).cast("double") / SCALE)
+            / F.nullif(F.sum("vol_scaled").cast("double") / SCALE, F.lit(0.0))
+        ).alias("mkt_share"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q11_important_stock_value",
+    oracle=f"""
+    WITH supply_value AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * {SCALE}) AS BIGINT)) AS BIGINT) AS v_scaled
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_9'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey,
+           CAST(v_scaled AS DOUBLE) / {SCALE}.0 AS part_value
+    FROM supply_value
+    WHERE CAST(v_scaled AS DOUBLE)
+          > 2.0 * (SELECT CAST(SUM(CAST(v_scaled AS HUGEINT)) AS DOUBLE) / COUNT(*)
+                   FROM supply_value)
+    """,
+)
+def q11_important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose one-nation supply value exceeds a
+    threshold derived from that nation's TOTAL supply — the
+    uncorrelated scalar-aggregate subquery in the HAVING position
+    (reference family: ref crates/oracle SQL-builder's guarded
+    ad-hoc aggregates). No partsupp in the synthetic schema, so
+    supply value derives from lineitem revenue (same grain: per
+    (part, supplier-nation)). TPC-H scales its fraction as 0.0001/SF
+    to keep the result selective; the SF-free equivalent used here is
+    2x the MEAN per-part value (~8% of parts at every tested SF).
+    Scale: the per-part aggregate shuffles once on l_partkey; the
+    mean re-aggregates THAT result (one row per part), not the fact,
+    and rides back in as a broadcast scalar — the fact table is
+    scanned exactly once. The comparison divides an exact 128-bit
+    sum of scaled longs by an exact count, so both engines compare
+    identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    german = sup.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_9")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(
+            german.hint("broadcast") if prefer_broadcast(sf_dir, "supplier") else german,
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.floor(rev * SCALE).cast("long")).alias("v_scaled"))
+    )
+    mean = per_part.agg(
+        (
+            F.sum(F.col("v_scaled").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_scaled")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(mean))
+        .filter(F.col("v_scaled").cast("double") > F.lit(2.0) * F.col("mean_scaled"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("v_scaled").cast("double") / SCALE).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * {SCALE}) AS BIGINT)) AS BIGINT) AS r_scaled
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(r_scaled AS DOUBLE) / {SCALE}.0 AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE r_scaled = (SELECT MAX(r_scaled) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the quarter's maximum
+    revenue — the view-then-scalar-max-on-the-view pattern (W6 family
+    but equality-with-max rather than LIMIT, so ties survive, which
+    ORDER BY/LIMIT 1 would drop). Scale: the quarter filter pushes to
+    the lineitem scan; revenue aggregates once per supplier; the MAX
+    re-aggregates the per-supplier result and broadcasts back as one
+    row — supplier only joins the (few) max rows. Comparison is on
+    exact scaled longs, so cross-engine ties are bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.floor(rev * SCALE).cast("long")).alias("r_scaled")
+    )
+    max_rev = revenue.agg(F.max("r_scaled").alias("max_scaled"))
+    top = (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("r_scaled") == F.col("max_scaled"))
+    )
+    return (
+        F.broadcast(sup).join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("r_scaled").cast("double") / SCALE).alias("total_revenue"),
+        )
+    )
