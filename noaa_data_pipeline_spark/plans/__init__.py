@@ -63,6 +63,8 @@ GATE_PRIORITY = [
     "sim_mmr_rerank", "split_leakage_safe",
     "q8_national_market_share", "q11_important_stock_value",
     "q15_top_supplier",
+    "sim_cosine_range_search", "text_dup_span_ratio",
+    "docs_domain_mixture_resample", "lake_bucketed_copartition_join",
 ]
 
 

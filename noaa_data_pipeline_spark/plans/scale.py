@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from . import register
-from .common import exact_agg
+from .common import dsum, exact_agg, sql_dsum
 
 SALT_BUCKETS = 8
 
@@ -253,3 +253,81 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+N_BUCKETS = 8
+_BUCKET_ROOT = "/tmp/noaa_spark_bucketed"
+
+
+def _bucket_tag(sf_dir: str) -> str:
+    import re as _re
+
+    return _re.sub(r"[^a-z0-9]+", "_", sf_dir.strip("/").split("/")[-1].lower())
+
+
+def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Write orders and lineitem as bucketed tables (same bucket
+    count, same key) and return the catalog-backed frames.
+
+    Bucketing is THE storage-level answer to the repeated fact⋈fact
+    shuffle: both tables are hash-clustered into {N_BUCKETS} buckets
+    on the order key at WRITE time, so every later join or aggregate
+    on that key reads co-located buckets and skips the exchange
+    entirely — at 100 TB that turns the dominant per-query network
+    cost into a one-time write cost. The pre-write repartition onto
+    the bucket key yields one file per bucket here (small SFs); at
+    scale you keep multiple sorted files per bucket and Spark
+    sort-merges within the bucket, still shuffle-free."""
+    import os as _os
+
+    tag = _bucket_tag(sf_dir)
+    out: list[DataFrame] = []
+    for name, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+        tbl = f"bkt_{name}_{tag}"
+        path = _os.path.join(_BUCKET_ROOT, tag, name)
+        if not spark.catalog.tableExists(tbl):
+            (
+                load_table(spark, sf_dir, name)
+                .repartition(N_BUCKETS, key)
+                .write.bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", path)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+        out.append(spark.table(tbl))
+    return out[0], out[1]
+
+
+@register(
+    "lake_bucketed_copartition_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def lake_bucketed_copartition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketed storage: orders and
+    lineitem are bucketed on the order key at write time (see
+    bucketed_fact_tables), so the join reads co-located buckets with
+    NO exchange on either side — the plan-shape test asserts the
+    join subtree is exchange-free. The oracle runs the plain join on
+    the un-bucketed views: results must be identical, only the
+    physical plan differs. Scale: this is the canonical pattern for
+    a fact table joined on the same key by many queries — pay the
+    cluster-wide shuffle once at ingest, never again."""
+    orders, li = bucketed_fact_tables(spark, sf_dir)
+    # the merge hint pins the sort-merge strategy both sides are
+    # bucketed for; without it the planner broadcasts at toy SFs and
+    # ignores the bucketing (both facts outgrow broadcast at scale)
+    return (
+        orders.join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -979,3 +979,47 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s3.withColumn("mmr_rank", F.lit(3).cast("int")))
         .select("query_id", "neighbor_id", "mmr_rank", "score")
     )
+
+
+RANGE_THRESHOLD = 0.3  # cosine radius for range search
+
+
+@register(
+    "sim_cosine_range_search",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB})
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_sql_dot('q.emb', 'c.emb')} / (q.norm * c.norm) AS cosine
+    FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+      AND {_sql_dot('q.emb', 'c.emb')} / (q.norm * c.norm) >= {RANGE_THRESHOLD}
+    """,
+)
+def sim_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: ALL corpus vectors within a cosine
+    threshold of each query — the retrieval primitive for "collect
+    every near-duplicate / related document", where top-k's fixed
+    cutoff either truncates dense neighborhoods or pads sparse ones.
+    Scale: identical shape to the brute top-k (query batch broadcasts
+    against one corpus scan, zero corpus self-shuffle) but WITHOUT
+    the per-query window — the threshold filter is map-side, so the
+    operator is a pure scan-and-filter that needs no shuffle at all.
+    The cosine itself reuses the exact decimal dot product, so the
+    >= comparison is bit-identical in both engines."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    return (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= RANGE_THRESHOLD)
+    )

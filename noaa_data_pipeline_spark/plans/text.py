@@ -869,3 +869,130 @@ def docs_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dim")
         .agg(F.sum("s").alias("weight"))
     )
+
+
+SPAN_N = 3  # tokens per span for duplicated-span measurement
+
+
+@register(
+    "text_dup_span_ratio",
+    oracle=f"""
+    WITH sh AS ({textops.sql_shingles('documents', n=SPAN_N)}),
+    cnt AS (SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS dup_span_ratio
+    FROM sh JOIN cnt USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def text_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction per document: the
+    share of a doc's distinct {SPAN_N}-token spans that appear
+    verbatim in at least one OTHER document — the n-gram-granular
+    form of exact-substring dedup (the public "dedup training data
+    by repeated substrings" recipe), used to flag boilerplate-heavy
+    docs that near-dup methods miss because the rest of the doc
+    differs. Scale: span inventory is one doc_id shuffle (reused
+    window + distinct); per-span doc counts combine map-side, so a
+    span repeated a billion times arrives at its reducer as one
+    partial count per partition, not a billion rows; the count joins
+    back on the SAME span key partitioning and the final per-doc agg
+    re-clusters on doc_id. Nothing joins the corpus to itself.
+    (A doc's own repeats don't count: spans are per-doc DISTINCT, so
+    n_docs > 1 requires a second document.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    sh = textops.shingles_df(docs, n=SPAN_N, partitions=n)
+    cnt = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        sh.join(cnt, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            (F.sum(dup).cast("double") / F.count("*")).alias("dup_span_ratio"),
+        )
+    )
+
+
+# target mixture: boost these sources 2x relative to the rest
+MIX_BOOSTED = ["src0", "src1", "src2", "src3", "src4"]
+MIX_BOOST_W = 2
+_SQL_MIX_W = (
+    "CASE WHEN source IN ("
+    + ", ".join(f"'{s}'" for s in MIX_BOOSTED)
+    + f") THEN {MIX_BOOST_W} ELSE 1 END"
+)
+
+
+@register(
+    "docs_domain_mixture_resample",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, COUNT(*) AS n_in, {_SQL_MIX_W} AS wt
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(wt) AS DOUBLE) AS w_total FROM w),
+    tmin AS (SELECT MIN(n_in * w_total / wt) AS t FROM w, tot),
+    rates AS (
+        SELECT source, n_in, 100.0 * wt * t / (w_total * n_in) AS keep_pct
+        FROM w, tot, tmin
+    ),
+    kept AS (
+        SELECT source, COUNT(*) AS n_kept
+        FROM documents JOIN rates USING (source)
+        WHERE {_HASH_PCT} < keep_pct
+        GROUP BY source
+    )
+    SELECT r.source, CAST(r.n_in AS BIGINT) AS n_in,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k USING (source)
+    """,
+)
+def docs_domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: derive per-source keep rates FROM a
+    target mixture (boosted sources get {MIX_BOOST_W}x the weight of
+    the rest) instead of hand-fixing them like sample_stratified_hash
+    — the downsample-to-mixture step of corpus curation. The largest
+    corpus satisfying the mixture without upsampling is found by
+    T = MIN over sources of n_s / share_s; each source then keeps
+    share_s * T / n_s of its docs by the deterministic md5 bucket.
+    Scale: rates derive from the per-source COUNTS (a few rows), not
+    the corpus — aggregate, broadcast two scalars back, broadcast
+    the tiny rate table onto the corpus scan, map-side filter. Two
+    corpus scans total (count + filter), zero corpus shuffles; the
+    same multiply/divide order on both engines keeps the double
+    keep_pct bit-identical."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    wt = F.when(F.col("source").isin(MIX_BOOSTED), MIX_BOOST_W).otherwise(1)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_in")).withColumn("wt", wt)
+    tot = counts.agg(F.sum("wt").cast("double").alias("w_total"))
+    with_tot = counts.crossJoin(F.broadcast(tot))
+    tmin = with_tot.agg(
+        F.min(F.col("n_in") * F.col("w_total") / F.col("wt")).alias("t")
+    )
+    rates = with_tot.crossJoin(F.broadcast(tmin)).select(
+        "source",
+        "n_in",
+        (F.lit(100.0) * F.col("wt") * F.col("t") / (F.col("w_total") * F.col("n_in"))).alias(
+            "keep_pct"
+        ),
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "keep_pct")), "source")
+        .filter(_hash_pct() < F.col("keep_pct"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_in").cast("long").alias("n_in"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -274,3 +274,15 @@ def test_user_sequences_single_exchange_bounded_state(spark, sf_dir):
     # one exchange; the rank filter bounds collect state at SEQ_MAX
     plan = plan_of(spark, sf_dir, "events_user_sequences")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lake_bucketed_entry_join_is_exchange_free(spark, sf_dir):
+    """The registry's bucketed co-partition entry: the fact⋈fact join
+    reads bucketed scans (Bucketed: true) and needs no exchange on
+    either join key — only the final tiny priority aggregate
+    shuffles."""
+    plan = plan_of(spark, sf_dir, "lake_bucketed_copartition_join")
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
