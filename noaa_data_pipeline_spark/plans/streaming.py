@@ -314,3 +314,75 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+JOIN_HORIZON_MIN = 60  # purchases attribute to views within this window
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle=f"""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id,
+           CAST(date_diff('second', CAST(v.ts AS TIMESTAMP), CAST(p.ts AS TIMESTAMP)) AS BIGINT)
+               AS lag_seconds
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL {JOIN_HORIZON_MIN} MINUTE
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join with an event-time interval condition:
+    each purchase joins the same user's views from the preceding
+    {JOIN_HORIZON_MIN} minutes — the attribution join, and the one
+    streaming operator class the registry lacked (stream-static is
+    stateless; this one is doubly stateful). Both sides carry a
+    watermark and the join predicate bounds purchase time against
+    view time, which is exactly what lets Spark EVICT state: a view
+    older than watermark + horizon can never match a future purchase
+    and is dropped, so state is bounded by rate x horizon instead of
+    growing forever — the property that makes the operator viable on
+    an unbounded 100 TB/day stream. One availableNow pass over the
+    static lake must equal the batch interval self-join the oracle
+    runs. Scale: the join shuffles both sides on user_id; the
+    interval condition is evaluated inside the state store probe,
+    not as a post-filter on a cartesian per user."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {JOIN_HORIZON_MIN} MINUTES")
+        ),
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+        ).cast("long").alias("lag_seconds"),
+    )
+    return _run_to_memory(joined, "append")
