@@ -331,3 +331,75 @@ def lake_bucketed_copartition_join(spark: SparkSession, sf_dir: str) -> DataFram
             F.count("*").alias("n_lines"),
         )
     )
+
+
+Z_BITS = 4  # bits per dimension in the z-order key
+
+
+def _z_terms(x: str, y: str, spark_dialect: bool) -> str:
+    """Bit-interleave expression for a 2-D z-order key, generated
+    once for both dialects so they cannot drift: Spark SQL spells
+    shifts as shiftleft/shiftright functions, DuckDB as << / >>."""
+    terms = []
+    for i in range(Z_BITS):
+        if spark_dialect:
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "lake_zorder_key",
+    oracle=f"""
+    SELECT event_id,
+           CAST(x_b AS BIGINT) AS x_b, CAST(y_b AS BIGINT) AS y_b,
+           CAST({_z_terms('x_b', 'y_b', spark_dialect=False)} AS BIGINT) AS z_key
+    FROM (
+        SELECT event_id,
+               user_id % {1 << Z_BITS} AS x_b,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   % {1 << Z_BITS} AS y_b
+        FROM events
+    ) b
+    """,
+)
+def lake_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two scan dimensions
+    (user bucket x day bucket): range-partitioning and sorting the
+    lake by this interleaved key gives every output file a TIGHT
+    min-max envelope on BOTH dimensions simultaneously, so data
+    skipping prunes files for predicates on either column — the
+    multi-dimensional generalization of the reference's
+    filename-time pruning (S10), and the standard layout trick for
+    100 TB fact tables queried along more than one axis. The key
+    itself is a pure map-side bit-interleave (one codegen'd
+    projection, zero shuffles here; the layout write that consumes
+    it pays one range exchange). The bit expression is generated
+    from one Python source for both engines.
+
+    Bucketing notes: 2^Z_BITS buckets per dimension keeps BOTH dims
+    spanning their full bucket range (users and days both exceed 16
+    at every SF) — a dim that only occupies low bits cedes every
+    z-key split to the other dim and the interleave degenerates to a
+    single-column sort. Modulo buckets serve point and short-range
+    predicates (the bucket is computable from the predicate value);
+    a production layout derives RANGE bucket boundaries from column
+    stats instead so long-range scans prune too — the interleave and
+    the write path are identical."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        (F.col("user_id") % (1 << Z_BITS)).alias("x_b"),
+        (
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long") % (1 << Z_BITS)
+        ).alias("y_b"),
+    )
+    return b.select(
+        "event_id",
+        F.col("x_b").cast("long").alias("x_b"),
+        F.col("y_b").cast("long").alias("y_b"),
+        F.expr(_z_terms("x_b", "y_b", spark_dialect=True)).cast("long").alias("z_key"),
+    )

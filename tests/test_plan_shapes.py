@@ -286,3 +286,41 @@ def test_lake_bucketed_entry_join_is_exchange_free(spark, sf_dir):
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_zorder_layout_tightens_file_envelopes(spark, sf_dir, tmp_path):
+    """Writing the lake range-partitioned on the z-key gives files a
+    tighter min-max envelope on BOTH dimensions than a time-sorted
+    layout — the property data skipping prunes on. Compare the mean
+    per-file x_b spread under the two layouts."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    zdf = entrymod.queries()["lake_zorder_key"](spark, sf_dir)
+    n_files = 8
+
+    def mean_x_spread(df, order_col):
+        path = str(tmp_path / order_col)
+        (
+            df.repartitionByRange(n_files, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        spreads = []
+        for f in glob.glob(path + "/*.parquet"):
+            part = spark.read.parquet(f).agg(
+                (F.max("x_b") - F.min("x_b")).alias("s")
+            ).collect()[0]
+            if part["s"] is not None:
+                spreads.append(part["s"])
+        return sum(spreads) / len(spreads)
+
+    # y_b is the day bucket: ordering by it alone leaves x (user
+    # bucket) unclustered — every file spans nearly the full x range
+    naive = mean_x_spread(zdf, "y_b")
+    z = mean_x_spread(zdf, "z_key")
+    assert z < naive * 0.7, f"z-order spread {z} not tighter than {naive}"
