@@ -66,6 +66,7 @@ GATE_PRIORITY = [
     "sim_cosine_range_search", "text_dup_span_ratio",
     "docs_domain_mixture_resample", "lake_bucketed_copartition_join",
     "stream_stream_interval_join", "lake_zorder_key",
+    "graph_quality_smoothing",
 ]
 
 

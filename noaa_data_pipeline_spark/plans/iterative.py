@@ -826,3 +826,92 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_dup").cast("long").alias("n_dup_members"),
         )
     )
+
+
+SMOOTH_ROUNDS = 2
+
+
+def _smoothing_oracle_sql() -> str:
+    from .dedup import SQL_LSH_VERIFIED_PAIRS
+
+    prev = "s0"
+    rounds = []
+    for r in range(1, SMOOTH_ROUNDS + 1):
+        rounds.append(f"""
+    r{r} AS (
+        SELECT p.doc_id,
+               CASE WHEN n.doc_id IS NULL THEN p.s
+                    ELSE (p.s + n.avg_s) // 2 END AS s
+        FROM {prev} p
+        LEFT JOIN (
+            SELECT e.src AS doc_id, SUM(x.s) // COUNT(*) AS avg_s
+            FROM sm_edges e JOIN {prev} x ON x.doc_id = e.dst
+            GROUP BY e.src
+        ) n ON n.doc_id = p.doc_id
+    )""")
+        prev = f"r{r}"
+    return f"""
+    WITH {SQL_LSH_VERIFIED_PAIRS},
+    sm_edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+    ),
+    s0 AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS s FROM documents),
+    {",".join(rounds)}
+    SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS raw_score,
+           CAST({prev}.s AS BIGINT) AS smoothed_score
+    FROM documents d JOIN {prev} ON {prev}.doc_id = d.doc_id
+    """
+
+
+@register("graph_quality_smoothing", oracle=_smoothing_oracle_sql())
+def graph_quality_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score propagation over the near-dup graph: each document's
+    quality seed (n_chars stands in for any scalar quality score)
+    is averaged with its LSH-neighborhood over {SMOOTH_ROUNDS}
+    rounds, s' = (s + mean(neighbor s)) / 2 — the label-smoothing
+    step that makes boilerplate CLUSTERS share one quality penalty
+    instead of letting individual members slip a threshold (the
+    same message-passing shape as PageRank, with the damping mean
+    in integer arithmetic). All math is 64-bit integer (floor
+    division), so a billion-row propagation is bit-identical
+    regardless of partitioning — no float accumulation order to
+    diverge between engines or runs. Scale: per round, one
+    edges⋈scores shuffle on dst + one groupBy src (both combine
+    map-side) + one left join back to scores; edges come from the
+    banded LSH path, so the graph is the sparse near-dup set, never
+    a corpus self-join. Rounds are unrolled (fixed small constant),
+    each a pure DataFrame stage — no driver-side collect."""
+    from .dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    scores = docs.select("doc_id", F.col("n_chars").cast("long").alias("s"))
+    for _ in range(SMOOTH_ROUNDS):
+        nbr = (
+            edges.join(
+                scores.select(F.col("doc_id").alias("dst"), F.col("s").alias("ns")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.expr("sum(ns) div count(1)").alias("avg_s"))
+            .select(F.col("src").alias("doc_id"), "avg_s")
+        )
+        scores = (
+            scores.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("avg_s").isNull(), F.col("s")
+                ).otherwise(F.expr("(s + avg_s) div 2")).alias("s"),
+            )
+        )
+    return docs.select("doc_id", F.col("n_chars").cast("long").alias("raw_score")).join(
+        scores.select("doc_id", F.col("s").alias("smoothed_score")), "doc_id"
+    )
