@@ -66,7 +66,8 @@ GATE_PRIORITY = [
     "sim_cosine_range_search", "text_dup_span_ratio",
     "docs_domain_mixture_resample", "lake_bucketed_copartition_join",
     "stream_stream_interval_join", "lake_zorder_key",
-    "graph_quality_smoothing",
+    "graph_quality_smoothing", "events_dq_report",
+    "events_incremental_rollup_merge",
 ]
 
 

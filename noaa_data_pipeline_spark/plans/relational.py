@@ -375,3 +375,89 @@ def sql_adhoc_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return run_user_sql(spark, _ADHOC_SQL)
+
+
+DQ_MAX_NULL_VALUES = 0  # events.value null budget
+TS_LO, TS_HI = "2024-01-01", "2031-01-01"
+
+
+@register(
+    "events_dq_report",
+    oracle=f"""
+    SELECT 'event_id_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS violations,
+           COUNT(*) = COUNT(DISTINCT event_id) AS passed
+    FROM events
+    UNION ALL
+    SELECT 'value_not_null',
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) <= {DQ_MAX_NULL_VALUES}
+    FROM events
+    UNION ALL
+    SELECT 'ts_in_range',
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '{TS_LO}'
+                           OR ts >= TIMESTAMP '{TS_HI}' THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN ts < TIMESTAMP '{TS_LO}'
+                      OR ts >= TIMESTAMP '{TS_HI}' THEN 1 ELSE 0 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) = 0
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey IS NULL
+    """,
+)
+def events_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (the Deequ/dbt-test shape):
+    uniqueness, completeness, range, and referential-integrity checks
+    evaluated in aggregate and emitted as (check, violations, passed)
+    rows — the validation gate a 100 TB ingest runs before
+    publishing a partition. Scale: the three single-table checks
+    fold into per-table aggregates (count-distinct is the only
+    shuffle; the rest are map-side conditional sums); the FK check
+    is a broadcast anti probe of the dim, not a row-expansion join.
+    Constraint-violating ROWS are deliberately not emitted (at scale
+    you sample them separately); the report is fixed-size output
+    regardless of input size."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    uniq = ev.agg(
+        (F.count("*") - F.countDistinct("event_id")).alias("violations")
+    ).select(
+        F.lit("event_id_unique").alias("check_name"),
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )
+    nulls = ev.agg(
+        F.sum(F.col("value").isNull().cast("long")).alias("violations")
+    ).select(
+        F.lit("value_not_null").alias("check_name"),
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") <= DQ_MAX_NULL_VALUES).alias("passed"),
+    )
+    out_of_range = (
+        (F.col("ts") < F.lit(TS_LO).cast("timestamp"))
+        | (F.col("ts") >= F.lit(TS_HI).cast("timestamp"))
+    ).cast("long")
+    ts_range = ev.agg(F.sum(out_of_range).alias("violations")).select(
+        F.lit("ts_in_range").alias("check_name"),
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("violations"))
+        .select(
+            F.lit("orders_custkey_fk").alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )
+    return uniq.unionByName(nulls).unionByName(ts_range).unionByName(orphans)

@@ -994,3 +994,59 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("seq"),
     )
+
+
+INCR_BASE_PCT = 80  # hash split: base partition vs late-arriving delta
+
+
+@register(
+    "events_incremental_rollup_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+               AS sum_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the lake is split
+    into an already-rolled-up BASE and a late-arriving DELTA batch
+    (deterministic hash split stands in for arrival time), each
+    aggregated independently, and the stored partials are MERGED —
+    count/sum add, min/max fold — without touching base rows again.
+    The oracle recomputes the rollup from scratch over everything:
+    merged partials must equal the full recompute, which is exactly
+    the algebraic-aggregate property (commutative monoid state) that
+    makes incremental view maintenance and streaming upkeep correct.
+    Scale: at 100 TB the base partials are a few rows per group —
+    the delta batch is the only data aggregated per refresh; the
+    scaled-long sum keeps the merge bit-exact in any order."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("sum_scaled"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    base = partials(ev.filter(bucket < INCR_BASE_PCT))
+    delta = partials(ev.filter(bucket >= INCR_BASE_PCT))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            (F.sum("sum_scaled").cast("double") / 1000000.0).alias("sum_value"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
