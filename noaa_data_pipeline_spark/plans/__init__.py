@@ -67,7 +67,7 @@ GATE_PRIORITY = [
     "docs_domain_mixture_resample", "lake_bucketed_copartition_join",
     "stream_stream_interval_join", "lake_zorder_key",
     "graph_quality_smoothing", "events_dq_report",
-    "events_incremental_rollup_merge",
+    "events_incremental_rollup_merge", "emb_pq_codes",
 ]
 
 

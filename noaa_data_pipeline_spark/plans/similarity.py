@@ -1023,3 +1023,122 @@ def sim_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= RANGE_THRESHOLD)
     )
+
+
+PQ_M = 2  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two double arrays: per-dim
+    squared diffs (IEEE-deterministic double products) accumulated in
+    DECIMAL so the total is addition-order-free — comparable across
+    engines without a tolerance. Mirrors _dot/_sql_sqdist."""
+    diffs = F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_DEC))
+    return F.aggregate(diffs, F.lit(0).cast(_DEC), lambda acc, v: (acc + v).cast(_DEC))
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST((x[1] - x[2]) * (x[1] - x[2]) AS {_SQL_DEC})))"
+    )
+
+
+@register(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    sub AS (
+        SELECT vec_id, label, s,
+               CASE s WHEN 0 THEN emb[1:{PQ_SUBDIM}]
+                      ELSE emb[{PQ_SUBDIM + 1}:{DIM}] END AS svec
+        FROM emb, (SELECT 0 AS s UNION ALL SELECT 1) subs
+    ),
+    comps AS (
+        SELECT s, label, unnest(svec) AS val,
+               generate_subscripts(svec, 1) AS dim
+        FROM sub
+    ),
+    codebook AS (
+        SELECT s, label AS code, dim,
+               CAST(CAST(SUM(CAST(val AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS cval
+        FROM comps GROUP BY s, label, dim
+    ),
+    codewords AS (
+        SELECT s, code, list(cval ORDER BY dim) AS cw
+        FROM codebook GROUP BY s, code
+    ),
+    dists AS (
+        SELECT v.vec_id, v.s, c.code,
+               {_sql_sqdist('v.svec', 'c.cw')} AS d
+        FROM sub v JOIN codewords c ON c.s = v.s
+    ),
+    best AS (
+        SELECT vec_id, s, code, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM dists
+    )
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN s = 0 THEN code END) AS BIGINT) AS code_0,
+           CAST(MAX(CASE WHEN s = 1 THEN code END) AS BIGINT) AS code_1,
+           CAST(CAST(SUM(d) AS VARCHAR) AS DOUBLE) AS recon_err_sq
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each vector splits into {PQ_M} subvectors
+    and each subvector is replaced by its nearest subspace codeword —
+    the memory-side compression behind IVF-PQ indexes (a {DIM}-dim
+    float vector becomes {PQ_M} bytes plus the shared codebook).
+    Codebooks here are the per-label subvector means (the same
+    deterministic stand-in for a trained k-means codebook the IVF
+    entries use: centroid derivation is identical math, just per
+    subspace), so the whole operator — training, assignment, and
+    reconstruction error — is closed-form and oracle-checkable.
+    Scale: codebooks aggregate map-side and broadcast ({PQ_M} x
+    codes x {PQ_SUBDIM} doubles); assignment is a broadcast join +
+    per-(vec, subspace) argmin window over codes-per-subspace rows —
+    the corpus never shuffles against itself, and the argmin's
+    decimal distances make the code assignment bit-identical across
+    engines (no float-order ties). Reconstruction error is the sum
+    of the two subspace distances, reported for the quantization-
+    quality audit (the PQ twin of emb_quantize_int8's exact error)."""
+    emb = _embeddings(spark, sf_dir)
+    subs = []
+    for s in range(PQ_M):
+        subs.append(
+            emb.select(
+                "vec_id",
+                "label",
+                F.lit(s).alias("s"),
+                F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("svec"),
+            )
+        )
+    sub = subs[0].unionByName(subs[1])
+    comps = sub.select("s", "label", F.posexplode("svec").alias("dim", "val"))
+    codebook = comps.groupBy("s", F.col("label").alias("code"), "dim").agg(
+        (
+            F.sum(F.col("val").cast(_DEC)).cast("string").cast("double")
+            / F.count("*")
+        ).alias("cval")
+    )
+    codewords = codebook.groupBy("s", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda st: st["cval"],
+        ).alias("cw")
+    )
+    dists = sub.join(F.broadcast(codewords), "s").select(
+        "vec_id", "s", "code", _sqdist(F.col("svec"), F.col("cw")).alias("d")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    best = dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.max(F.when(F.col("s") == 0, F.col("code"))).cast("long").alias("code_0"),
+        F.max(F.when(F.col("s") == 1, F.col("code"))).cast("long").alias("code_1"),
+        F.sum("d").cast("string").cast("double").alias("recon_err_sq"),
+    )
