@@ -1045,10 +1045,53 @@ def _sql_sqdist(a: str, b: str) -> str:
     )
 
 
-@register(
-    "emb_pq_codes",
-    oracle=f"""
-    WITH emb AS ({_SQL_EMB}),
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, s, svec) — each vector split into PQ_M
+    subspace slices, one row per (vector, subspace)."""
+    subs = [
+        emb.select(
+            "vec_id",
+            "label",
+            F.lit(s).alias("s"),
+            F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("svec"),
+        )
+        for s in range(PQ_M)
+    ]
+    out = subs[0]
+    for frame in subs[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def _pq_codewords(sub: DataFrame) -> DataFrame:
+    """(s, code, cw double[]) — per-subspace codebook: the per-label
+    subvector means (closed-form codebook; see emb_pq_codes)."""
+    comps = sub.select("s", "label", F.posexplode("svec").alias("dim", "val"))
+    codebook = comps.groupBy("s", F.col("label").alias("code"), "dim").agg(
+        (
+            F.sum(F.col("val").cast(_DEC)).cast("string").cast("double")
+            / F.count("*")
+        ).alias("cval")
+    )
+    return codebook.groupBy("s", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda st: st["cval"],
+        ).alias("cw")
+    )
+
+
+def _pq_best_codes(sub: DataFrame) -> DataFrame:
+    """(vec_id, s, code, d) — nearest codeword per (vector, subspace)
+    with its exact decimal distance; argmin tie-broken on code."""
+    dists = sub.join(F.broadcast(_pq_codewords(sub)), "s").select(
+        "vec_id", "s", "code", _sqdist(F.col("svec"), F.col("cw")).alias("d")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    return dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+
+_SQL_PQ_PREFIX = f"""
     sub AS (
         SELECT vec_id, label, s,
                CASE s WHEN 0 THEN emb[1:{PQ_SUBDIM}]
@@ -1080,7 +1123,14 @@ def _sql_sqdist(a: str, b: str) -> str:
                ROW_NUMBER() OVER (PARTITION BY vec_id, s
                                   ORDER BY d, code) AS rn
         FROM dists
-    )
+    )"""
+
+
+@register(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    {_SQL_PQ_PREFIX}
     SELECT vec_id,
            CAST(MAX(CASE WHEN s = 0 THEN code END) AS BIGINT) AS code_0,
            CAST(MAX(CASE WHEN s = 1 THEN code END) AS BIGINT) AS code_1,
@@ -1107,38 +1157,84 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (no float-order ties). Reconstruction error is the sum
     of the two subspace distances, reported for the quantization-
     quality audit (the PQ twin of emb_quantize_int8's exact error)."""
-    emb = _embeddings(spark, sf_dir)
-    subs = []
-    for s in range(PQ_M):
-        subs.append(
-            emb.select(
-                "vec_id",
-                "label",
-                F.lit(s).alias("s"),
-                F.slice("emb", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("svec"),
-            )
-        )
-    sub = subs[0].unionByName(subs[1])
-    comps = sub.select("s", "label", F.posexplode("svec").alias("dim", "val"))
-    codebook = comps.groupBy("s", F.col("label").alias("code"), "dim").agg(
-        (
-            F.sum(F.col("val").cast(_DEC)).cast("string").cast("double")
-            / F.count("*")
-        ).alias("cval")
-    )
-    codewords = codebook.groupBy("s", "code").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
-            lambda st: st["cval"],
-        ).alias("cw")
-    )
-    dists = sub.join(F.broadcast(codewords), "s").select(
-        "vec_id", "s", "code", _sqdist(F.col("svec"), F.col("cw")).alias("d")
-    )
-    w = Window.partitionBy("vec_id", "s").orderBy("d", "code")
-    best = dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best = _pq_best_codes(_pq_subvectors(_embeddings(spark, sf_dir)))
     return best.groupBy("vec_id").agg(
         F.max(F.when(F.col("s") == 0, F.col("code"))).cast("long").alias("code_0"),
         F.max(F.when(F.col("s") == 1, F.col("code"))).cast("long").alias("code_1"),
         F.sum("d").cast("string").cast("double").alias("recon_err_sq"),
+    )
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    {_SQL_PQ_PREFIX},
+    codes AS (SELECT vec_id, s, code FROM best WHERE rn = 1),
+    qdist AS (
+        SELECT v.vec_id AS query_id, v.s, c.code,
+               {_sql_sqdist('v.svec', 'c.cw')} AS qd
+        FROM sub v JOIN codewords c ON c.s = v.s
+        WHERE v.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT q.query_id, cd.vec_id AS neighbor_id,
+               SUM(q.qd) AS approx_d
+        FROM codes cd
+        JOIN qdist q ON q.s = cd.s AND q.code = cd.code
+        WHERE cd.vec_id <> q.query_id
+        GROUP BY q.query_id, cd.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(CAST(approx_d AS VARCHAR) AS DOUBLE) AS approx_dist_sq, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY approx_d, neighbor_id
+        ) AS rnk FROM adc
+    ) r WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-{TOP_K}: queries stay
+    uncompressed, the corpus is its PQ codes, and each query-corpus
+    distance is the SUM of table lookups — the query's precomputed
+    distance to each subspace codeword. This is the search path PQ
+    compression exists for: per query the distance table is PQ_M x
+    codes entries, and scanning a billion compressed vectors costs
+    {PQ_M} lookups + an add per vector instead of a {DIM}-dim float
+    dot product. Scale: the distance tables (queries x subspaces x
+    codes — kilobytes) BROADCAST onto the corpus-codes scan, the
+    per-(query, vector) sum combines map-side, and per-query top-k is
+    a WindowGroupLimit; the corpus never shuffles against itself.
+    Decimal lookup distances keep ranking ties bit-identical."""
+    emb = _embeddings(spark, sf_dir)
+    sub = _pq_subvectors(emb)
+    codewords = _pq_codewords(sub)
+    codes = _pq_best_codes(sub).select("vec_id", "s", "code")
+    qdist = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(codewords), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "code",
+            _sqdist(F.col("svec"), F.col("cw")).alias("qd"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qdist), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("approx_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("approx_d").cast("string").cast("double").alias("approx_dist_sq"),
+            "rnk",
+        )
     )
