@@ -324,3 +324,30 @@ def test_zorder_layout_tightens_file_envelopes(spark, sf_dir, tmp_path):
     naive = mean_x_spread(zdf, "y_b")
     z = mean_x_spread(zdf, "z_key")
     assert z < naive * 0.7, f"z-order spread {z} not tighter than {naive}"
+
+
+def test_range_search_is_broadcast_scan(spark, sf_dir):
+    """Radius search: query batch broadcasts, corpus never self-joins
+    via shuffle — and the threshold filter runs before any window
+    (there is none)."""
+    plan = plan_of(spark, sf_dir, "sim_cosine_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_dq_fk_check_is_anti_probe(spark, sf_dir):
+    """The referential-integrity check must be an anti join against
+    the broadcast dim, not a row-expanding outer join."""
+    plan = plan_of(spark, sf_dir, "events_dq_report")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_adc_codes_scan_joins_broadcast_tables(spark, sf_dir):
+    """ADC search: distance tables broadcast onto the corpus-codes
+    scan; the corpus is never sort-merge-joined against itself."""
+    plan = plan_of(spark, sf_dir, "sim_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
