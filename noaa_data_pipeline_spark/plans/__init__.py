@@ -68,7 +68,7 @@ GATE_PRIORITY = [
     "stream_stream_interval_join", "lake_zorder_key",
     "graph_quality_smoothing", "events_dq_report",
     "events_incremental_rollup_merge", "emb_pq_codes",
-    "sim_pq_adc_topk",
+    "sim_pq_adc_topk", "dedup_minhash_estimator_quality",
 ]
 
 

@@ -580,3 +580,123 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_overlap * F.lit(1.0) / F.col("n_shingles")).alias("contam_ratio"),
         (n_overlap > 0).alias("contaminated"),
     )
+
+
+def _estimator_oracle_sql() -> str:
+    k = textops.MINHASH_K
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+    WITH {_SQL_PAIR_JACCARD},
+    sigs AS (
+        SELECT doc_id,
+           {textops.sql_minhash_aggs()}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        {textops.sql_band_selects('sigs')}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ({agree}) / {k}.0 AS est_jaccard,
+           COALESCE(pj.jaccard, 0.0) AS exact_jaccard,
+           ABS(({agree}) / {k}.0 - COALESCE(pj.jaccard, 0.0)) AS abs_err
+    FROM candidates c
+    JOIN sigs a ON a.doc_id = c.doc_a
+    JOIN sigs b ON b.doc_id = c.doc_b
+    LEFT JOIN pair_jaccard pj
+           ON pj.doc_a = c.doc_a AND pj.doc_b = c.doc_b
+    """
+
+
+@register("dedup_minhash_estimator_quality", oracle=_estimator_oracle_sql())
+def dedup_minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: for every LSH candidate pair, the
+    signature-agreement estimate of Jaccard (fraction of the k
+    min-hashes equal — the unbiased estimator banded LSH is built
+    on) next to the exact shingle Jaccard and their absolute error.
+    This is the calibration readout for choosing (k, bands): the
+    error column shows directly how tight k hashes bound the
+    estimate on THIS corpus (stderr ~ sqrt(J(1-J)/k)). Scale: the
+    estimate costs an equality fold over the two signatures already
+    in hand (no shingle access); only the exact column touches
+    shingles, semi-join-reduced to candidate docs — on a 100 TB
+    corpus you run the audit on a candidate sample and drop the
+    exact column from the hot path entirely."""
+    k = textops.MINHASH_K
+    sh = _shingles_cached(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(*textops.minhash_agg_cols(k))
+    bands_df = sigs.select(
+        "doc_id", F.explode(F.array(*textops.band_cols(k))).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    candidates.count()
+    agree = sum(
+        (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int") for i in range(k)
+    )
+    est = (
+        candidates.join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (agree / F.lit(float(k))).alias("est_jaccard"))
+    )
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    cand_sh = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = cand_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sa, sb = cand_sh.alias("a"), cand_sh.alias("b")
+    overlap = (
+        sa.join(
+            sb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    exact = (
+        overlap.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.coalesce("jaccard", F.lit(0.0)).alias("exact_jaccard"),
+            F.abs(
+                F.col("est_jaccard") - F.coalesce("jaccard", F.lit(0.0))
+            ).alias("abs_err"),
+        )
+    )
