@@ -69,6 +69,7 @@ GATE_PRIORITY = [
     "graph_quality_smoothing", "events_dq_report",
     "events_incremental_rollup_merge", "emb_pq_codes",
     "sim_pq_adc_topk", "dedup_minhash_estimator_quality",
+    "events_window_function_suite", "sim_pq_recall_eval",
 ]
 
 

@@ -1382,3 +1382,41 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r_scaled").cast("double") / SCALE).alias("total_revenue"),
         )
     )
+
+
+@register(
+    "events_window_function_suite",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def events_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ranking-window surface in one pass: row_number,
+    rank, dense_rank, percent_rank, cume_dist, and ntile over a
+    single shared frame — SQL-standard semantics in both engines
+    (percent_rank = (rank-1)/(n-1), cume_dist = rows<=current / n,
+    both exact integer divisions in double). Scale: ONE exchange on
+    the partition key serves all six functions (they share the
+    window spec, so Spark evaluates them in a single Window
+    operator); the order ends in the unique event_id so ranks are
+    partitioning-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -1238,3 +1238,99 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "sim_pq_recall_eval",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    {_SQL_PQ_PREFIX},
+    codes AS (SELECT vec_id, s, code FROM best WHERE rn = 1),
+    qdist AS (
+        SELECT v.vec_id AS query_id, v.s, c.code,
+               {_sql_sqdist('v.svec', 'c.cw')} AS qd
+        FROM sub v JOIN codewords c ON c.s = v.s
+        WHERE v.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT q.query_id, cd.vec_id AS neighbor_id, SUM(q.qd) AS approx_d
+        FROM codes cd
+        JOIN qdist q ON q.s = cd.s AND q.code = cd.code
+        WHERE cd.vec_id <> q.query_id
+        GROUP BY q.query_id, cd.vec_id
+    ),
+    adc_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY approx_d, neighbor_id
+            ) AS rnk FROM adc
+        ) r WHERE rnk <= {TOP_K}
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.emb', 'c.emb')} / (q.norm * c.norm) AS cosine
+        FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    exact_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rnk FROM scored
+        ) r WHERE rnk <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           COUNT(a.neighbor_id) * 1.0 / {TOP_K} AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN adc_topk a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of PQ ADC search against the exact cosine
+    top-{TOP_K} — the accuracy half of the compression trade
+    sim_pq_adc_topk makes (ADC ranks by L2 over codewords on
+    unnormalized vectors, so its agreement with cosine ranking is an
+    empirical property of the corpus, and THIS is the number that
+    says whether {PQ_M}x{PQ_SUBDIM}-dim codebooks suffice or the
+    codebook needs more codes/subspaces). Same eval harness shape as
+    sim_ann_recall_eval: both top-k sets are per-query bounded, the
+    comparison joins {TOP_K}-row frames. Scale: cost is one ADC pass
+    + one exact pass over the query batch; the exact side is the
+    audit's price and runs on a query SAMPLE at 100 TB.
+
+    Both top-k frames are materialized with localCheckpoint BEFORE
+    the comparison join: composing the two deep subtrees into one
+    plan makes Spark's exchange-reuse machinery substitute exchanges
+    ACROSS them, and the ADC side then loses one of its two
+    union-leg subspace rows per pair — approx distances come out
+    halved and the top-k set is wrong (measured: every pair n_rows=1
+    composed vs n_rows=2 standalone; the standalone plans are the
+    hash-green gated ones). The checkpoint is {N_QUERIES}x{TOP_K}
+    rows per side — free at any corpus scale — and pins each side to
+    exactly the plan its own gate verified.
+    tests/test_plan_shapes.py::test_pq_recall_matches_independent_runs
+    locks this against regression."""
+    exact = sim_cosine_topk_brute(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint()
+    adc = sim_pq_adc_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    ).localCheckpoint()
+    return (
+        exact.join(
+            adc,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_nid").alias("n_hit"))
+        .select(
+            "query_id",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            (F.col("n_hit") * F.lit(1.0) / TOP_K).alias("recall_at_k"),
+        )
+    )

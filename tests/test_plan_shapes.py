@@ -351,3 +351,32 @@ def test_pq_adc_codes_scan_joins_broadcast_tables(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_recall_matches_independent_runs(spark, sf_dir):
+    """Regression lock for the exchange-reuse wrong-result hazard:
+    composing the exact-topk and ADC-topk subtrees into one plan made
+    reuse substitute exchanges across them and drop one subspace row
+    per ADC pair (distances halved). The recall entry must equal the
+    intersection of the two INDEPENDENTLY executed top-k sets."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["sim_cosine_topk_brute"](spark, sf_dir).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["sim_pq_adc_topk"](spark, sf_dir).collect()
+    }
+    want = {}
+    for q, n in exact:
+        want.setdefault(q, 0)
+        if (q, n) in adc:
+            want[q] += 1
+    got = {
+        r.query_id: r.n_hit
+        for r in qs["sim_pq_recall_eval"](spark, sf_dir).collect()
+    }
+    assert got == want
