@@ -1255,10 +1255,10 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders_amer.hint("shuffle_hash") if not prefer_broadcast(sf_dir, "orders") else F.broadcast(orders_amer),
         F.col("o_orderkey") == F.col("l_orderkey"),
     )
-    brazil = F.when(F.col("supp_nation") == "NATION_6", F.col("vol_scaled")).otherwise(F.lit(0))
+    share_vol = F.when(F.col("supp_nation") == "NATION_6", F.col("vol_scaled")).otherwise(F.lit(0))
     return joined.groupBy("o_year").agg(
         (
-            (F.sum(brazil).cast("double") / SCALE)
+            (F.sum(share_vol).cast("double") / SCALE)
             / F.nullif(F.sum("vol_scaled").cast("double") / SCALE, F.lit(0.0))
         ).alias("mkt_share"),
         F.count("*").alias("n_lines"),
