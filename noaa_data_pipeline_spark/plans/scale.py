@@ -270,17 +270,24 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
     count, same key) and return the catalog-backed frames.
 
     Bucketing is THE storage-level answer to the repeated fact⋈fact
-    shuffle: both tables are hash-clustered into {N_BUCKETS} buckets
-    on the order key at WRITE time, so every later join or aggregate
-    on that key reads co-located buckets and skips the exchange
-    entirely — at 100 TB that turns the dominant per-query network
-    cost into a one-time write cost. The pre-write repartition onto
-    the bucket key yields one file per bucket here (small SFs); at
+    shuffle: both tables are hash-clustered on the order key at
+    WRITE time, so every later join or aggregate on that key reads
+    co-located buckets and skips the exchange entirely — at 100 TB
+    that turns the dominant per-query network cost into a one-time
+    write cost. The bucket COUNT is the post-scan parallelism cap
+    for every consumer (a bucketed scan cannot split a bucket), so
+    it is sized to the cluster width (defaultParallelism, floor
+    {N_BUCKETS}) — the x20 A/B that motivated this: 8 buckets ran
+    the whole Q21 aggregate chain on 8 of 32 cores and LOST to the
+    exchange it saved (1.82 s vs 1.62 s); at cluster width the same
+    plan wins (see q21_waiting_suppliers_bucketed). The pre-write
+    repartition yields one file per bucket here (small SFs); at
     scale you keep multiple sorted files per bucket and Spark
     sort-merges within the bucket, still shuffle-free."""
     import os as _os
 
-    tag = _bucket_tag(sf_dir)
+    n_buckets = max(N_BUCKETS, spark.sparkContext.defaultParallelism)
+    tag = f"{_bucket_tag(sf_dir)}_b{n_buckets}"
     out: list[DataFrame] = []
     for name, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
         tbl = f"bkt_{name}_{tag}"
@@ -288,8 +295,8 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
         if not spark.catalog.tableExists(tbl):
             (
                 load_table(spark, sf_dir, name)
-                .repartition(N_BUCKETS, key)
-                .write.bucketBy(N_BUCKETS, key)
+                .repartition(n_buckets, key)
+                .write.bucketBy(n_buckets, key)
                 .sortBy(key)
                 .option("path", path)
                 .mode("overwrite")
@@ -402,4 +409,69 @@ def lake_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x_b").cast("long").alias("x_b"),
         F.col("y_b").cast("long").alias("y_b"),
         F.expr(_z_terms("x_b", "y_b", spark_dialect=True)).cast("long").alias("z_key"),
+    )
+
+
+@register(
+    "q21_waiting_suppliers_bucketed",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 over the BUCKETED lake: the storage-level answer to
+    the one fact exchange the un-bucketed plan cannot avoid
+    (plans/analytics.py:q21_waiting_suppliers, the round-5/6
+    perf-weak entry — its scale audit pinned the residual vs DuckDB
+    on exchange materialization). Both fact tables are bucketed on
+    the order key at write time (bucketed_fact_tables), so here the
+    (l_orderkey, l_suppkey) aggregate, the order-level stats, AND the
+    orders join all consume the bucket layout directly — ZERO
+    exchanges until the final few-hundred-row supplier rollup
+    (plan-asserted in test_plan_shapes.py). This is the plan a
+    warehouse actually runs when Q21-shaped queries are hot: the
+    lineitem shuffle is paid once at ingest, not per query."""
+    sup = load_table(spark, sf_dir, "supplier")
+    orders, li = bucketed_fact_tables(spark, sf_dir)
+    per_supp = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").cast("int").alias("is_r"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("is_r").alias("n_r_rows"))
+    )
+    returning = F.col("n_r_rows") > 0
+    stats = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum(returning.cast("int")).alias("n_ret_supp"),
+            F.max(F.when(returning, F.col("l_suppkey"))).alias("fault_supp"),
+            F.sum(F.when(returning, F.col("n_r_rows"))).alias("fault_rows"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+    )
+    orders_f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        stats.join(orders_f.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("fault_supp"))
+        .groupBy("s_name")
+        .agg(F.sum("fault_rows").alias("numwait"))
     )

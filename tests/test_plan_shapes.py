@@ -380,3 +380,14 @@ def test_pq_recall_matches_independent_runs(spark, sf_dir):
         for r in qs["sim_pq_recall_eval"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_q21_bucketed_has_zero_fact_exchanges(spark, sf_dir):
+    """The bucketed Q21: both fact scans read the bucket layout, so
+    neither the per-(order,supplier) aggregate nor the orders join
+    exchanges on a fact key — the only exchange left is the final
+    supplier-name rollup."""
+    plan = plan_of(spark, sf_dir, "q21_waiting_suppliers_bucketed")
+    assert plan.count("Bucketed: true") == 2
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
