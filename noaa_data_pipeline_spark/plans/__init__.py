@@ -70,7 +70,7 @@ GATE_PRIORITY = [
     "events_incremental_rollup_merge", "emb_pq_codes",
     "sim_pq_adc_topk", "dedup_minhash_estimator_quality",
     "events_window_function_suite", "sim_pq_recall_eval",
-    "q21_waiting_suppliers_bucketed",
+    "q21_waiting_suppliers_bucketed", "q9_product_type_profit_bucketed",
 ]
 
 

@@ -475,3 +475,57 @@ def q21_waiting_suppliers_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("s_name")
         .agg(F.sum("fault_rows").alias("numwait"))
     )
+
+
+@register(
+    "q9_product_type_profit_bucketed",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity', 'sum_profit')}
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_type_profit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 over the bucketed lake: the r5/r6 scale audits pinned
+    q9's residual vs DuckDB on its one fact⋈fact edge (lineitem ⋈
+    orders on the order key — plans/analytics.py q9 docstring). Both
+    facts are bucketed on that key (bucketed_fact_tables), and the
+    broadcast part/supplier joins PRESERVE the lineitem scan's
+    bucket distribution, so the orders merge join needs no exchange
+    on either side — the only exchange left is the few-hundred-row
+    (nation, year) rollup. Cost model identical to the un-bucketed
+    entry (0.6 x retail price stands in for ps_supplycost)."""
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders, li = bucketed_fact_tables(spark, sf_dir)
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    pre = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "l_orderkey",
+            "s_nationkey",
+            F.floor(profit * 1000000).cast("long").alias("profit_scaled"),
+        )
+    )
+    order_years = orders.select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    return (
+        pre.join(order_years.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg((F.sum("profit_scaled").cast("double") / 1000000).alias("sum_profit"))
+    )

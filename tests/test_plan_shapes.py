@@ -391,3 +391,13 @@ def test_q21_bucketed_has_zero_fact_exchanges(spark, sf_dir):
     assert plan.count("Bucketed: true") == 2
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_q9_bucketed_has_zero_fact_exchanges(spark, sf_dir):
+    """Bucketed Q9: the broadcast dim joins preserve the lineitem
+    scan's bucket distribution, so the orders merge join runs with
+    no exchange on either fact key."""
+    plan = plan_of(spark, sf_dir, "q9_product_type_profit_bucketed")
+    assert plan.count("Bucketed: true") == 2
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
