@@ -300,3 +300,46 @@ def test_embed_hash_matches_pure_python(spark, sf_dir):
             h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
             expected[(row.doc_id, h % HASH_DIM)] += 1 if (h >> 31) & 1 else -1
     assert got == dict(expected)
+
+
+@given(st.integers(0, 15), st.integers(0, 15))
+def test_zorder_interleave_is_invertible(x, y):
+    """The Morton key is a bijection on (x, y) bucket pairs: both
+    coordinates recover exactly by de-interleaving, so clustering on
+    z loses no information about either dimension (the property the
+    per-file min-max envelopes rely on)."""
+    from noaa_data_pipeline_spark.plans.scale import Z_BITS
+
+    z = 0
+    for i in range(Z_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(Z_BITS))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(Z_BITS))
+    assert (rx, ry) == (x, y)
+    assert 0 <= z < (1 << (2 * Z_BITS))
+
+
+@given(
+    st.lists(st.integers(1, 500), min_size=2, max_size=10),
+    st.lists(st.integers(1, 3), min_size=2, max_size=10),
+)
+@settings(max_examples=50, deadline=None)
+def test_mixture_rates_satisfy_target_without_upsampling(counts, weights):
+    """docs_domain_mixture_resample's rate formula: keep fractions
+    never exceed 1 (no upsampling), the binding source keeps
+    everything, and expected kept counts are proportional to the
+    target weights."""
+    n = min(len(counts), len(weights))
+    counts, weights = counts[:n], weights[:n]
+    w_total = float(sum(weights))
+    t = min(c * w_total / w for c, w in zip(counts, weights))
+    fracs = [w * t / (w_total * c) for c, w in zip(counts, weights)]
+    assert all(f <= 1.0 + 1e-9 for f in fracs)
+    assert any(abs(f - 1.0) < 1e-9 for f in fracs)  # binding source
+    kept = [f * c for f, c in zip(fracs, counts)]
+    # kept counts follow the target mixture exactly
+    for (k1, w1), (k2, w2) in zip(
+        list(zip(kept, weights))[:-1], list(zip(kept, weights))[1:]
+    ):
+        assert abs(k1 * w2 - k2 * w1) < 1e-6 * max(k1, k2, 1.0)
