@@ -71,6 +71,7 @@ GATE_PRIORITY = [
     "sim_pq_adc_topk", "dedup_minhash_estimator_quality",
     "events_window_function_suite", "sim_pq_recall_eval",
     "q21_waiting_suppliers_bucketed", "q9_product_type_profit_bucketed",
+    "orders_customer_full_outer_recon", "orders_unpivot_measures",
 ]
 
 

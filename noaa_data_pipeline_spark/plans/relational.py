@@ -461,3 +461,77 @@ def events_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return uniq.unionByName(nulls).unionByName(ts_range).unionByName(orphans)
+
+
+@register(
+    "orders_customer_full_outer_recon",
+    oracle="""
+    SELECT
+        COALESCE(agg.o_custkey, c.c_custkey) AS custkey,
+        CASE WHEN c.c_custkey IS NULL THEN 'order_without_customer'
+             WHEN agg.o_custkey IS NULL THEN 'customer_without_orders'
+             ELSE 'matched' END AS recon_status,
+        CAST(COALESCE(agg.n_orders, 0) AS BIGINT) AS n_orders,
+        c.c_mktsegment AS segment
+    FROM (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) agg
+    FULL OUTER JOIN customer c ON agg.o_custkey = c.c_custkey
+    """,
+)
+def orders_customer_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the one outer-join flavor the
+    registry lacked: every order-side key AND every customer appears
+    exactly once, labeled matched / orphan-order / orderless-customer
+    (the two-way integrity audit a warehouse runs between a fact and
+    its dimension; the one-way version is events_dq_report's FK
+    check). Scale: orders pre-aggregates to one row per customer key
+    BEFORE the join, so the full outer joins two customer-cardinality
+    sides — never the raw fact; a full outer cannot broadcast
+    (both sides must stream), so it shuffles both on the key, which
+    is the minimum for this semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    agg = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (
+        agg.join(cust, F.col("o_custkey") == F.col("c_custkey"), "full_outer")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            F.when(F.col("c_custkey").isNull(), "order_without_customer")
+            .when(F.col("o_custkey").isNull(), "customer_without_orders")
+            .otherwise("matched")
+            .alias("recon_status"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+
+@register(
+    "orders_unpivot_measures",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    """,
+)
+def orders_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measure columns to long (key, measure,
+    value) rows — the inverse of orders_pivot_status_by_priority and
+    the standard reshape feeding per-measure monitoring/metric
+    stores. Spark's native unpivot carries ids through and unions
+    the value columns in ONE operator (one scan, map-side Expand —
+    not N self-unions); the oracle spells the same semantics as
+    UNION ALL. Scale: pure map-side row expansion, no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
