@@ -996,3 +996,123 @@ def docs_domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# independent bucket for the e2e pipeline's split step: salting the
+# md5 decorrelates it from the mixture filter's _HASH_PCT bucket
+# (reusing one hash for both would make the split a biased sample of
+# each source's kept docs)
+_SPLIT_PCT = (
+    "CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+def _split_pct() -> Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
+def _curation_e2e_oracle_sql() -> str:
+    from .iterative import _cc_labels_cte
+
+    return f"""
+    WITH RECURSIVE {_cc_labels_cte()},
+    survivors AS (
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d
+        LEFT JOIN labels l ON d.doc_id = l.node
+        WHERE l.node IS NULL OR l.component = d.doc_id
+    ),
+    w AS (
+        SELECT source, COUNT(*) AS n_in, {_SQL_MIX_W} AS wt
+        FROM survivors GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(wt) AS DOUBLE) AS w_total FROM w),
+    tmin AS (SELECT MIN(n_in * w_total / wt) AS t FROM w, tot),
+    rates AS (
+        SELECT source, 100.0 * wt * t / (w_total * n_in) AS keep_pct
+        FROM w, tot, tmin
+    ),
+    kept AS (
+        SELECT s.doc_id, s.source, s.n_chars
+        FROM survivors s JOIN rates USING (source)
+        WHERE {_HASH_PCT} < keep_pct
+    )
+    SELECT CASE WHEN {_SPLIT_PCT} < 90 THEN 'train'
+                WHEN {_SPLIT_PCT} < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept
+    GROUP BY 1, 2
+    """
+
+
+@register("docs_curation_pipeline_e2e", oracle=_curation_e2e_oracle_sql())
+def docs_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-curation pipeline as ONE composed plan:
+    near-dup purge (keep each MinHash-LSH cluster's smallest-id
+    representative) -> domain-mixture resample (rates derived from
+    the SURVIVING per-source counts, so dedup losses don't skew the
+    target mixture) -> deterministic 90/5/5 split -> per (split,
+    source) accounting. This is the query a training-data run
+    actually executes end-to-end, and composing it exercises that
+    the registry's building blocks chain without materialization
+    between stages. The split bucket is an INDEPENDENTLY salted md5
+    (reusing the mixture bucket would make the split a biased sample
+    of each source's kept docs). Split keys on doc_id, which equals
+    the cluster canonical id for every survivor — so the split is
+    leakage-safe by construction (all of a cluster's survivors — of
+    which there is exactly one — land in one split). Scale: the only
+    non-map stages are the LSH pair generation (banded, corpus never
+    self-joins), the label-propagation rounds over the sparse pair
+    set, and two count rollups; mixture rates derive from counts and
+    broadcast back."""
+    from .dedup import minhash_lsh_pairs
+    from .iterative import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    survivors = (
+        docs.join(labels, "doc_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id", "source", "n_chars")
+    )
+    wt = F.when(F.col("source").isin(MIX_BOOSTED), MIX_BOOST_W).otherwise(1)
+    counts = survivors.groupBy("source").agg(F.count("*").alias("n_in")).withColumn("wt", wt)
+    tot = counts.agg(F.sum("wt").cast("double").alias("w_total"))
+    with_tot = counts.crossJoin(F.broadcast(tot))
+    tmin = with_tot.agg(F.min(F.col("n_in") * F.col("w_total") / F.col("wt")).alias("t"))
+    rates = with_tot.crossJoin(F.broadcast(tmin)).select(
+        "source",
+        (F.lit(100.0) * F.col("wt") * F.col("t") / (F.col("w_total") * F.col("n_in"))).alias(
+            "keep_pct"
+        ),
+    )
+    kept = (
+        survivors.join(F.broadcast(rates), "source")
+        .filter(_hash_pct() < F.col("keep_pct"))
+    )
+    split = (
+        F.when(_split_pct() < 90, "train").when(_split_pct() < 95, "val").otherwise("test")
+    )
+    return (
+        kept.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
