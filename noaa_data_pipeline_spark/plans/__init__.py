@@ -72,7 +72,8 @@ GATE_PRIORITY = [
     "events_window_function_suite", "sim_pq_recall_eval",
     "q21_waiting_suppliers_bucketed", "q9_product_type_profit_bucketed",
     "orders_customer_full_outer_recon", "orders_unpivot_measures",
-    "docs_curation_pipeline_e2e",
+    "docs_curation_pipeline_e2e", "sim_ann_lsh_multiprobe",
+    "events_heavy_hitters_cms",
 ]
 
 

@@ -529,3 +529,102 @@ def q9_product_type_profit_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy(F.col("n_name").alias("nation"), "o_year")
         .agg((F.sum("profit_scaled").cast("double") / 1000000).alias("sum_profit"))
     )
+
+
+CMS_D = 3  # count-min hash rows
+CMS_W = 64  # buckets per row
+CMS_TOP = 10  # heavy hitters reported
+
+_SQL_CMS_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || '|' || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % "
+    + str(CMS_W)
+)
+
+
+def _cms_bucket(j: Column, key: Column) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(j.cast("string"), F.lit("|"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
+@register(
+    "events_heavy_hitters_cms",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    top AS (
+        SELECT user_id, n FROM counts ORDER BY n DESC, user_id LIMIT {CMS_TOP}
+    ),
+    counters AS (
+        SELECT j.range AS j,
+               {_SQL_CMS_BUCKET.format(j="j.range", key="user_id")} AS bucket,
+               COUNT(*) AS c
+        FROM events, range({CMS_D}) j
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT user_id, n, j.range AS j,
+               {_SQL_CMS_BUCKET.format(j="j.range", key="user_id")} AS bucket
+        FROM top, range({CMS_D}) j
+    )
+    SELECT p.user_id,
+           CAST(p.n AS BIGINT) AS exact_count,
+           CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.c) - p.n AS BIGINT) AS overcount
+    FROM probes p
+    JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.n
+    """,
+)
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: per-key frequency estimates
+    from a fixed {CMS_D} x {CMS_W} counter grid — the mergeable,
+    constant-memory structure for "top users by volume" when the key
+    space is too wide to count exactly (the frequency twin of the
+    HLL entry's distinct counts). Every estimate is the MIN over
+    {CMS_D} hashed counters and can only OVERcount (collisions add,
+    never subtract) — the report emits the exact count next to the
+    estimate and the overcount ≥ 0 for the true top-{CMS_TOP}, and
+    the md5-derived hash rows make the sketch itself bit-identical
+    in both engines, so the gate checks the ESTIMATES exactly, not
+    just a tolerance. Scale: the counter build is one map-side x{CMS_D}
+    expand + a {CMS_D * CMS_W}-cell aggregate (combines map-side;
+    constant output regardless of input rows); counters broadcast to
+    probe the heavy-hitter candidates. The exact-count side exists
+    here for the audit; production keeps only the grid and merges
+    grids across batches by cell-wise addition."""
+    ev = load_table(spark, sf_dir, "events")
+    js = F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j")
+    expanded = ev.select("user_id").select("user_id", js)
+    counters = (
+        expanded.groupBy("j", _cms_bucket(F.col("j"), F.col("user_id")).alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(CMS_TOP)
+    )
+    probes = top.select(
+        "user_id", "n", js
+    ).select("user_id", "n", "j", _cms_bucket(F.col("j"), F.col("user_id")).alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("est"))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("exact_count"),
+            F.col("est").cast("long").alias("cms_estimate"),
+            (F.col("est") - F.col("n")).cast("long").alias("overcount"),
+        )
+    )

@@ -1334,3 +1334,122 @@ def sim_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit") * F.lit(1.0) / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+def _sql_flip(bucket: str, i: int) -> str:
+    """Flip character i (0-based) of a '0'/'1' bucket string."""
+    return (
+        f"substr({bucket}, 1, {i}) || "
+        f"(CASE WHEN substr({bucket}, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr({bucket}, {i + 2})"
+    )
+
+
+def _flip_bit(bucket: Column, i: int) -> Column:
+    return F.concat(
+        F.substring(bucket, 1, i),
+        F.when(F.substring(bucket, i + 1, 1) == "1", "0").otherwise("1"),
+        F.substring(bucket, i + 2, LSH_PLANES),
+    )
+
+
+@register(
+    "sim_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    planes AS ({_sql_planes()}),
+    comps AS (
+        SELECT vec_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+        FROM emb
+    ),
+    sigs AS (
+        SELECT c.vec_id, p.plane,
+               CASE WHEN SUM(CAST(c.val * p.comp AS {_SQL_DEC})) > 0 THEN '1' ELSE '0' END AS bit
+        FROM comps c JOIN planes p ON c.dim = p.dim
+        GROUP BY c.vec_id, p.plane
+    ),
+    buckets AS (
+        SELECT vec_id, string_agg(bit, '' ORDER BY plane) AS bucket
+        FROM sigs GROUP BY vec_id
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, bucket AS probe FROM buckets
+        WHERE vec_id < {N_QUERIES}
+        {"".join(f'''
+        UNION ALL
+        SELECT vec_id, {_sql_flip("bucket", i)} FROM buckets
+        WHERE vec_id < {N_QUERIES}''' for i in range(LSH_PLANES))}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+        FROM probes p JOIN buckets b ON b.bucket = p.probe
+        WHERE b.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT c.query_id, c.neighbor_id,
+               {_sql_dot('eq.emb', 'en.emb')} / (eq.norm * en.norm) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {_sql_dot('eq.emb', 'en.emb')} / (eq.norm * en.norm) DESC,
+                            c.neighbor_id
+               ) AS rnk
+        FROM cand c
+        JOIN emb eq ON eq.vec_id = c.query_id
+        JOIN emb en ON en.vec_id = c.neighbor_id
+    ) r WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH search: each query probes its own
+    sign bucket AND every Hamming-1 neighbor bucket ({LSH_PLANES}
+    flips) — the standard trick (multi-probe LSH) that recovers the
+    recall extra hash TABLES would buy without storing extra tables:
+    a near neighbor that lands one sign flip away is still found.
+    Query-side twin of sim_ivf_multiprobe, completing the ANN stack
+    (corpus pair generation, probe-1, and now multi-probe retrieval
+    over the same index). Scale: the probe set is queries x
+    ({LSH_PLANES}+1) rows and BROADCASTS onto the corpus bucket scan
+    (bucket keys only — the corpus never self-joins); verification
+    touches candidates only; per-query top-k is a WindowGroupLimit."""
+    emb = _embeddings(spark, sf_dir)
+    buckets = emb.select(
+        "vec_id",
+        F.concat(*[_sign_bit(p) for p in range(LSH_PLANES)]).alias("bucket"),
+    ).persist()
+    buckets.count()
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
+    )
+    probes = qb.select("query_id", F.col("q_bucket").alias("probe"))
+    for i in range(LSH_PLANES):
+        probes = probes.unionByName(
+            qb.select("query_id", _flip_bit(F.col("q_bucket"), i).alias("probe"))
+        )
+    cand = (
+        buckets.join(F.broadcast(probes), F.col("bucket") == F.col("probe"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"),
+                       F.col("norm").alias("q_norm")).hint("broadcast"),
+            "query_id",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "emb", "norm"),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
