@@ -844,7 +844,17 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     it never sorts the 4x-larger lineitem side. Before that shuffle
     the lineitem side is projected down to (l_orderkey, s_nationkey,
     scaled-profit long) — 3 longs/row instead of 5 doubles — which
-    is what the exchange ships on a real cluster."""
+    is what the exchange ships on a real cluster.
+
+    Lake-layout routing (r7): when the session serves the bucketed
+    warehouse layout (scale.bucketed_lake_available), the orders
+    fact-join-fact edge is answered from the bucketed copies with no
+    fact exchange at all (q9_product_type_profit_bucketed) — same
+    results, the physical plan a warehouse runs for a hot join key."""
+    from .scale import bucketed_lake_available, q9_product_type_profit_bucketed
+
+    if bucketed_lake_available(spark, sf_dir):
+        return q9_product_type_profit_bucketed(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     sup = load_table(spark, sf_dir, "supplier")
@@ -1094,7 +1104,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     has exactly one fact exchange, no sort, no broadcast of a fact —
     the remaining gap is exchange materialization vs DuckDB's
     pipelined shared-memory hash ops, an architecture constant on a
-    single box that a 1000-executor cluster trades for scale-out."""
+    single box that a 1000-executor cluster trades for scale-out.
+
+    Lake-layout routing (r7): when the session serves the bucketed
+    warehouse layout (scale.bucketed_lake_available — catalog has
+    this lake's bucketed facts, or SPARK_GRAFT_BUCKETED=1), the
+    order-key fact join is answered from the bucketed copies with
+    ZERO fact exchanges (q21_waiting_suppliers_bucketed, 1.49-1.80x
+    DuckDB at x20-x100 vs 2.7-3.1x here) — same results, different
+    physical plan, exactly what a warehouse does when a hot join key
+    has a clustered layout."""
+    from .scale import bucketed_lake_available, q21_waiting_suppliers_bucketed
+
+    if bucketed_lake_available(spark, sf_dir):
+        return q21_waiting_suppliers_bucketed(spark, sf_dir)
     sup = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -1395,7 +1418,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CUME_DIST() OVER w AS cume,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile
     FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    WINDOW w AS (PARTITION BY event_type ORDER BY value NULLS LAST, event_id)
     """,
 )
 def events_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1409,7 +1432,12 @@ def events_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator); the order ends in the unique event_id so ranks are
     partitioning-independent."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # NULLS LAST on both sides: Spark ASC defaults to NULLS FIRST,
+    # DuckDB to NULLS LAST — pinned explicitly so the entry survives
+    # null values appearing in the column (r6 ADVICE).
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return ev.select(
         "event_id",
         "event_type",

