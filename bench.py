@@ -73,6 +73,13 @@ def main() -> None:
     # their own (q9/q21_..._bucketed). SPARK_GRAFT_BUCKETED=0 opts out
     # to time the un-bucketed plans instead.
     os.environ.setdefault("SPARK_GRAFT_BUCKETED", "1")
+    # ... and re-lay the single-row-group testdata files into
+    # defaultParallelism-wide parquet once per session (tables.py
+    # module comment: Spark's scan-parallelism unit is the row group,
+    # so the shipped one-row-group files serialize every scan — a
+    # generator artifact no real lake has). SPARK_GRAFT_WAREHOUSE=0
+    # opts out to time the single-file scans.
+    os.environ.setdefault("SPARK_GRAFT_WAREHOUSE", "1")
 
     from noaa_data_pipeline_spark.session import get_spark
 

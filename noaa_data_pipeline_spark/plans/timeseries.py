@@ -48,15 +48,20 @@ def events_daily_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame
     query A1 (oracle/src/db/weather_data.rs:92-146): inner GROUP BY
     (key, ts) dedupes across hourly snapshot files, outer GROUP BY
     (key, day) computes the daily min/max. Scale: both aggregations
-    hash-partition on user_id-prefixed keys, so AQE can pipeline them
-    with one shuffle; partial aggregation runs map-side. A
-    repartition(user_id)-first variant would satisfy both
-    distributions with a single exchange (~3x faster at sf0.1), but
-    it shuffles RAW rows — at 100 TB, where hourly snapshots
-    re-report the same intervals many times, the map-side combine of
-    the two-shuffle shape moves far fewer bytes, so that shape is the
-    deliberate choice here."""
-    ev = load_table(spark, sf_dir, "events")
+    run from ONE raw exchange: the scan repartitions by user_id, and
+    hash partitioning on a PREFIX of each level's group keys
+    satisfies both aggregates' clustering requirements, so the
+    (user_id, ts) dedup, the date projection, and the (user_id, date)
+    rollup chain in a single post-shuffle codegen span with no second
+    exchange (same prefix-partitioning argument as q21). Trade-off,
+    measured both ways at sf0.1: this shape moves each raw row once
+    (0.20 s) where the groupBy-then-groupBy twin moves combined rows
+    twice (0.38 s) — the right choice while the (key, ts) dedup
+    factor is near 1, as here and in any append-once lake. On a lake
+    of hourly re-reported snapshots (dedup factor >> 1) flip back to
+    the two-shuffle twin: its map-side combine shrinks the first
+    exchange by the re-report factor, which then dominates."""
+    ev = load_table(spark, sf_dir, "events").repartition("user_id")
     hourly = (
         ev.groupBy("user_id", "ts")
         .agg(
@@ -280,9 +285,14 @@ def _scoring_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     creation-time tiebreak term (base*10000 + (9999 - t % 10000)).
     The pick here is derived deterministically from user_id % 3;
     rounding is FLOOR(x+0.5), matching the reference's f64→i64 round
-    (F5). Scale: one groupBy over the fact table with conditional
-    aggregates (no pivot shuffle), then a key-level groupBy."""
-    ev = load_table(spark, sf_dir, "events")
+    (F5). Scale: one raw exchange on user_id serves BOTH aggregation
+    levels (prefix partitioning satisfies (user_id, date) and then
+    (user_id) — same argument as the daily rollup); the conditional
+    aggregates avoid any pivot shuffle. The map-combine twin
+    (groupBy straight off the scan) pays a second exchange and only
+    wins when many rows collapse per (user, day) — at this lake's
+    ~linear cardinality the single-exchange form measured 2x faster."""
+    ev = load_table(spark, sf_dir, "events").repartition("user_id")
 
     def cond_avg_rounded(event_type: str, alias: str):
         cond = F.when(F.col("event_type") == event_type, F.col("value"))
