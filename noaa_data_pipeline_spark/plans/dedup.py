@@ -265,8 +265,9 @@ def minhash_lsh_pairs(
         "doc_id", F.explode(F.array(*textops.band_cols(k, bands))).alias("bb")
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    ).persist()  # self-join sides share one k-hash aggregation
-    bands_df.count()
+    ).persist()  # lazy: self-join sides share one k-hash aggregation
+    # via the cache's per-block locks — no eager count barrier, the
+    # query stays a single job
     if max_bucket is not None:
         widths = bands_df.groupBy("band", "bucket").agg(
             F.count("*").alias("bucket_width")
@@ -288,19 +289,18 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
         # candidates feed four consumers below (both union legs, the
-        # final join, and via cand_docs the semi-join) — materialize
-        # the tiny frame once instead of re-running the band join per
-        # consumer
+        # final join, and via cand_docs the semi-join) — cache the
+        # tiny frame (lazily; block locks dedup concurrent fills)
+        # instead of re-running the band join per consumer
         .persist()
     )
-    candidates.count()
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select("doc_b"))
         .distinct()
     )
     # candidate cardinality scales with the corpus's near-dup rate,
-    # so no forced broadcast — the optimizer sees the persisted sizes
+    # so no forced broadcast
     cand_sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = cand_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = cand_sh.alias("a")
@@ -404,7 +404,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+md5+32-sum subtree once per side (self-join aliases
     # defeat exchange reuse); the signature frame is one long per doc
     sigs = sums.select("doc_id", sig.alias("sig")).persist()
-    sigs.count()
     band_structs = [
         F.struct(
             F.lit(k).alias("band"),
@@ -555,29 +554,39 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination check run before LLM evals). A single shared
     shingle flags the document.
 
-    Scale: the only join is test-shingles x distinct-train-shingles
-    on the shingle key — at 100 TB both sides would be md5(shingle)
-    keys against a materialized signature table, never text, and the
-    train side is distinct-reduced before the shuffle. The shingle
-    frame itself is the same temp-parquet materialization every other
-    dedup entry shares."""
+    Scale: exactly TWO shuffles. The split is a pure hash of doc_id,
+    so it computes map-side on the shingle frame (no documents join).
+    One groupBy(shingle) then folds the whole check into a per-
+    shingle row — did any train doc emit it, and which test-doc
+    occurrences carry it — and a groupBy(doc_id) over the exploded
+    test occurrences yields sizes, hits, and the left-join COALESCE
+    in a single aggregate (the join-based twin pays the shingle
+    shuffle three times: distinct, train probe, test probe). The
+    per-shingle test-occurrence list is bounded by the EVAL split's
+    size (the small side by construction, ~{100 - EVAL_PCT}% here;
+    real decontam runs carry benchmark eval sets, far smaller still),
+    so the fold cannot hot-spot the way a train-side list would. At
+    100 TB both sides ship md5(shingle) keys against a materialized
+    signature table, never text."""
     sh = _shingles_cached(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", _doc_pct().alias("pct"))
-    sh = sh.join(docs, "doc_id")
-    train_sh = sh.filter(F.col("pct") < EVAL_PCT).select("shingle").distinct()
-    test_sh = sh.filter(F.col("pct") >= EVAL_PCT).select("doc_id", "shingle")
-    sizes = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        test_sh.join(train_sh, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
+    pct = _doc_pct()
+    marked = sh.select(
+        "shingle",
+        (pct < EVAL_PCT).cast("int").alias("is_train"),
+        F.when(pct >= EVAL_PCT, F.col("doc_id")).alias("test_doc"),
     )
-    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0))
-    return sizes.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
+    per_shingle = marked.groupBy("shingle").agg(
+        F.max("is_train").alias("in_train"),
+        F.collect_list("test_doc").alias("test_docs"),  # keeps multiplicity
+    )
+    occ = per_shingle.select(
+        "in_train", F.explode("test_docs").alias("doc_id")
+    )
+    n_overlap = F.sum("in_train")
+    return occ.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
         n_overlap.alias("n_overlap"),
-        (n_overlap * F.lit(1.0) / F.col("n_shingles")).alias("contam_ratio"),
+        (n_overlap * F.lit(1.0) / F.count("*")).alias("contam_ratio"),
         (n_overlap > 0).alias("contaminated"),
     )
 

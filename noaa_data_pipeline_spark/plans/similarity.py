@@ -249,12 +249,14 @@ def ann_lsh_pairs(
         )
         for band in range(bands)
     ]
-    # persist: the self-join would otherwise evaluate the map-side
-    # sign bits (bands*planes dot products per vector) on both sides
+    # persist (lazy): both sides of the self-join read the cached
+    # frame — the first task to touch a partition computes the sign
+    # bits (bands*planes dot products per vector), the block lock
+    # makes the other side wait-and-reuse instead of recomputing; no
+    # eager count barrier, so the whole query stays one job
     buckets = emb.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")).persist()
-    buckets.count()
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
