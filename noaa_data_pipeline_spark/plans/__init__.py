@@ -33,47 +33,42 @@ PLAN_MODULES = [
 
 # The driver gate records exactly the first 50 registry entries, so
 # iteration order decides which entries get fresh driver evidence
-# each round. Round 6 window: every entry in the r5 window came back
-# green (CORRECTNESS_r05: 49 PASS + 1 rows-only), so the list resets
-# to (a) the seven entries whose last driver evidence is round 3 —
-# they aged out of the freshness window the meta-test in
-# tests/test_registry_oracle.py enforces (ceil(registry/50) rounds,
-# currently 3 — see that test's docstring) — (b) every entry whose
-# plan was edited this round, and (c) the entries that are new this
-# round. The remaining window slots fill in registration order,
-# giving extra rotation for free.
+# each round. Round 7 window (r6 verdict task 4): the r6 window was
+# all r6-new/edited entries, so 82 of 132 entries last saw the driver
+# in r4/r5 — this round re-proves the 41 whose last evidence is r4
+# (the r1-era weather/events family and early TPC-H shapes, at the
+# edge of the 3-round freshness window the meta-test in
+# tests/test_registry_oracle.py enforces), plus the 9 entries whose
+# plans were edited in round 7 (lake-layout routing, lazy persists,
+# the decontam shuffle fusion, window-suite null ordering).
 # NOTE (process): rotation only picks what the DRIVER re-checks;
 # every round must still pass the full-registry local gate
 # (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
 GATE_PRIORITY = [
-    # --- last driver evidence is round 3 (stale per the 2-round rule)
-    "mm_binary_metadata", "mm_feature_extract_pandas",
-    "mm_frame_sample", "mm_resize_dims",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
-    # --- plans edited in round 6
+    # --- last driver evidence is round 4 (stalest 41)
+    "customer_order_counts", "customers_without_recent_orders",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
+    "distinct_segment_nation", "emb_quantize_int8",
+    "events_asof_view_before_purchase", "events_daily_rollup_two_level",
+    "events_forward_fill", "events_json_extract", "events_lag_lead_delta",
+    "events_moving_avg_7", "events_outcome_scoring", "events_rank_quartiles",
+    "events_time_grid_3h", "events_top3_winners", "events_user_window_agg",
+    "events_value_histogram", "events_value_percentiles",
+    "latest_events_limit", "orders_date_arithmetic",
+    "orders_pivot_status_by_priority", "part_string_functions",
+    "q12_linestatus_priority_split", "q14_promo_revenue",
+    "q18_large_volume_customers", "q19_bracketed_revenue",
+    "q1_pricing_summary_exact_agg", "q2_cheapest_supplier_per_part",
+    "q4_order_priority_check", "rollup_revenue_by_nation_segment",
+    "segments_intersect_except", "skew_salted_user_join",
+    "text_language_id", "text_norm_pandas_udf", "text_quality_score",
+    "text_token_counts", "top_orders_per_customer",
+    "union_by_name_schema_drift", "urgent_order_lines_semi",
+    # --- plans edited in round 7 (re-prove under the current tree)
     "q9_product_type_profit", "q21_waiting_suppliers",
-    "bpe_encode_docs", "bpe_train_merges",
-    "sql_adhoc_guarded",
-    # --- heavies re-benched at scale this round (plan re-verified if
-    # the scale audit forces an edit)
-    "dedup_simhash", "dedup_minhash_lsh", "sim_ann_lsh_hyperplane",
-    # --- new entries this round (first driver evidence)
-    "docs_chunk_overlap", "dedup_purge_report", "sim_ivf_multiprobe",
-    "stream_static_enrich", "docs_embed_hash", "events_user_sequences",
-    "sim_mmr_rerank", "split_leakage_safe",
-    "q8_national_market_share", "q11_important_stock_value",
-    "q15_top_supplier",
-    "sim_cosine_range_search", "text_dup_span_ratio",
-    "docs_domain_mixture_resample", "lake_bucketed_copartition_join",
-    "stream_stream_interval_join", "lake_zorder_key",
-    "graph_quality_smoothing", "events_dq_report",
-    "events_incremental_rollup_merge", "emb_pq_codes",
-    "sim_pq_adc_topk", "dedup_minhash_estimator_quality",
-    "events_window_function_suite", "sim_pq_recall_eval",
-    "q21_waiting_suppliers_bucketed", "q9_product_type_profit_bucketed",
-    "orders_customer_full_outer_recon", "orders_unpivot_measures",
-    "docs_curation_pipeline_e2e", "sim_ann_lsh_multiprobe",
-    "events_heavy_hitters_cms",
+    "dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh_hyperplane",
+    "dedup_minhash_estimator_quality", "decontam_ngram_overlap",
+    "events_window_function_suite", "lake_bucketed_copartition_join",
 ]
 
 
