@@ -48,7 +48,7 @@ from urllib.parse import parse_qs, unquote, urlparse
 from pyspark.sql import SparkSession
 
 from ..functions.bech32 import normalize_pubkey, npub_encode
-from . import api, run
+from . import api, run, ui
 from .event_store import EventStore
 
 MAX_BODY = 30 * 1024 * 1024  # DefaultBodyLimit, startup.rs:132
@@ -222,6 +222,7 @@ class WeatherApp:
         return {
             "service": "noaa-data-pipeline-spark",
             "routes": [
+                "/ui", "/ui/bootstrap", "/ui/schema", "/ui/sql",
                 "/files", "/file/{name}", "/stations", "/stations/forecasts",
                 "/stations/observations", "/oracle/pubkey", "/oracle/npub",
                 "/oracle/update",
@@ -336,6 +337,14 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def _send_html(self, html: str) -> None:
+        data = html.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     def _body(self) -> bytes:
         length = int(self.headers.get("Content-Length") or 0)
         if length > MAX_BODY:
@@ -416,6 +425,33 @@ class _Handler(BaseHTTPRequestHandler):
                     for chunk in chunks:
                         fh.write(chunk)
                 return self._send_json({})
+
+        if parts == ["ui"] and method == "GET":
+            return self._send_html(ui.INDEX_HTML)
+        if parts == ["ui", "bootstrap"] and method == "POST":
+            body = json.loads(self._body() or b"{}")
+            named_paths = []
+            for name in body.get("file_names", []):
+                path = app.files.build_file_path(name, parse_file_created(name))
+                if not os.path.isfile(path):
+                    raise HTTPError(404, f"File not found: {name}")
+                named_paths.append((name, path))
+            return self._send_json({"schemas": ui.bootstrap_tables(app.spark, named_paths)})
+        if parts == ["ui", "schema"] and method == "GET":
+            tables = [t for t in (q.get("tables") or "").split(",") if t]
+            from .. import sql_surface
+
+            return self._send_json(sql_surface.table_schemas(app.spark, tables))
+        if parts == ["ui", "sql"] and method == "POST":
+            body = json.loads(self._body() or b"{}")
+            from ..sql_surface import SqlGuardError
+
+            try:
+                return self._send_json(ui.run_query(app.spark, body.get("sql", "")))
+            except SqlGuardError as exc:
+                raise HTTPError(400, str(exc)) from exc
+            except Exception as exc:  # surface analysis errors as 400s
+                raise HTTPError(400, str(exc).splitlines()[0][:500]) from exc
 
         if parts == ["stations"] and method == "GET":
             return self._send_json(api.stations(app.spark, app.lake_root))

@@ -225,3 +225,62 @@ def test_oracle_pubkey_and_npub_routes(served):
         assert exc.value.code == 501
     finally:
         srv.shutdown()
+
+
+def test_ui_page_bootstrap_and_query(served):
+    """UI parity e2e (reference ui/index.html + ui/main.js): fetch the
+    page, upload a real observations parquet through the exchange,
+    bootstrap it via the verbatim CREATE TABLE read_parquet([...])
+    statement, and run the shipped example query (ui/main.js:52)
+    through the guarded /ui/sql box."""
+    base, app, *_ = served
+
+    status, headers, html = _get_raw(base, "/ui")
+    assert status == 200 and "text/html" in headers["Content-Type"]
+    page = html.decode()
+    assert "SELECT * FROM observations ORDER BY station_id, generated_at DESC LIMIT 200" in page
+    assert "/ui/sql" in page and "/ui/bootstrap" in page
+
+    # real parquet upload: two stations, two generated_at each
+    import glob
+    import os
+    import tempfile
+
+    rows = [
+        ("KSAW", dt.datetime(2024, 1, 5, 6), 11.0),
+        ("KSAW", dt.datetime(2024, 1, 5, 12), 12.5),
+        ("PFNO", dt.datetime(2024, 1, 5, 6), -3.0),
+        ("PFNO", dt.datetime(2024, 1, 5, 12), -2.25),
+    ]
+    df = app.spark.createDataFrame(rows, "station_id string, generated_at timestamp, temp double")
+    out = tempfile.mkdtemp(prefix="ui_obs_")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    payload = open(glob.glob(os.path.join(out, "part-*.parquet"))[0], "rb").read()
+    created = dt.datetime.now(dt.timezone.utc)
+    name = f"observations_{created.isoformat().replace('+00:00', 'Z')}.parquet"
+    status, _ = _post_multipart(base, f"/file/{name}", payload)
+    assert status == 200
+
+    status, body = _post_json(base, "/ui/bootstrap", {"file_names": [name]})
+    assert status == 200
+    cols = {c["column_name"] for c in body["schemas"]["observations"]}
+    assert cols == {"station_id", "generated_at", "temp"}
+
+    status, body = _post_json(
+        base,
+        "/ui/sql",
+        {"sql": "SELECT * FROM observations ORDER BY station_id, generated_at DESC LIMIT 200"},
+    )
+    assert status == 200
+    got = [(r["station_id"], r["temp"]) for r in body["rows"]]
+    assert got == [("KSAW", 12.5), ("KSAW", 11.0), ("PFNO", -2.25), ("PFNO", -3.0)]
+
+    # guarded: DML through the query box is a 400, not an execution
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post_json(base, "/ui/sql", {"sql": "DROP TABLE observations"})
+    assert exc.value.code == 400
+
+    # schema introspection endpoint mirrors the loadSchema pass
+    status, body = _get(base, "/ui/schema?tables=observations")
+    assert status == 200
+    assert {c["column_name"] for c in body["observations"]} == cols
