@@ -223,12 +223,60 @@ def _rewrite_subscripts(code: str) -> str:
     bracket indexing is 0-based — a blind pass-through is a silent
     off-by-one, so ``ident[n]`` becomes ``element_at(ident, n)``
     (1-based in Spark, negative-from-end in both). Non-integer
-    subscripts (map keys) index identically and pass through."""
+    subscripts (map keys) index identically and pass through.
+
+    The second pass handles a subscript on a PARENTHESIZED operand —
+    ``(expr)[n]``, a function call ``f(args)[n]``, and in particular
+    the ``array(...)``  that :func:`_rewrite_list_literals` just
+    produced from a DuckDB list literal, so ``[a, b][2]`` indexes
+    1-based like DuckDB instead of silently hitting Spark's 0-based
+    bracket (found by the differential fuzzer in
+    tests/test_sql_surface.py: ``[0, x][1]`` returned x, and
+    ``[x, x][2]`` threw out-of-bounds)."""
     import re
 
-    return re.sub(
+    code = re.sub(
         r"\b([A-Za-z_][\w.]*)\[(-?\d+)\]", r"element_at(\1, \2)", code
     )
+    paren_sub = re.compile(r"\)\[(-?\d+)\]")
+    ident = re.compile(r"[A-Za-z_0-9.]")
+    prev = None
+    while prev != code:
+        prev = code
+        m = paren_sub.search(code)
+        if not m:
+            break
+        depth, i = 0, m.start()
+        while i >= 0:
+            if code[i] == ")":
+                depth += 1
+            elif code[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i < 0:  # unbalanced: let the parser report it
+            break
+        while i > 0 and ident.match(code[i - 1]):
+            i -= 1
+        expr = code[i : m.start() + 1]
+        code = code[:i] + f"element_at({expr}, {m.group(1)})" + code[m.end():]
+    return code
+
+
+# DuckDB type names with no size-free Spark spelling: a bare VARCHAR
+# parses in DuckDB but Spark demands VARCHAR(n) — map to the Spark
+# equivalent (found by the differential fuzzer: (x)::VARCHAR).
+_DUCKDB_TYPE_RENAMES = {
+    "VARCHAR": "STRING",
+    "TEXT": "STRING",
+    "BLOB": "BINARY",
+    "BYTEA": "BINARY",
+}
+
+
+def _spark_type(name: str) -> str:
+    return _DUCKDB_TYPE_RENAMES.get(name.upper(), name)
 
 
 def _rewrite_casts(code: str) -> str:
@@ -238,7 +286,7 @@ def _rewrite_casts(code: str) -> str:
     scan that finds the balanced opening paren keeps extending left
     over an adjacent identifier, so ``count(*)::DOUBLE`` captures
     ``count(*)``, not ``(*)``). Iterates so chained and nested casts
-    resolve."""
+    resolve. Type names translate through _DUCKDB_TYPE_RENAMES."""
     import re
 
     simple = re.compile(
@@ -264,9 +312,15 @@ def _rewrite_casts(code: str) -> str:
                 while i > 0 and ident.match(code[i - 1]):
                     i -= 1
                 expr = code[i : m.start() + 1]
-                code = code[:i] + f"CAST({expr} AS {m.group(1)})" + code[m.end():]
+                code = (
+                    code[:i]
+                    + f"CAST({expr} AS {_spark_type(m.group(1))})"
+                    + code[m.end():]
+                )
                 continue
-        code = simple.sub(r"CAST(\1 AS \2)", code)
+        code = simple.sub(
+            lambda m: f"CAST({m.group(1)} AS {_spark_type(m.group(2))})", code
+        )
     return code
 
 

@@ -237,3 +237,96 @@ def test_duckdb_strftime_nested_expr_and_computed_format(duck):
     assert "date_format(CAST(ts AS TIMESTAMP), 'yyyy-MM-dd')" in t
     with pytest.raises(sql_surface.SqlGuardError):
         sql_surface.translate_duckdb("SELECT strftime(ts, fmt_col) FROM t")
+
+
+# --- property-based differential fuzz of the dialect translator ------
+#
+# The r5 `f(args)::TYPE` mangle was found by inspection; this finds the
+# next one mechanically. Hypothesis composes random expressions from
+# the constructs the translator claims to cover (:: casts, list
+# literals + 1-based subscripts, strftime literal formats, the epoch_*
+# family, renamed scalar functions, string literals stuffed with
+# translator-trigger text) and asserts DuckDB on the ORIGINAL equals
+# Spark on the TRANSLATION, value for value — a silently-wrong rewrite
+# cannot hide, it shows up as a cross-engine mismatch.
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+# string pool chosen to hit every masked-literal hazard: cast markers,
+# list brackets, commas, escaped quotes, strftime codes, paren noise
+_TRICKY_STRINGS = ["a::b", "c,d", "e[1]", "it''s", "%Y-%m", "f(x)", "  ", "::"]
+_TS_LIT = "TIMESTAMP '2024-03-05 06:07:08'"
+_STRFTIME_FMTS = ["%Y-%m-%d", "%H:%M:%S", "%Y%j", "%d/%m/%y %% %H"]
+
+
+def _ints(depth: int) -> st.SearchStrategy[str]:
+    if depth <= 0:
+        return st.one_of(
+            st.integers(-99, 99).map(str),
+            st.just("x"),
+            st.just("y"),
+        )
+    sub = _ints(depth - 1)
+    return st.one_of(
+        sub,
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} + {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} * {t[1]})"),
+        sub.map(lambda e: f"abs({e})"),
+        st.tuples(sub, sub).map(lambda t: f"greatest({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"coalesce({t[0]}, {t[1]})"),
+        sub.map(lambda e: f"({e})::BIGINT"),
+        sub.map(lambda e: f"CAST({e} AS BIGINT)"),
+        # list literal + 1-based subscript, rewritten together
+        st.tuples(sub, sub, st.integers(1, 2)).map(
+            lambda t: f"[{t[0]}, {t[1]}][{t[2]}]"
+        ),
+        # modulo keeps downstream products inside INT64 in both engines
+        st.just(f"(epoch_ms({_TS_LIT}) % 86400)"),
+        st.just(f"(epoch_us({_TS_LIT}) % 86400)"),
+    )
+
+
+def _strs(depth: int) -> st.SearchStrategy[str]:
+    lit = st.sampled_from(_TRICKY_STRINGS).map(
+        lambda s: "'" + s.replace("''", "''") + "'"
+    )
+    if depth <= 0:
+        return st.one_of(lit, st.just("s"))
+    sub = _strs(depth - 1)
+    return st.one_of(
+        sub,
+        sub.map(lambda e: f"upper({e})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} || {t[1]})"),
+        _ints(depth - 1).map(lambda e: f"({e})::VARCHAR"),
+        st.sampled_from(_STRFTIME_FMTS).map(
+            lambda f: f"strftime({_TS_LIT}, '{f}')"
+        ),
+    )
+
+
+_EXPR = st.one_of(_ints(3), _strs(2))
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(expr=_EXPR)
+def test_translator_differential_fuzz(spark, expr):
+    import duckdb as _duckdb
+
+    sql = f"SELECT {expr} AS c FROM (VALUES (7, -3, 'q::r')) t(x, y, s)"
+    translated = sql_surface.translate_duckdb(sql, spark)
+    duck_rows = _duckdb.connect().execute(sql).fetchall()
+    spark_rows = [tuple(r) for r in spark.sql(translated).collect()]
+
+    def canon(v):
+        if isinstance(v, float):
+            return f"{v:.10g}"
+        return str(v)
+
+    assert [canon(v) for r in duck_rows for v in r] == [
+        canon(v) for r in spark_rows for v in r
+    ], f"original: {sql}\ntranslated: {translated}"
