@@ -100,8 +100,44 @@ _VERSION_FILE = "_db_version.json"
 _METADATA_FILE = "_oracle_metadata.json"
 
 
+def delta_available(spark: SparkSession | None = None) -> bool:
+    """True when delta-spark is importable (and, if a session is
+    given, its catalog actually accepts the delta format — the python
+    package alone is not enough without the JVM-side extension)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError:
+        return False
+    if spark is None:
+        return True
+    try:
+        spark.sql("SELECT 1").write  # cheap session liveness probe
+        return (
+            spark.conf.get(
+                "spark.sql.extensions", ""
+            ).find("DeltaSparkSessionExtension")
+            >= 0
+        )
+    except Exception:
+        return False
+
+
 class EventStore:
-    """Minimal CRUD + listing over the parquet event tables.
+    """Minimal CRUD + listing over the event tables.
+
+    Two storage backends behind one API (SURVEY §1.1 maps the
+    reference's persistent event DB to Delta/MERGE):
+
+    - ``backend="delta"`` — Delta Lake tables; score updates run as a
+      real transactional ``MERGE INTO`` (update_scores), migrations
+      as overwriteSchema rewrites. Requires delta-spark + a session
+      built with the Delta extension; ``backend="auto"`` picks it
+      when available.
+    - ``backend="parquet"`` (the fallback, and the default where
+      delta-spark is absent — e.g. this build sandbox) — append for
+      inserts, join + rename-swap overwrite for merges. Semantically
+      equivalent, golden-tested, but not crash-atomic (see
+      _rewrite_frame).
 
     Carries the reference's db_version scheme
     (event_db_migrations.rs:4-34) as a JSON sidecar + ordered
@@ -109,9 +145,19 @@ class EventStore:
     (stamped current), 1 = the pre-versioning layout (entries without
     ``updated_at``), 2 = current."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, backend: str = "auto"):
         self.spark = spark
         self.root = root
+        if backend == "auto":
+            backend = "delta" if delta_available(spark) else "parquet"
+        if backend not in ("delta", "parquet"):
+            raise ValueError(f"unknown event-store backend {backend!r}")
+        if backend == "delta" and not delta_available(spark):
+            raise ValueError(
+                "backend='delta' needs delta-spark and a session built "
+                "with the Delta SQL extension"
+            )
+        self.backend = backend
         self.run_migrations()
 
     def _path(self, table: str) -> str:
@@ -189,11 +235,19 @@ class EventStore:
         schema = _TABLES[table]
         if not os.path.isdir(path):
             return self.spark.createDataFrame([], schema)
+        if self.backend == "delta":
+            return self.spark.read.format("delta").load(path)
         return self.spark.read.schema(schema).parquet(path)
 
     def append(self, table: str, rows: list[tuple]) -> None:
         df = self.spark.createDataFrame(rows, _TABLES[table])
-        df.write.mode("append").parquet(self._path(table))
+        self._append(table, df)
+
+    def _append(self, table: str, df: DataFrame) -> None:
+        if self.backend == "delta":
+            df.write.format("delta").mode("append").save(self._path(table))
+        else:
+            df.write.mode("append").parquet(self._path(table))
 
     def append_frame(self, table: str, df: DataFrame) -> None:
         """Append a DataFrame directly (the batch-ETL write path — no
@@ -203,7 +257,7 @@ class EventStore:
         aligned = df.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
-        aligned.write.mode("append").parquet(self._path(table))
+        self._append(table, aligned)
 
     def _rewrite_frame(self, table: str, df: DataFrame) -> None:
         """Replace a table with a derived frame WITHOUT collecting it:
@@ -214,8 +268,9 @@ class EventStore:
         10^5-event scale never touch the driver). NOT crash-atomic: a
         kill between the renames leaves the previous table under
         ``<path>__old_*`` for manual recovery (directory renames
-        can't be combined into one atomic op); a Delta backend turns
-        these into real transactional MERGE INTO."""
+        can't be combined into one atomic op); the Delta backend does
+        a transactional overwrite instead and never hits the rename
+        path."""
         import shutil
         import uuid as uuidlib
 
@@ -224,6 +279,16 @@ class EventStore:
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
         path = self._path(table)
+        if self.backend == "delta":
+            # Delta overwrites are transactional and readers see the
+            # previous snapshot until the commit lands — no tmp+rename
+            (
+                aligned.write.format("delta")
+                .mode("overwrite")
+                .option("overwriteSchema", "true")
+                .save(path)
+            )
+            return
         tmp = f"{path}__rewrite_{uuidlib.uuid4().hex[:8]}"
         aligned.write.mode("overwrite").parquet(tmp)
         old = f"{path}__old_{uuidlib.uuid4().hex[:8]}"
@@ -295,10 +360,35 @@ class EventStore:
 
     def update_scores(self, scored: DataFrame, now: dt.datetime | None = None) -> None:
         """The reference's correlated inline-VALUES UPDATE
-        (event_data.rs:405-448) as a merge: left-join current entries
-        with the score frame and rewrite. With a Delta backend this
-        is literally MERGE INTO; on parquet it's join + overwrite."""
+        (event_data.rs:405-448) as a merge. Delta backend: literally
+        ``MERGE INTO`` — transactional, matched rows updated in
+        place. Parquet backend: left-join + rename-swap overwrite,
+        same result, golden-tested equivalence."""
         now = now or dt.datetime.utcnow()
+        if self.backend == "delta":
+            from delta.tables import DeltaTable
+
+            src = scored.select(
+                F.col("entry_id").alias("sid"),
+                F.col("score").alias("new_score"),
+                F.col("base_score").alias("new_base"),
+            )
+            (
+                DeltaTable.forPath(self.spark, self._path("entries"))
+                .alias("e")
+                .merge(src.alias("s"), "e.id = s.sid")
+                .whenMatchedUpdate(
+                    # COALESCE mirrors the parquet path exactly: a
+                    # NULL in the score frame keeps the stored value
+                    set={
+                        "score": "coalesce(s.new_score, e.score)",
+                        "base_score": "coalesce(s.new_base, e.base_score)",
+                        "updated_at": f"timestamp'{now.isoformat(sep=' ')}'",
+                    }
+                )
+                .execute()
+            )
+            return
         entries = self.read("entries")
         updated = (
             entries.alias("e")

@@ -299,3 +299,49 @@ def test_batch_etl_equals_per_event_on_event_fleet(spark, tmp_path_factory):
     assert set(r1.values()) == {"signed", "running", "live", "completed"}
     assert sorted(r1.values()).count("signed") == 2
     assert snapshot(s1) == snapshot(s2)
+
+
+def test_backend_selection_and_explicit_parquet(spark, tmp_path_factory):
+    """backend='auto' resolves to parquet where delta-spark is absent
+    (this sandbox); asking for delta without the library is a loud
+    error, not a silent parquet fallback."""
+    from noaa_data_pipeline_spark.weather.event_store import delta_available
+
+    root = str(tmp_path_factory.mktemp("be"))
+    store = EventStore(spark, root, backend="auto")
+    assert store.backend == ("delta" if delta_available(spark) else "parquet")
+    store2 = EventStore(spark, str(tmp_path_factory.mktemp("be2")), backend="parquet")
+    assert store2.backend == "parquet"
+    if not delta_available(spark):
+        with pytest.raises(ValueError, match="delta"):
+            EventStore(spark, str(tmp_path_factory.mktemp("be3")), backend="delta")
+
+
+def test_etl_golden_under_delta_backend(tmp_path_factory):
+    """The golden ETL (scores, winners, attestation) must be
+    backend-independent: run it against a Delta-backed store where
+    delta-spark is installed. Skips in environments without the
+    library (the MERGE INTO path is exercised only where it can
+    actually run — see EventStore docstring for the parquet
+    equivalence argument)."""
+    pytest.importorskip("delta")
+    from delta import configure_spark_with_delta_pip
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .appName("delta-golden")
+        .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    dspark = configure_spark_with_delta_pip(builder).getOrCreate()
+    try:
+        store, lake_root, event_id = _build_fixture(dspark, tmp_path_factory)
+        assert store.backend == "delta"
+        _assert_golden_etl(store, lake_root, event_id, run.run_etl)
+    finally:
+        dspark.stop()
