@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Multi-executor scale-out evidence (r6 VERDICT task 8).
+
+Every 100 TB claim in the plan docstrings rests on local[32] plan
+shapes, where an "exchange" is an in-process array handoff. This
+harness re-times the heavy registry entries under
+
+- ``local[32]``             — the per-round bench profile (baseline),
+- ``local-cluster[2,16,8g]``— two separate executor JVMs, so every
+  exchange serializes, ships over loopback, and deserializes: the
+  cheapest honest approximation of a real cluster boundary, and
+- a ``spark.sql.shuffle.partitions`` sweep (16/32/64/128) on
+  local[32] — whether the plans are robust to the reducer-width
+  knob a cluster operator actually turns.
+
+If a plan only looked good because its shuffles were free, the
+local-cluster column exposes it (ratio >> 1 vs baseline beyond the
+fixed serialization tax). Writes BENCH_CLUSTER.json and prints one
+JSON line. See GATE_LOG.md for the per-round analysis.
+
+Usage: python tools/bench_cluster.py [--queries ...] [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ann_lsh_hyperplane",
+    "decontam_ngram_overlap",
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
+]
+
+CONFIGS = [
+    # (label, master, shuffle_partitions)
+    ("local32_s16", "local[32]", 16),
+    ("local32_s32", "local[32]", 32),
+    ("local32_s64", "local[32]", 64),
+    ("local32_s128", "local[32]", 128),
+    ("cluster2x16_s32", "local-cluster[2,16,8192]", 32),
+]
+
+
+def run_config(label: str, master: str, shuffle: int, names: list[str], sf_dir: str) -> dict:
+    os.environ.setdefault("SPARK_HOME", __import__("pyspark").__path__[0])
+    from noaa_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(f"bench_cluster_{label}", master=master, shuffle_partitions=shuffle)
+    try:
+        from noaa_data_pipeline_spark.plans import load_all
+
+        registry = load_all()
+        frames = {n: registry[n].fn(spark, sf_dir) for n in names}
+
+        def run(n: str) -> None:
+            frames[n].write.format("noop").mode("overwrite").save()
+
+        for n in names:  # codegen + JIT warm pass
+            run(n)
+        timings: dict[str, float] = {}
+        for _ in range(3):
+            for n in names:
+                t0 = time.perf_counter()
+                run(n)
+                e = round(time.perf_counter() - t0, 3)
+                timings[n] = min(timings.get(n, e), e)
+        return timings
+    finally:
+        spark.stop()
+        # one engine per process: plan/bucket caches key on
+        # applicationId, so a stopped session's entries are dropped
+        # by the next session's first load
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    names = args.queries or QUERIES
+
+    # warehouse profile, same as bench.py
+    os.environ.setdefault("SPARK_GRAFT_BUCKETED", "1")
+    os.environ.setdefault("SPARK_GRAFT_WAREHOUSE", "1")
+
+    results: dict[str, dict] = {}
+    for label, master, shuffle in CONFIGS:
+        results[label] = run_config(label, master, shuffle, names, args.sf_dir)
+
+    base = results.get("local32_s32", {})
+    ratios = {
+        label: {
+            n: (round(t / base[n], 2) if base.get(n) else None)
+            for n, t in timings.items()
+        }
+        for label, timings in results.items()
+        if label != "local32_s32"
+    }
+    out = {
+        "metric": "cluster_and_shuffle_sweep_vs_local32",
+        "sf_dir": args.sf_dir,
+        "configs": {label: {"master": m, "shuffle_partitions": s} for label, m, s in CONFIGS},
+        "timings_sec": results,
+        "ratio_vs_local32_s32": ratios,
+    }
+    with open(os.path.join(REPO, "BENCH_CLUSTER.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
