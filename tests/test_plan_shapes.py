@@ -401,3 +401,38 @@ def test_q9_bucketed_has_zero_fact_exchanges(spark, sf_dir):
     assert plan.count("Bucketed: true") == 2
     assert "Exchange hashpartitioning(l_orderkey" not in plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_daily_rollup_single_raw_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_daily_rollup_two_level")
+    # one raw repartition on user_id serves BOTH aggregation levels
+    # (prefix partitioning); a second exchange means the rewrite
+    # regressed to the groupBy-then-groupBy shape
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_outcome_scoring_single_raw_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_outcome_scoring")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontam_two_shuffles_no_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "decontam_ngram_overlap")
+    # fused form: groupBy(shingle) -> explode -> groupBy(doc_id).
+    # No join anywhere (the split is a map-side hash of doc_id), and
+    # exactly two hash exchanges
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_q9_routes_to_bucketed_when_warehouse(spark, sf_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "1")
+    plan = plan_of(spark, sf_dir, "q9_product_type_profit")
+    # routed to the bucketed twin: the orders merge join consumes the
+    # bucket layout, so no exchange on either fact key
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "0")
+    plan = plan_of(spark, sf_dir, "q9_product_type_profit")
+    # and explicit opt-out really does serve the un-bucketed plan
+    assert "bkt_lineitem" not in plan
