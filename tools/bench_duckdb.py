@@ -35,11 +35,40 @@ def main() -> None:
     registry = load_all()
     run_names = names or [n for n in bench.HEADLINE if n in registry]
 
+    # Default: the original testdata files — the baseline as the
+    # driver's own gate defines it. SPARK_GRAFT_DUCK_WAREHOUSE=1
+    # instead points the views at any matching multi-file re-layout
+    # copies under /tmp (tables._warehouse_copy output): DuckDB's
+    # intra-file parallelism is ALSO row-group-bound, so the
+    # single-row-group originals serialize its heavy oracles exactly
+    # like Spark's scans (measured: the 18-oracle total drops
+    # 4.7 s -> 2.3 s on the re-laid lake, the all-pairs ANN oracle
+    # alone 1.6 -> 0.3 s). Both numbers are recorded in GATE_LOG.md;
+    # the scale bench (tools/bench_scale.py) writes multi-row-group
+    # files for both engines, so its ratios carry no layout asymmetry.
+    use_wh = os.environ.get("SPARK_GRAFT_DUCK_WAREHOUSE") == "1"
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        src = f"{sf_dir}/{t}.parquet"
+        if use_wh:
+            import glob as _glob
+            import hashlib as _hashlib
+
+            try:
+                st = os.stat(src)
+                fp = _hashlib.sha1(
+                    f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime}".encode()
+                ).hexdigest()[:10]
+            except OSError:
+                fp = None
+            hits = (
+                _glob.glob(f"/tmp/noaa_spark_warehouse_*/{t}_{fp}")
+                if fp
+                else []
+            )
+            if hits:
+                src = f"{hits[-1]}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     def run(name: str) -> None:
         con.execute(registry[name].oracle).fetchall()
