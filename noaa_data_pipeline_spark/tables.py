@@ -63,7 +63,7 @@ _WAREHOUSE_ROOT = f"/tmp/noaa_spark_warehouse_{os.getpid()}"
 # task vs ~0.10 s at 8-16 files, while sub-MB tables LOST time to the
 # extra per-task overhead (one 5 k-row scan does not want 16 tasks).
 # At larger lakes more tables cross the bar automatically.
-_WAREHOUSE_MIN_BYTES = 3 * 1024 * 1024 // 2
+_WAREHOUSE_MIN_BYTES = 512 * 1024
 _WAREHOUSE_FILE_BYTES = 768 * 1024  # ~0.75 MB per re-layout file
 
 
