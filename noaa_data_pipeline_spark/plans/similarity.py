@@ -267,8 +267,13 @@ def ann_lsh_pairs(
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
     )
+    if bands > 1:
+        # OR-amplification can emit the same pair from several bands;
+        # with a single band each vector holds exactly one bucket row,
+        # the join yields each pair at most once, and the dedup would
+        # be a pure extra exchange
+        cand = cand.distinct()
     ea = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a")
     )
