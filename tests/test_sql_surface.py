@@ -305,7 +305,47 @@ def _strs(depth: int) -> st.SearchStrategy[str]:
     )
 
 
-_EXPR = st.one_of(_ints(3), _strs(2))
+def _bools(depth: int) -> st.SearchStrategy[str]:
+    ints, strs = _ints(depth), _strs(max(depth - 1, 0))
+    base = st.one_of(
+        st.tuples(ints, ints).map(lambda t: f"({t[0]} < {t[1]})"),
+        st.tuples(ints, ints).map(lambda t: f"({t[0]} = {t[1]})"),
+        st.tuples(ints, ints, ints).map(
+            lambda t: f"({t[0]} BETWEEN {t[1]} AND {t[2]})"
+        ),
+        st.tuples(ints, ints, ints).map(
+            lambda t: f"({t[0]} IN ({t[1]}, {t[2]}, 7))"
+        ),
+        # renamed function composed with a rewritten list literal
+        st.tuples(ints, ints, ints).map(
+            lambda t: f"list_contains([{t[0]}, {t[1]}], {t[2]})"
+        ),
+        strs.map(lambda e: f"regexp_matches({e}, 'a+')"),
+    )
+    if depth <= 0:
+        return base
+    sub = _bools(depth - 1)
+    return st.one_of(base, sub.map(lambda e: f"(NOT {e})"))
+
+
+def _cases(depth: int) -> st.SearchStrategy[str]:
+    return st.tuples(_bools(depth), _ints(depth), _ints(depth)).map(
+        lambda t: f"CASE WHEN {t[0]} THEN {t[1]} ELSE {t[2]} END"
+    )
+
+
+def _strfns(depth: int) -> st.SearchStrategy[str]:
+    strs, ints = _strs(depth), st.integers(1, 4).map(str)
+    return st.one_of(
+        st.tuples(strs, ints, ints).map(
+            lambda t: f"substr({t[0]}, {t[1]}, {t[2]})"
+        ),
+        st.tuples(strs, strs).map(lambda t: f"replace({t[0]}, 'a', {t[1]})"),
+        strs.map(lambda e: f"length({e})"),
+    )
+
+
+_EXPR = st.one_of(_ints(3), _strs(2), _bools(2), _cases(2), _strfns(2))
 
 
 @settings(
