@@ -300,6 +300,11 @@ def _bucket_tag(sf_dir: str) -> str:
     return f"{base}_{fp}"
 
 
+# negative-probe memo for bucketed_lake_available; cleared for a lake
+# when bucketed_fact_tables builds its copies mid-session
+_NO_BUCKETED_MEMO: set[tuple] = set()
+
+
 def bucketed_lake_available(spark: SparkSession, sf_dir: str) -> bool:
     """Lake-layout router predicate (r6 VERDICT task 2): True when
     this session should serve order-key fact joins from the bucketed
@@ -316,11 +321,24 @@ def bucketed_lake_available(spark: SparkSession, sf_dir: str) -> bool:
         return True
     if env == "0":
         return False
+    # Memoize the NEGATIVE answer per (session, lake path): the tag
+    # fingerprint walks every fact file and the catalog probes are
+    # two RPCs — per plan construction that is a multi-second
+    # filesystem scan on a many-thousand-file lake. A True answer is
+    # cheap to recheck and sessions that BUILD the layout go through
+    # bucketed_fact_tables (which caches the frames), so only the
+    # steady "no bucketed copies" path needs the memo.
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if memo_key in _NO_BUCKETED_MEMO:
+        return False
     n_buckets = max(N_BUCKETS, spark.sparkContext.defaultParallelism)
     tag = f"{_bucket_tag(sf_dir)}_b{n_buckets}"
-    return spark.catalog.tableExists(f"bkt_orders_{tag}") and spark.catalog.tableExists(
-        f"bkt_lineitem_{tag}"
-    )
+    present = spark.catalog.tableExists(
+        f"bkt_orders_{tag}"
+    ) and spark.catalog.tableExists(f"bkt_lineitem_{tag}")
+    if not present:
+        _NO_BUCKETED_MEMO.add(memo_key)
+    return present
 
 
 # (applicationId, tag) -> (orders, lineitem): skips the per-call
@@ -374,6 +392,11 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
     for k in [k for k in _BUCKETED_CACHE if k[0] != cache_key[0]]:
         del _BUCKETED_CACHE[k]
     _BUCKETED_CACHE[cache_key] = (out[0], out[1])
+    # the lake now has bucketed copies: future routing probes must
+    # re-check instead of trusting an earlier negative answer
+    _NO_BUCKETED_MEMO.discard(
+        (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    )
     return out[0], out[1]
 
 

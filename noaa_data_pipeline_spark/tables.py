@@ -97,10 +97,27 @@ def _warehouse_copy(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) 
                 spark.sparkContext.defaultParallelism,
             ),
         )
-        df.repartition(int(n)).write.mode("overwrite").parquet(dst)
-        # one re-layout file per scan partition (see module comment)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-        spark.conf.set("spark.sql.files.openCostInBytes", str(16 * 1024 * 1024))
+        # build to a sibling tmp dir and rename into place: directory
+        # existence is the "layout complete" marker for every later
+        # consumer (including bench_duckdb's cross-process glob), so
+        # an interrupted write must never leave a partial dst
+        import uuid as _uuidlib
+
+        tmp = f"{dst}__build_{_uuidlib.uuid4().hex[:8]}"
+        df.repartition(int(n)).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            # lost a concurrent-build race: the other copy is complete
+            import shutil as _shutil
+
+            _shutil.rmtree(tmp, ignore_errors=True)
+    # one re-layout file per scan partition (see module comment) —
+    # set on every serve, not just the build: a later session in the
+    # same process finds dst on disk and would otherwise pack the
+    # small files back into few splits under the default open cost
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(16 * 1024 * 1024))
     return spark.read.parquet(dst)
 
 

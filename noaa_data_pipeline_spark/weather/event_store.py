@@ -148,17 +148,51 @@ class EventStore:
     def __init__(self, spark: SparkSession, root: str, backend: str = "auto"):
         self.spark = spark
         self.root = root
+        # The backend is a property of the STORE, not the session: a
+        # delta-written table read as plain parquet silently returns
+        # tombstoned rows, and a parquet table read as delta errors.
+        # The version sidecar records the backend at stamp time; for
+        # pre-marker stores the _delta_log directory is the physical
+        # truth.
+        stored = self._stored_backend()
         if backend == "auto":
-            backend = "delta" if delta_available(spark) else "parquet"
+            backend = stored or (
+                "delta" if delta_available(spark) else "parquet"
+            )
+        elif stored and stored != backend:
+            raise ValueError(
+                f"store at {root} was written with backend {stored!r}; "
+                f"reopen with backend={stored!r} (or 'auto')"
+            )
         if backend not in ("delta", "parquet"):
             raise ValueError(f"unknown event-store backend {backend!r}")
         if backend == "delta" and not delta_available(spark):
             raise ValueError(
                 "backend='delta' needs delta-spark and a session built "
                 "with the Delta SQL extension"
+                + (
+                    " (this store was written as delta — reading it as "
+                    "parquet would surface deleted rows)"
+                    if stored == "delta"
+                    else ""
+                )
             )
         self.backend = backend
         self.run_migrations()
+
+    def _stored_backend(self) -> str | None:
+        vf = os.path.join(self.root, _VERSION_FILE)
+        if os.path.isfile(vf):
+            with open(vf) as fh:
+                marked = json.load(fh).get("backend")
+            if marked:
+                return marked
+        for t in _TABLES:
+            if os.path.isdir(os.path.join(self._path(t), "_delta_log")):
+                return "delta"
+            if os.path.isdir(self._path(t)):
+                return "parquet"
+        return None
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -178,7 +212,7 @@ class EventStore:
     def _stamp(self, version: int) -> None:
         os.makedirs(self.root, exist_ok=True)
         with open(os.path.join(self.root, _VERSION_FILE), "w") as fh:
-            json.dump({"version": version}, fh)
+            json.dump({"version": version, "backend": self.backend}, fh)
 
     def run_migrations(self) -> int:
         """Apply pending migrations in order and stamp the store;

@@ -432,6 +432,11 @@ class _Handler(BaseHTTPRequestHandler):
             body = json.loads(self._body() or b"{}")
             named_paths = []
             for name in body.get("file_names", []):
+                # same traversal guard as the upload route: a JSON-
+                # supplied name with '/' or '..' must not escape the
+                # exchange directory
+                if not upload_name_is_valid(name):
+                    raise HTTPError(400, f"Invalid file name: {name}")
                 path = app.files.build_file_path(name, parse_file_created(name))
                 if not os.path.isfile(path):
                     raise HTTPError(404, f"File not found: {name}")
@@ -451,7 +456,8 @@ class _Handler(BaseHTTPRequestHandler):
             except SqlGuardError as exc:
                 raise HTTPError(400, str(exc)) from exc
             except Exception as exc:  # surface analysis errors as 400s
-                raise HTTPError(400, str(exc).splitlines()[0][:500]) from exc
+                first = (str(exc).splitlines() or ["query failed"])[0]
+                raise HTTPError(400, first[:500]) from exc
 
         if parts == ["stations"] and method == "GET":
             return self._send_json(api.stations(app.spark, app.lake_root))

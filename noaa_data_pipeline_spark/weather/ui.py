@@ -86,18 +86,35 @@ async function runQuery() {
   document.getElementById('queryErr').textContent = resp.ok ? '' : (body.error || 'query failed');
   document.getElementById('queryResult').innerHTML = resp.ok ? renderTable(body.rows) : '';
 }
+function esc(v) {
+  // data values travel through the exchange from other parties —
+  // escape before innerHTML or a string cell becomes stored XSS
+  return String(v).replace(/&/g, '&amp;').replace(/</g, '&lt;')
+    .replace(/>/g, '&gt;').replace(/"/g, '&quot;');
+}
 function renderTable(rows) {
   if (!rows || !rows.length) return '<p>(no rows)</p>';
   const cols = Object.keys(rows[0]);
-  let h = '<table><tr>' + cols.map(c => '<th>' + c + '</th>').join('') + '</tr>';
+  let h = '<table><tr>' + cols.map(c => '<th>' + esc(c) + '</th>').join('') + '</tr>';
   for (const r of rows)
-    h += '<tr>' + cols.map(c => '<td>' + r[c] + '</td>').join('') + '</tr>';
+    h += '<tr>' + cols.map(c => '<td>' + esc(r[c]) + '</td>').join('') + '</tr>';
   return h + '</table>';
 }
 </script>
 </body>
 </html>
 """
+
+
+_ALIAS_DIR: list[str] = []
+
+
+def _alias_dir() -> str:
+    import tempfile
+
+    if not _ALIAS_DIR:
+        _ALIAS_DIR.append(tempfile.mkdtemp(prefix="ui_bootstrap_"))
+    return _ALIAS_DIR[0]
 
 
 def bootstrap_tables(
@@ -109,21 +126,23 @@ def bootstrap_tables(
     and run it through the dialect-translating CTAS path. Returns
     {table: schema-rows} exactly like the loadSchema pass."""
     import os
-    import tempfile
 
     groups: dict[str, list[str]] = {"observations": [], "forecasts": []}
-    alias_dir: str | None = None
     for name, path in named_paths:
         if ":" in os.path.basename(path):
             # the exchange keeps the reference's RFC3339 filenames
             # (file_access.rs), but Hadoop's Path parses ':' as a URI
             # scheme separator — serve Spark a colon-free symlink
-            if alias_dir is None:
-                alias_dir = tempfile.mkdtemp(prefix="ui_bootstrap_")
+            # from ONE process-lifetime alias dir (a per-request
+            # mkdtemp would leak a directory per bootstrap click)
             alias = os.path.join(
-                alias_dir, os.path.basename(path).replace(":", "-")
+                _alias_dir(), os.path.basename(path).replace(":", "-")
             )
-            if not os.path.islink(alias):
+            if os.path.islink(alias):
+                if os.readlink(alias) != path:
+                    os.remove(alias)
+                    os.symlink(path, alias)
+            else:
                 os.symlink(path, alias)
             path = alias
         key = "observations" if "observations" in name else "forecasts"

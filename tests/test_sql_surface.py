@@ -250,12 +250,13 @@ def test_duckdb_strftime_nested_expr_and_computed_format(duck):
 # Spark on the TRANSLATION, value for value — a silently-wrong rewrite
 # cannot hide, it shows up as a cross-engine mismatch.
 
-import hypothesis.strategies as st
-from hypothesis import HealthCheck, given, settings
+hypothesis = pytest.importorskip("hypothesis")
+import hypothesis.strategies as st  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
 
 # string pool chosen to hit every masked-literal hazard: cast markers,
 # list brackets, commas, escaped quotes, strftime codes, paren noise
-_TRICKY_STRINGS = ["a::b", "c,d", "e[1]", "it''s", "%Y-%m", "f(x)", "  ", "::"]
+_TRICKY_STRINGS = ["a::b", "c,d", "e[1]", "it's", "%Y-%m", "f(x)", "  ", "::"]
 _TS_LIT = "TIMESTAMP '2024-03-05 06:07:08'"
 _STRFTIME_FMTS = ["%Y-%m-%d", "%H:%M:%S", "%Y%j", "%d/%m/%y %% %H"]
 
@@ -289,7 +290,7 @@ def _ints(depth: int) -> st.SearchStrategy[str]:
 
 def _strs(depth: int) -> st.SearchStrategy[str]:
     lit = st.sampled_from(_TRICKY_STRINGS).map(
-        lambda s: "'" + s.replace("''", "''") + "'"
+        lambda s: "'" + s.replace("'", "''") + "'"
     )
     if depth <= 0:
         return st.one_of(lit, st.just("s"))
