@@ -114,8 +114,21 @@ def main() -> None:
         "timings_sec": results,
         "ratio_vs_local32_s32": ratios,
     }
-    with open(os.path.join(REPO, "BENCH_CLUSTER.json"), "w") as fh:
-        json.dump(out, fh, indent=2)
+    # one record per lake: a scale-point run must not clobber the
+    # sf0.1 record (or vice versa)
+    path = os.path.join(REPO, "BENCH_CLUSTER.json")
+    merged: dict = {"metric": out["metric"], "lakes": {}}
+    if os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        if "lakes" in prior:
+            merged = prior
+        elif "sf_dir" in prior:  # migrate single-run format
+            merged["lakes"][os.path.basename(prior["sf_dir"].rstrip("/"))] = prior
+    key = os.path.basename(args.sf_dir.rstrip("/"))
+    merged["lakes"][key] = out
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=2)
     print(json.dumps(out))
 
 
