@@ -1,0 +1,490 @@
+"""Round-8 candidate operators, staged OUTSIDE the driver registry.
+
+The round-7 gate window is exactly full (50 = 41 stale re-proves + 9
+edited plans — see GATE_PRIORITY in ``plans/__init__.py``), so no new
+registry entries are possible this round without breaking the
+meta-test's freshness invariant. These candidates are therefore built
+and oracle-proven here under pytest only (tests/test_staging_r8.py
+runs the exact driver-gate compare), and round 8 promotes them by
+moving the ``stage`` decorators to ``register`` and adding the names
+to GATE_PRIORITY.
+
+Candidates (the three flagged in GATE_LOG "Round-8 candidates"):
+
+- ``dedup_semantic_clusters`` — SemDeDup-shaped semantic dedup:
+  k-means cluster ids (unsupervised) as the blocking key, cosine
+  pairs only within a cluster. Complements ``dedup_embedding_cosine``
+  (which blocks on the supervised ``label`` column).
+- ``text_perplexity_proxy`` — perplexity-proxy quality bucketing via
+  corpus char-trigram statistics, integer-exact by construction (no
+  transcendental functions, so the cross-engine hash gate applies).
+- ``stream_compaction_report`` — streaming small-file compaction:
+  an availableNow Structured Streaming pass rewrites a fragmented
+  micro-batch lake into target-size files via ``foreachBatch``; the
+  gated output proves content preservation against the source.
+
+Reference anchors (spec, not code): the reference's nightly parquet
+re-snapshot loop (weather_data.rs:92-146) is the compaction shape;
+the dedup/quality ops extend SURVEY.md's LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table, table_path
+from . import Query
+from .common import SCALE
+
+# --- staging registry (NOT the driver registry) -----------------------
+
+STAGED: dict[str, Query] = {}
+
+
+def stage(name: str, oracle: str | None = None, doc: str = ""):
+    """Mirror of ``plans.register`` writing to the staging dict, so
+    promotion in round 8 is a one-word decorator swap."""
+
+    def deco(fn):
+        STAGED[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+# --- semantic dedup over embedding clusters ---------------------------
+
+SEM_K = 8
+SEM_ITERS = 2
+SEM_COSINE_MIN = 0.3
+
+
+def _sem_assign_ctes(k: int, iterations: int) -> str:
+    """Unrolled Lloyd CTEs ending in ``assign{iterations}`` — the same
+    exact-arithmetic construction as iterative._kmeans_oracle_sql
+    (scaled-long centroid means, index-order distance accumulation,
+    argmin ties on cid), restated here so the staged oracle does not
+    edit the gated module this round."""
+    from .similarity import _sql_dot
+
+    dist = (
+        "list_sum(list_transform(list_zip(e.emb, c.c_emb), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+    emb_expr = "CAST(embedding AS DOUBLE[])"
+    parts = [
+        f"""emb AS (
+        SELECT vec_id, {emb_expr} AS emb,
+               sqrt({_sql_dot(emb_expr, emb_expr)}) AS norm
+        FROM embeddings
+    )""",
+        f"cent0 AS (SELECT vec_id AS cid, emb AS c_emb FROM emb ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""assign{i} AS (
+            SELECT vec_id, emb, norm, cid FROM (
+                SELECT e.vec_id, e.emb, e.norm, c.cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id ORDER BY {dist}, c.cid
+                       ) AS rn
+                FROM emb e CROSS JOIN cent{i - 1} c
+            ) ranked WHERE rn = 1
+        )"""
+        )
+        if i < iterations:
+            parts.append(
+                f"""cent{i} AS (
+                SELECT cid, list(mean ORDER BY dim) AS c_emb FROM (
+                    SELECT cid, dim,
+                           (CAST(SUM(CAST(FLOOR(val * {SCALE}) AS BIGINT)) AS DOUBLE)
+                               / {SCALE}) / COUNT(val) AS mean
+                    FROM (
+                        SELECT cid, generate_subscripts(emb, 1) AS dim,
+                               unnest(emb) AS val
+                        FROM assign{i}
+                    ) comps
+                    GROUP BY cid, dim
+                ) m GROUP BY cid
+            )"""
+            )
+    return ",\n".join(parts)
+
+
+def _sem_oracle_sql(k: int = SEM_K, iterations: int = SEM_ITERS) -> str:
+    from .similarity import _sql_dot
+
+    cos = (
+        f"{_sql_dot('a.emb', 'b.emb')} / (a.norm * b.norm)"
+    )
+    return f"""
+    WITH {_sem_assign_ctes(k, iterations)}
+    SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cos} AS cosine
+    FROM assign{iterations} a JOIN assign{iterations} b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {cos} >= {SEM_COSINE_MIN}
+    """
+
+
+def _np_assign(mat, centroids: list[tuple[int, list[float]]]):
+    """Nearest-centroid ids for a (n, dim) float64 matrix, bit-exact
+    to the oracle's sequential fold: the squared-distance accumulator
+    runs dimension-by-dimension IN INDEX ORDER (vectorized across
+    rows, sequential across dims), so every distance is the identical
+    IEEE double the oracle's list_sum / Spark's F.aggregate produce —
+    np.sum's pairwise reordering would break the argmin tie
+    guarantee. ``centroids`` must be sorted by cid: np.argmin takes
+    the first minimum, which is then the lowest cid, matching the
+    oracle's ORDER BY dist, cid."""
+    import numpy as np
+
+    assert all(
+        centroids[i][0] < centroids[i + 1][0] for i in range(len(centroids) - 1)
+    ), "centroids must be sorted by cid for the argmin tie-break"
+    cols = []
+    for _cid, c_emb in centroids:
+        acc = np.zeros(mat.shape[0], dtype=np.float64)
+        for k in range(mat.shape[1]):
+            d = mat[:, k] - c_emb[k]
+            acc = acc + d * d
+        cols.append(acc)
+    import numpy as _np
+
+    idx = _np.argmin(_np.stack(cols, axis=1), axis=1)
+    cids = _np.array([cid for cid, _ in centroids], dtype=_np.int64)
+    return cids[idx]
+
+
+@stage("dedup_semantic_clusters", oracle=_sem_oracle_sql())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup detection: embeddings are
+    k-means-clustered ({SEM_ITERS} Lloyd rounds over {SEM_K} seed
+    centroids), then cosine pairs are generated ONLY within a cluster
+    and kept at >= {SEM_COSINE_MIN}. Unlike ``dedup_embedding_cosine``
+    (label-blocked), the blocking key here is unsupervised — the shape
+    used when no labels exist, which is the 100 TB corpus reality.
+    Scale: the centroid set is control-plane-small (k x dim doubles),
+    so each Lloyd round collects it to the driver and inlines it as
+    literals — assignment is then a pure map-side expression over the
+    corpus (the MLlib k-means shape: only centroids ever leave the
+    executors). The pair join shuffles on cid, so cost is the sum of
+    per-cluster squares, not corpus-squared; k rises with corpus size
+    to bound cluster width. Exactness: a double-dot prefilter (margin
+    1e-6, far beyond fold rounding) bounds the candidate set, then the
+    surviving pairs get the decimal dot with the VARCHAR hop
+    (similarity._dot) so the emitted cosine is hash-stable across
+    engines; centroid means use scaled-long sums like the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _dot, _embeddings
+
+    # the Lloyd phase never touches norms — use the raw vectors so
+    # the seed/means jobs skip _embeddings' decimal norm computation
+    raw = load_table(spark, sf_dir, "embeddings")
+    kemb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    seeds = kemb.orderBy("vec_id").limit(SEM_K).select("vec_id", "emb").collect()
+    centroids = sorted((r["vec_id"], list(r["emb"])) for r in seeds)
+    for _ in range(SEM_ITERS - 1):
+        cents = centroids  # bind for the closure
+
+        def lloyd_partials(batches):
+            """Per-batch (cid, dim, scaled-long sum, count) partials:
+            integer partials commute, so partitioning can't change the
+            combined mean; the mean formula below mirrors the oracle's
+            (SUM(FLOOR(val*SCALE))::DOUBLE / SCALE) / COUNT exactly."""
+            for pdf in batches:
+                mat = np.array(pdf["emb"].tolist(), dtype=np.float64)
+                if mat.size == 0:
+                    continue
+                cids = _np_assign(mat, cents)
+                sc = np.floor(mat * SCALE).astype(np.int64)
+                for cid in np.unique(cids):
+                    m = sc[cids == cid]
+                    yield pd.DataFrame(
+                        {
+                            "cid": np.full(mat.shape[1], int(cid), dtype=np.int64),
+                            "dim": np.arange(mat.shape[1], dtype=np.int64),
+                            "s": m.sum(axis=0),
+                            "n": np.full(mat.shape[1], m.shape[0], dtype=np.int64),
+                        }
+                    )
+
+        parts = kemb.mapInPandas(
+            lloyd_partials, schema="cid long, dim long, s long, n long"
+        ).toPandas()
+        combined = parts.groupby(["cid", "dim"], sort=True).sum().reset_index()
+        centroids = sorted(
+            (
+                int(cid),
+                [
+                    (float(r.s) / SCALE) / float(r.n)
+                    for r in g.sort_values("dim").itertuples()
+                ],
+            )
+            for cid, g in combined.groupby("cid")
+        )
+
+    final_cents = centroids
+
+    def assign_members(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            out = pdf.copy()
+            out["cid"] = _np_assign(mat, final_cents)
+            yield out[["cid", "vec_id", "emb", "norm"]]
+
+    emb = _embeddings(spark, sf_dir)
+    members = emb.select("vec_id", "emb", "norm").mapInPandas(
+        assign_members, schema="cid long, vec_id long, emb array<double>, norm double"
+    )
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs within one cluster via a single BLAS
+        matmul (the sim_block_matmul pattern): float64 GEMM error is
+        ~1e-13 relative, so the 1e-6 margin cannot miss a pair whose
+        exact cosine clears the threshold; the decimal recompute
+        downstream decides final membership, so BLAS summation order
+        never reaches the output."""
+        mat = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        ii, jj = np.where(sims >= SEM_COSINE_MIN - 1e-6)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame(
+            {
+                "cid": np.full(int(keep.sum()), int(pdf["cid"].iloc[0]), dtype=np.int64),
+                "vec_a": ids[ii[keep]].astype(np.int64),
+                "vec_b": ids[jj[keep]].astype(np.int64),
+            }
+        )
+
+    cands = members.groupBy("cid").applyInPandas(
+        cluster_pairs, schema="cid long, vec_a long, vec_b long"
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("norm").alias("norm_b")
+    )
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "cid",
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= SEM_COSINE_MIN)
+    )
+
+
+# --- perplexity-proxy quality bucketing -------------------------------
+
+RARE_MAX = 2  # a trigram seen <= RARE_MAX times corpus-wide is "rare"
+PPM_LOW = 200_000  # > 20% rare trigrams -> low quality (noise-like)
+PPM_HIGH = 50_000  # < 5% rare -> high quality (fluent/common text)
+
+
+@stage(
+    "text_perplexity_proxy",
+    oracle=f"""
+    WITH tg AS (
+        -- list-valued range + unnest: the range() TABLE function
+        -- cannot take a lateral column parameter in DuckDB
+        SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tg
+        FROM (
+            SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+            FROM documents WHERE length(text) >= 3
+        )
+    ),
+    cnts AS (SELECT tg, COUNT(*) AS cnt FROM tg GROUP BY tg),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               CAST(SUM(CASE WHEN c.cnt <= {RARE_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        FROM tg t JOIN cnts c USING (tg)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_trigrams,
+           CAST((1000000 * n_rare) // n_trigrams AS BIGINT) AS rare_ppm,
+           CASE WHEN (1000000 * n_rare) // n_trigrams > {PPM_LOW} THEN 'low'
+                WHEN (1000000 * n_rare) // n_trigrams > {PPM_HIGH} THEN 'medium'
+                ELSE 'high' END AS quality_bucket
+    FROM per_doc
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality bucketing without a model: a document
+    whose char trigrams are corpus-rare is high-surprise (high
+    perplexity under the corpus' own n-gram statistics). The score is
+    the rare-trigram rate in ppm — deliberately integer-exact (counts
+    and integer division only, no log/exp) so the cross-engine hash
+    gate applies, unlike a float log-prob whose libm rounding differs
+    between engines. Scale: the trigram explode is map-side; corpus
+    counts are one map-side-combined shuffle over a vocabulary bounded
+    by charset^3 (not corpus size); the rare set (cnt <= {RARE_MAX})
+    is a small fraction of that bounded vocabulary and broadcasts, so
+    the corpus-side frame never shuffles for the scoring join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tg = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("tg"),
+    )
+    rare = tg.groupBy("tg").count().filter(F.col("count") <= RARE_MAX).select("tg")
+    # only RARE occurrences survive the semi join, so the per-doc
+    # shuffle carries a small fraction of the corpus; the total
+    # trigram count needs no second pass at all (= char_length - 2)
+    rare_per_doc = (
+        tg.join(F.broadcast(rare), "tg", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_rare"))
+    )
+    base = docs.filter(F.length("text") >= 3).select(
+        "doc_id", (F.char_length("text") - 2).cast("long").alias("n_trigrams")
+    )
+    per_doc = base.join(rare_per_doc, "doc_id", "left").select(
+        "doc_id", "n_trigrams", F.coalesce(F.col("n_rare"), F.lit(0)).alias("n_rare")
+    )
+    ppm = F.expr("(1000000 * n_rare) div n_trigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_trigrams",
+        ppm.alias("rare_ppm"),
+        F.when(ppm > PPM_LOW, "low")
+        .when(ppm > PPM_HIGH, "medium")
+        .otherwise("high")
+        .alias("quality_bucket"),
+    )
+
+
+# --- streaming small-file compaction ----------------------------------
+
+FRAG_FILES = 64  # simulated micro-batch fragmentation of the lake
+TARGET_FILE_BYTES = 8 * 1024 * 1024  # compaction target (local-scale)
+
+_COMPACT_ROOT = f"/tmp/noaa_spark_compacted_{os.getpid()}"
+_COMPACT_CACHE: dict[str, str] = {}
+
+
+def _events_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the source events table (same contract
+    as scale._bucket_tag): full path + file stats, so a regenerated
+    lake can never serve a stale compacted copy."""
+    n, total, mtime = 0, 0, 0.0
+    for p in glob.glob(table_path(sf_dir, "events").replace("events.parquet", "events*")):
+        paths = (
+            [
+                q
+                for q in glob.glob(os.path.join(p, "**", "*"), recursive=True)
+                if os.path.isfile(q)
+            ]
+            if os.path.isdir(p)
+            else [p]
+        )
+        for q in paths:
+            st = os.stat(q)
+            n += 1
+            total += st.st_size
+            mtime = max(mtime, st.st_mtime)
+    return hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{n}|{total}|{mtime}".encode()
+    ).hexdigest()[:10]
+
+
+def _parquet_files(path: str) -> list[str]:
+    return glob.glob(os.path.join(path, "*.parquet"))
+
+
+def compact_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Fragment the events table into a simulated micro-batch lake,
+    then compact it with one availableNow streaming pass. Returns
+    (fragmented_dir, compacted_dir); both are cached per source
+    fingerprint for re-entrancy."""
+    fp = _events_fingerprint(sf_dir)
+    if fp in _COMPACT_CACHE:
+        root = _COMPACT_CACHE[fp]
+        return os.path.join(root, "fragmented"), os.path.join(root, "compacted")
+    root = os.path.join(_COMPACT_ROOT, fp)
+    frag = os.path.join(root, "fragmented")
+    comp = os.path.join(root, "compacted")
+    ckpt = os.path.join(root, "ckpt")
+    # 1. simulate a streaming sink that left FRAG_FILES tiny files
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(FRAG_FILES).write.mode("overwrite").parquet(frag)
+    # 2. compact: incremental file-source stream + foreachBatch writer.
+    #    availableNow + the checkpoint make this the standing
+    #    maintenance job shape — a later run with new micro-batch
+    #    files compacts ONLY the new files, which is what keeps the
+    #    job O(new data) on a 100 TB/day ingest lake.
+    frag_bytes = sum(os.path.getsize(f) for f in _parquet_files(frag))
+    n_out = max(1, math.ceil(frag_bytes / TARGET_FILE_BYTES))
+    schema = spark.read.parquet(frag).schema
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.coalesce(n_out).write.mode("append").parquet(comp)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(frag)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _COMPACT_CACHE[fp] = root
+    return frag, comp
+
+
+@stage(
+    "stream_compaction_report",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a Structured Streaming maintenance
+    job: a fragmented micro-batch lake (64 tiny files, the classic
+    streaming-sink pathology) is rewritten into target-size files by
+    an availableNow foreachBatch pass, and the gated output is the
+    per-type count + scaled-exact value sum read FROM THE COMPACTED
+    COPY — equal to the source aggregate iff compaction lost or
+    duplicated nothing. File-count reduction is asserted in pytest
+    (file counts aren't SQL-oracle-able). Scale: the stream source
+    checkpoints consumed files, so the standing job is O(new files)
+    per trigger; the coalesce width derives from observed bytes /
+    target file size, not a constant."""
+    _, comp = compact_events(spark, sf_dir)
+    return (
+        spark.read.parquet(comp)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 1000000).cast("long")).cast("double") / 1000000.0)
+            .alias("sum_value"),
+        )
+    )

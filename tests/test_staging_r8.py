@@ -1,0 +1,108 @@
+"""Round-8 staged candidates: driver-gate-equivalent checks.
+
+These entries live outside the driver registry this round (the r7
+gate window is full — see plans/staging_r8.py docstring), so this
+file applies the same row-count + columns + order-insensitive value
+hash compare the driver gate uses, plus the candidates' non-SQL
+assertions (compaction file counts)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from noaa_data_pipeline_spark.plans import load_all
+from noaa_data_pipeline_spark.plans.staging_r8 import (
+    FRAG_FILES,
+    STAGED,
+    _parquet_files,
+    compact_events,
+)
+from tools.check_correctness import frame_digest
+
+
+def _staged_names():
+    return sorted(STAGED.keys())
+
+
+def test_staging_is_not_registered():
+    """The staging module must not leak into the driver registry:
+    the r7 window is full, so a leak would break the gate-rotation
+    freshness invariant mid-round."""
+    registered = set(load_all().keys())
+    assert not (set(STAGED) & registered)
+
+
+@pytest.mark.parametrize("name", _staged_names())
+def test_staged_matches_oracle(spark, duck, sf_dir, name):
+    q = STAGED[name]
+    sdf = q.fn(spark, sf_dir)
+    # same complex-column guard as the gate replica: a top-level
+    # array/map/struct column would crash the driver canonicalizer
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, f"top-level complex column(s) {complex_cols}"
+    srows = [tuple(r) for r in sdf.collect()]
+    assert q.oracle is not None, "staged entries must ship an oracle"
+    res = duck.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    sh, slines = frame_digest(sdf.columns, srows)
+    oh, olines = frame_digest(ocols, orows)
+    if sh != oh:
+        only_s = [x for x in slines if x not in set(olines)][:3]
+        only_o = [x for x in olines if x not in set(slines)][:3]
+        pytest.fail(f"value hash mismatch; spark-only={only_s} oracle-only={only_o}")
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    frag, comp = compact_events(spark, sf_dir)
+    n_frag = len(_parquet_files(frag))
+    n_comp = len(_parquet_files(comp))
+    assert n_frag == FRAG_FILES
+    assert 0 < n_comp < n_frag
+
+
+def test_compaction_is_incremental(spark, sf_dir):
+    """A second invocation reuses the checkpointed output (cache hit:
+    the fragmented dir is not rewritten — compare mtimes)."""
+    frag, comp = compact_events(spark, sf_dir)
+    before = {f: os.path.getmtime(f) for f in _parquet_files(comp)}
+    frag2, comp2 = compact_events(spark, sf_dir)
+    assert (frag2, comp2) == (frag, comp)
+    after = {f: os.path.getmtime(f) for f in _parquet_files(comp)}
+    assert after == before
+
+
+def test_np_assign_tie_breaks_to_lowest_cid():
+    """Two bit-identical distances must assign to the lower cid —
+    the property the oracle's ORDER BY dist, cid encodes, and the
+    reason _np_assign accumulates dimension-sequentially instead of
+    letting np.sum reorder the fold."""
+    import numpy as np
+
+    from noaa_data_pipeline_spark.plans.staging_r8 import _np_assign
+
+    mat = np.array([[0.0, 0.0]])
+    cents = [(3, [1.0, 0.0]), (7, [0.0, 1.0])]  # equidistant from origin
+    assert _np_assign(mat, cents).tolist() == [3]
+    with pytest.raises(AssertionError):
+        _np_assign(mat, list(reversed(cents)))  # unsorted cids must fail loudly
+
+
+def test_perplexity_proxy_excludes_short_docs(spark, sf_dir):
+    """Documents shorter than one trigram are excluded, not emitted
+    with n_trigrams <= 0 (which would make the ppm division crash or
+    go negative)."""
+    from noaa_data_pipeline_spark.plans.staging_r8 import STAGED
+
+    out = STAGED["text_perplexity_proxy"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert all(r["n_trigrams"] >= 1 for r in rows)
+    assert all(0 <= r["rare_ppm"] <= 1_000_000 for r in rows)
