@@ -260,8 +260,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.array(pdf["emb"].tolist(), dtype=np.float64)
         ids = pdf["vec_id"].to_numpy()
         norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ mat.T) / np.outer(norms, norms)
-        ii, jj = np.where(sims >= SEM_COSINE_MIN - 1e-6)
+        # a zero vector yields NaN cosine; NaN >= threshold is False,
+        # so the pair drops here exactly as it does in the decimal
+        # stage and the oracle — suppress the expected divide warning
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = (mat @ mat.T) / np.outer(norms, norms)
+            ii, jj = np.where(sims >= SEM_COSINE_MIN - 1e-6)
         keep = ids[ii] < ids[jj]
         return pd.DataFrame(
             {

@@ -106,3 +106,115 @@ def test_perplexity_proxy_excludes_short_docs(spark, sf_dir):
     rows = out.collect()
     assert all(r["n_trigrams"] >= 1 for r in rows)
     assert all(0 <= r["rare_ppm"] <= 1_000_000 for r in rows)
+
+
+def _write_parquet(path, table):
+    import pyarrow.parquet as pq
+
+    pq.write_table(table, path)
+
+
+@pytest.fixture(scope="module")
+def adversarial_docs_lake(tmp_path_factory):
+    """Mini documents lake with the text shapes the synthetic data
+    never exercises: unicode, emoji, CJK, control/quote chars, empty,
+    sub-trigram-length, and NULL text."""
+    import pyarrow as pa
+
+    tmp = str(tmp_path_factory.mktemp("docs_lake"))
+    docs = [
+        (1, "héllo wörld — ünïcode"),
+        (2, "emoji 🎉🎉🎉 and more 🎉 text"),
+        (3, "ab"),
+        (4, ""),
+        (5, "a\nb\tc'd\"e\\f"),
+        (6, "日本語のテキストです"),
+        (7, "combining á chars é"),
+        (8, "aaa aaa aaa aaa"),
+        (9, None),
+    ]
+    _write_parquet(
+        f"{tmp}/documents.parquet",
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "lang": pa.array(["xx"] * len(docs), pa.string()),
+                "source": pa.array(["s"] * len(docs), pa.string()),
+                "n_chars": pa.array([0] * len(docs), pa.int64()),
+            }
+        ),
+    )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_lake(tmp_path_factory):
+    """Mini embeddings lake with a zero vector (NaN cosine), exact
+    duplicates, a colinear pair, and fewer vectors than SEM_K."""
+    import random
+
+    import pyarrow as pa
+
+    random.seed(7)
+    dim = 64
+    v = [random.uniform(-1, 1) for _ in range(dim)]
+    vecs = [
+        (0, [0.0] * dim, 0),
+        (1, v, 0),
+        (2, list(v), 0),
+        (3, [x * 2 for x in v], 0),
+        (4, [random.uniform(-1, 1) for _ in range(dim)], 1),
+    ]
+    tmp = str(tmp_path_factory.mktemp("emb_lake"))
+    _write_parquet(
+        f"{tmp}/embeddings.parquet",
+        pa.table(
+            {
+                "vec_id": pa.array([x[0] for x in vecs], pa.int64()),
+                "embedding": pa.array([x[1] for x in vecs], pa.list_(pa.float32())),
+                "label": pa.array([x[2] for x in vecs], pa.int32()),
+            }
+        ),
+    )
+    return tmp
+
+
+def _gate_compare(spark, lake, name, views):
+    import duckdb
+
+    q = STAGED[name]
+    con = duckdb.connect()
+    for t in views:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{lake}/{t}.parquet')")
+    sdf = q.fn(spark, lake)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    sh, _ = frame_digest(sdf.columns, srows)
+    oh, _ = frame_digest(ocols, orows)
+    assert sh == oh
+    return srows
+
+
+def test_perplexity_proxy_adversarial_text(spark, adversarial_docs_lake):
+    """Cross-engine char semantics (substring vs substr) must agree on
+    multibyte text; NULL/empty/short docs drop in both engines."""
+    rows = _gate_compare(
+        spark, adversarial_docs_lake, "text_perplexity_proxy", ["documents"]
+    )
+    assert {r[0] for r in rows} == {1, 2, 5, 6, 7, 8}  # 3/4/9 excluded
+
+
+def test_semantic_dedup_adversarial_embeddings(spark, adversarial_emb_lake):
+    """Zero vectors (NaN cosine) drop identically in numpy, decimal,
+    and the oracle; exact duplicates survive with cosine ~1; the
+    entry tolerates fewer vectors than SEM_K."""
+    rows = _gate_compare(
+        spark, adversarial_emb_lake, "dedup_semantic_clusters", ["embeddings"]
+    )
+    assert any(r[1] == 1 and r[2] == 2 for r in rows)  # the duplicate pair
+    assert not any(r[1] == 0 or r[2] == 0 for r in rows)  # zero vector dropped
