@@ -380,6 +380,140 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental dedup: new batch vs corpus signature index -----------
+
+NEW_BATCH_PCT = 90  # docs with hash-pct >= 90 play the "new batch"
+
+
+def _incremental_oracle_sql() -> str:
+    from .dedup import _SQL_DOC_PCT, JACCARD_THRESHOLD
+
+    from ..operators import textops
+
+    return f"""
+    WITH shingles AS ({textops.sql_shingles('documents')}),
+    split AS (SELECT doc_id, {_SQL_DOC_PCT} AS pct FROM documents),
+    sigs AS (
+        SELECT doc_id, {textops.sql_minhash_aggs()}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS ({textops.sql_band_selects('sigs')}),
+    nb AS (SELECT b.* FROM bands b JOIN split USING (doc_id)
+           WHERE pct >= {NEW_BATCH_PCT}),
+    ib AS (SELECT b.* FROM bands b JOIN split USING (doc_id)
+           WHERE pct < {NEW_BATCH_PCT}),
+    candidates AS (
+        SELECT DISTINCT n.doc_id AS new_doc_id, i.doc_id AS index_doc_id
+        FROM nb n JOIN ib i ON n.band = i.band AND n.bucket = i.bucket
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    overlap AS (
+        SELECT a.doc_id AS new_doc_id, b.doc_id AS index_doc_id,
+               COUNT(*) AS n_common
+        FROM shingles a
+        JOIN split sa ON a.doc_id = sa.doc_id AND sa.pct >= {NEW_BATCH_PCT}
+        JOIN shingles b ON a.shingle = b.shingle
+        JOIN split sb ON b.doc_id = sb.doc_id AND sb.pct < {NEW_BATCH_PCT}
+        GROUP BY 1, 2
+    )
+    SELECT c.new_doc_id, c.index_doc_id,
+           o.n_common * 1.0 / (za.n_sh + zb.n_sh - o.n_common) AS jaccard
+    FROM candidates c
+    JOIN overlap o ON c.new_doc_id = o.new_doc_id
+                  AND c.index_doc_id = o.index_doc_id
+    JOIN sizes za ON c.new_doc_id = za.doc_id
+    JOIN sizes zb ON c.index_doc_id = zb.doc_id
+    WHERE o.n_common * 1.0 / (za.n_sh + zb.n_sh - o.n_common)
+          >= {JACCARD_THRESHOLD}
+    """
+
+
+@stage("dedup_incremental_minhash", oracle=_incremental_oracle_sql())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: a newly ingested batch (the
+    {100 - NEW_BATCH_PCT}% of docs with hash-pct >= {NEW_BATCH_PCT},
+    standing in for today's crawl) is deduplicated against the
+    EXISTING corpus through its MinHash band index — the standing
+    shape of a daily 100 TB ingest, where re-running the full-corpus
+    self-join per batch (dedup_minhash_lsh) would be quadratic in
+    days. Scale: per-batch cost is O(batch x bands) for signatures
+    plus a band-bucket join against the stored index (here derived
+    from the lake so the DuckDB oracle can see it; a deployment reads
+    the persisted signature table and appends the batch's signatures
+    back to it after the run — the swap point is the `bands` frame).
+    Verification joins only candidate docs' shingles, new-side vs
+    index-side, so the corpus never self-joins. Emits
+    (new_doc_id, index_doc_id, jaccard >= threshold)."""
+    from ..operators import textops
+    from .dedup import _doc_pct, _shingles_cached, JACCARD_THRESHOLD
+
+    sh = _shingles_cached(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(*textops.minhash_agg_cols())
+    bands = (
+        sigs.select("doc_id", F.explode(F.array(*textops.band_cols())).alias("bb"))
+        .select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+            (_doc_pct() >= NEW_BATCH_PCT).alias("is_new"),
+        )
+        .persist()  # lazy: both split sides share one signature pass
+    )
+    nb = bands.filter(F.col("is_new")).alias("n")
+    ib = bands.filter(~F.col("is_new")).alias("i")
+    candidates = (
+        nb.join(
+            ib,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("i.doc_id").alias("index_doc_id"),
+        )
+        .distinct()
+        .persist()  # feeds the semi-join reduction and the final join
+    )
+    cand_docs = (
+        candidates.select(F.col("new_doc_id").alias("doc_id"))
+        .union(candidates.select("index_doc_id"))
+        .distinct()
+    )
+    cand_sh = sh.join(cand_docs, "doc_id", "left_semi").withColumn(
+        "is_new", _doc_pct() >= NEW_BATCH_PCT
+    )
+    sizes = cand_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = cand_sh.filter(F.col("is_new")).alias("a")
+    sb = cand_sh.filter(~F.col("is_new")).alias("b")
+    overlap = (
+        sa.join(sb, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("index_doc_id"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    verified = (
+        overlap.join(za, F.col("new_doc_id") == F.col("za.doc_id"))
+        .join(zb, F.col("index_doc_id") == F.col("zb.doc_id"))
+        .select(
+            "new_doc_id",
+            "index_doc_id",
+            (
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return candidates.join(verified, ["new_doc_id", "index_doc_id"]).select(
+        "new_doc_id", "index_doc_id", "jaccard"
+    )
+
+
 # --- streaming small-file compaction ----------------------------------
 
 FRAG_FILES = 64  # simulated micro-batch fragmentation of the lake
