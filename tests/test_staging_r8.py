@@ -218,3 +218,39 @@ def test_semantic_dedup_adversarial_embeddings(spark, adversarial_emb_lake):
     )
     assert any(r[1] == 1 and r[2] == 2 for r in rows)  # the duplicate pair
     assert not any(r[1] == 0 or r[2] == 0 for r in rows)  # zero vector dropped
+
+
+def _staged_plan(spark, sf_dir, name):
+    df = STAGED[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_incremental_dedup_plan_has_no_cartesian(spark, sf_dir):
+    """The band join and the verification join are equi-joins; the
+    corpus must never cross-join."""
+    plan = _staged_plan(spark, sf_dir, "dedup_incremental_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_verification_joins_are_equi(spark, sf_dir):
+    plan = _staged_plan(spark, sf_dir, "dedup_semantic_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_rare_join_is_semi_and_broadcast(spark, sf_dir):
+    """Only rare occurrences shuffle: the rare-set join must be a
+    broadcast LEFT SEMI, and the doc-level join must not shuffle the
+    corpus through a sort-merge."""
+    plan = _staged_plan(spark, sf_dir, "text_perplexity_proxy")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_prunes_document_payload(spark, sf_dir):
+    """The trigram scan needs doc_id + text only — lang/source must
+    not be read."""
+    plan = _staged_plan(spark, sf_dir, "text_perplexity_proxy")
+    scans = [ln for ln in plan.split("\n") if "ReadSchema" in ln]
+    assert scans and all("lang" not in ln and "source" not in ln for ln in scans)
