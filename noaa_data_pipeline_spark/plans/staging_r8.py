@@ -117,19 +117,28 @@ def _sem_assign_ctes(k: int, iterations: int) -> str:
     return ",\n".join(parts)
 
 
-def _sem_oracle_sql(k: int = SEM_K, iterations: int = SEM_ITERS) -> str:
+def _sem_pairs_ctes(k: int = SEM_K, iterations: int = SEM_ITERS) -> str:
+    """CTE chain ending in ``sem_pairs(cid, vec_a, vec_b, cosine)`` —
+    shared by the pair oracle and the purge-report oracle."""
     from .similarity import _sql_dot
 
-    cos = (
-        f"{_sql_dot('a.emb', 'b.emb')} / (a.norm * b.norm)"
-    )
+    cos = f"{_sql_dot('a.emb', 'b.emb')} / (a.norm * b.norm)"
+    return f"""{_sem_assign_ctes(k, iterations)},
+    sem_pairs AS MATERIALIZED (
+        -- MATERIALIZED mirrors the cc oracle in plans/iterative.py:
+        -- the recursive closure re-reads this per round
+        SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {cos} AS cosine
+        FROM assign{iterations} a JOIN assign{iterations} b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {cos} >= {SEM_COSINE_MIN}
+    )"""
+
+
+def _sem_oracle_sql(k: int = SEM_K, iterations: int = SEM_ITERS) -> str:
     return f"""
-    WITH {_sem_assign_ctes(k, iterations)}
-    SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {cos} AS cosine
-    FROM assign{iterations} a JOIN assign{iterations} b
-      ON a.cid = b.cid AND a.vec_id < b.vec_id
-    WHERE {cos} >= {SEM_COSINE_MIN}
+    WITH {_sem_pairs_ctes(k, iterations)}
+    SELECT cid, vec_a, vec_b, cosine FROM sem_pairs
     """
 
 
@@ -377,6 +386,66 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(ppm > PPM_HIGH, "medium")
         .otherwise("high")
         .alias("quality_bucket"),
+    )
+
+
+def _sem_purge_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_sem_pairs_ctes()},
+    cc_edges AS MATERIALIZED (
+        SELECT vec_a AS src, vec_b AS dst FROM sem_pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM sem_pairs
+    ),
+    reach(node, start) AS (
+        SELECT src, src FROM cc_edges
+        UNION
+        SELECT e.dst, r.start FROM reach r JOIN cc_edges e ON e.src = r.node
+    ),
+    cc_labels AS (SELECT node, MIN(start) AS component FROM reach GROUP BY node),
+    removed AS (SELECT node AS vec_id FROM cc_labels WHERE node <> component)
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS vecs_before,
+           CAST(COUNT(r.vec_id) AS BIGINT) AS vecs_removed,
+           CAST(COUNT(*) - COUNT(r.vec_id) AS BIGINT) AS vecs_after
+    FROM embeddings e
+    LEFT JOIN removed r ON e.vec_id = r.vec_id
+    GROUP BY e.label
+    """
+
+
+@stage("dedup_semantic_purge", oracle=_sem_purge_oracle_sql())
+def dedup_semantic_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The output-linear form of semantic dedup (the shape SemDeDup
+    deployments actually emit): connected components over the
+    within-cluster cosine pairs pick one keeper per duplicate clique
+    (smallest vec_id), and the result is per-label keep/purge
+    accounting — one row per label, never one per clique edge, so
+    output size is O(corpus), not O(dup-multiplicity^2) (the x20
+    replica-lake probe showed why that matters: exact-dup cliques make
+    the pair frame quadratic). Composition: dedup_semantic_clusters
+    pairs -> plans/iterative.connected_components (pointer-jumping,
+    O(log diameter) rounds) -> left-join accounting, mirroring
+    dedup_purge_report for the MinHash pipeline."""
+    from .iterative import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup_semantic_clusters(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    removed = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("vec_id"), F.lit(1).alias("is_removed"))
+    )
+    return (
+        emb.join(removed, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("vecs_before"),
+            F.count("is_removed").alias("vecs_removed"),
+            (F.count("*") - F.count("is_removed")).alias("vecs_after"),
+        )
     )
 
 
