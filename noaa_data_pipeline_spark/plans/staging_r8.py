@@ -30,10 +30,12 @@ the dedup/quality ops extend SURVEY.md's LLM-pipeline family.
 
 from __future__ import annotations
 
+import atexit
 import glob
 import hashlib
 import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -126,12 +128,19 @@ def _sem_pairs_ctes(k: int = SEM_K, iterations: int = SEM_ITERS) -> str:
     return f"""{_sem_assign_ctes(k, iterations)},
     sem_pairs AS MATERIALIZED (
         -- MATERIALIZED mirrors the cc oracle in plans/iterative.py:
-        -- the recursive closure re-reads this per round
+        -- the recursive closure re-reads this per round.
+        -- norm > 0 on BOTH sides, mirrored in the Spark plan: a
+        -- vector tiny enough that every decimal(·,15) x*x product
+        -- rounds to 0 has norm 0, and a mixed pair could divide a
+        -- NONZERO dot by 0 (DuckDB: inf, which passes >=; Spark
+        -- ANSI: DIVIDE_BY_ZERO error) — excluded explicitly so
+        -- neither engine's division-by-zero convention is load-bearing
         SELECT a.cid AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
                {cos} AS cosine
         FROM assign{iterations} a JOIN assign{iterations} b
           ON a.cid = b.cid AND a.vec_id < b.vec_id
-        WHERE {cos} >= {SEM_COSINE_MIN}
+        WHERE a.norm > 0 AND b.norm > 0
+          AND {cos} >= {SEM_COSINE_MIN}
     )"""
 
 
@@ -164,39 +173,29 @@ def _np_assign(mat, centroids: list[tuple[int, list[float]]]):
             d = mat[:, k] - c_emb[k]
             acc = acc + d * d
         cols.append(acc)
-    import numpy as _np
-
-    idx = _np.argmin(_np.stack(cols, axis=1), axis=1)
-    cids = _np.array([cid for cid, _ in centroids], dtype=_np.int64)
+    idx = np.argmin(np.stack(cols, axis=1), axis=1)
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
     return cids[idx]
 
 
-@stage("dedup_semantic_clusters", oracle=_sem_oracle_sql())
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-shaped semantic near-dup detection: embeddings are
-    k-means-clustered ({SEM_ITERS} Lloyd rounds over {SEM_K} seed
-    centroids), then cosine pairs are generated ONLY within a cluster
-    and kept at >= {SEM_COSINE_MIN}. Unlike ``dedup_embedding_cosine``
-    (label-blocked), the blocking key here is unsupervised — the shape
-    used when no labels exist, which is the 100 TB corpus reality.
-    Scale: the centroid set is control-plane-small (k x dim doubles),
-    so each Lloyd round collects it to the driver and inlines it as
-    literals — assignment is then a pure map-side expression over the
-    corpus (the MLlib k-means shape: only centroids ever leave the
-    executors). The pair join shuffles on cid, so cost is the sum of
-    per-cluster squares, not corpus-squared; k rises with corpus size
-    to bound cluster width. Exactness: a double-dot prefilter (margin
-    1e-6, far beyond fold rounding) bounds the candidate set, then the
-    surviving pairs get the decimal dot with the VARCHAR hop
-    (similarity._dot) so the emitted cosine is hash-stable across
-    engines; centroid means use scaled-long sums like the oracle."""
+# Lloyd results per source-content fingerprint: the clusters entry,
+# the purge entry, and repeated test invocations all need the same
+# centroids — recomputing the collect/toPandas rounds per call would
+# triple the driver-side phase (review finding)
+_SEM_CENT_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+
+
+def _semantic_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """SEM_ITERS-round Lloyd centroids, cached per embeddings-table
+    fingerprint. The phase never touches norms, so it reads the raw
+    vectors and skips _embeddings' decimal norm computation."""
     import numpy as np
     import pandas as pd
 
-    from .similarity import _dot, _embeddings
-
-    # the Lloyd phase never touches norms — use the raw vectors so
-    # the seed/means jobs skip _embeddings' decimal norm computation
+    key = _table_fingerprint(sf_dir, "embeddings")
+    cached = _SEM_CENT_CACHE.get(key)
+    if cached is not None:
+        return cached
     raw = load_table(spark, sf_dir, "embeddings")
     kemb = raw.repartition(spark.sparkContext.defaultParallelism, "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -242,8 +241,35 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for cid, g in combined.groupby("cid")
         )
+    _SEM_CENT_CACHE[key] = centroids
+    return centroids
 
-    final_cents = centroids
+
+@stage("dedup_semantic_clusters", oracle=_sem_oracle_sql())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup detection: embeddings are
+    k-means-clustered ({SEM_ITERS} Lloyd rounds over {SEM_K} seed
+    centroids), then cosine pairs are generated ONLY within a cluster
+    and kept at >= {SEM_COSINE_MIN}. Unlike ``dedup_embedding_cosine``
+    (label-blocked), the blocking key here is unsupervised — the shape
+    used when no labels exist, which is the 100 TB corpus reality.
+    Scale: the centroid set is control-plane-small (k x dim doubles),
+    so each Lloyd round collects it to the driver and inlines it as
+    literals — assignment is then a pure map-side expression over the
+    corpus (the MLlib k-means shape: only centroids ever leave the
+    executors). The pair join shuffles on cid, so cost is the sum of
+    per-cluster squares, not corpus-squared; k rises with corpus size
+    to bound cluster width. Exactness: a double-dot prefilter (margin
+    1e-6, far beyond fold rounding) bounds the candidate set, then the
+    surviving pairs get the decimal dot with the VARCHAR hop
+    (similarity._dot) so the emitted cosine is hash-stable across
+    engines; centroid means use scaled-long sums like the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _dot, _embeddings
+
+    final_cents = _semantic_centroids(spark, sf_dir)
 
     def assign_members(batches):
         for pdf in batches:
@@ -255,8 +281,17 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out[["cid", "vec_id", "emb", "norm"]]
 
     emb = _embeddings(spark, sf_dir)
-    members = emb.select("vec_id", "emb", "norm").mapInPandas(
-        assign_members, schema="cid long, vec_id long, emb array<double>, norm double"
+    # norm > 0 (the DECIMAL norm — the actual divisor downstream),
+    # mirrored in the oracle's WHERE: a vector tiny enough that every
+    # decimal x*x rounds to 0 would otherwise reach the exact stage
+    # with a 0 divisor and abort under Spark's ANSI mode
+    members = (
+        emb.filter(F.col("norm") > 0)
+        .select("vec_id", "emb", "norm")
+        .mapInPandas(
+            assign_members,
+            schema="cid long, vec_id long, emb array<double>, norm double",
+        )
     )
 
     def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -269,9 +304,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.array(pdf["emb"].tolist(), dtype=np.float64)
         ids = pdf["vec_id"].to_numpy()
         norms = np.linalg.norm(mat, axis=1)
-        # a zero vector yields NaN cosine; NaN >= threshold is False,
-        # so the pair drops here exactly as it does in the decimal
-        # stage and the oracle — suppress the expected divide warning
+        # an exactly-zero vector yields NaN cosine here; NaN >=
+        # threshold is False so the pair drops. (Vectors whose
+        # DECIMAL norm rounds to 0 while the float norm doesn't are
+        # already excluded upstream by the members norm > 0 filter —
+        # this guard only covers the float-zero case.)
         with np.errstate(invalid="ignore", divide="ignore"):
             sims = (mat @ mat.T) / np.outer(norms, norms)
             ii, jj = np.where(sims >= SEM_COSINE_MIN - 1e-6)
@@ -592,12 +629,13 @@ _COMPACT_ROOT = f"/tmp/noaa_spark_compacted_{os.getpid()}"
 _COMPACT_CACHE: dict[str, str] = {}
 
 
-def _events_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the source events table (same contract
-    as scale._bucket_tag): full path + file stats, so a regenerated
-    lake can never serve a stale compacted copy."""
+def _table_fingerprint(sf_dir: str, name: str) -> str:
+    """Content fingerprint of one source table (same contract as
+    scale._bucket_tag): full path + file stats, so a regenerated lake
+    can never serve a stale cached artifact (compacted copy,
+    centroids)."""
     n, total, mtime = 0, 0, 0.0
-    for p in glob.glob(table_path(sf_dir, "events").replace("events.parquet", "events*")):
+    for p in glob.glob(table_path(sf_dir, name).replace(f"{name}.parquet", f"{name}*")):
         paths = (
             [
                 q
@@ -621,27 +659,22 @@ def _parquet_files(path: str) -> list[str]:
     return glob.glob(os.path.join(path, "*.parquet"))
 
 
-def compact_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Fragment the events table into a simulated micro-batch lake,
-    then compact it with one availableNow streaming pass. Returns
-    (fragmented_dir, compacted_dir); both are cached per source
-    fingerprint for re-entrancy."""
-    fp = _events_fingerprint(sf_dir)
-    if fp in _COMPACT_CACHE:
-        root = _COMPACT_CACHE[fp]
-        return os.path.join(root, "fragmented"), os.path.join(root, "compacted")
-    root = os.path.join(_COMPACT_ROOT, fp)
-    frag = os.path.join(root, "fragmented")
-    comp = os.path.join(root, "compacted")
-    ckpt = os.path.join(root, "ckpt")
-    # 1. simulate a streaming sink that left FRAG_FILES tiny files
-    ev = load_table(spark, sf_dir, "events")
-    ev.repartition(FRAG_FILES).write.mode("overwrite").parquet(frag)
-    # 2. compact: incremental file-source stream + foreachBatch writer.
-    #    availableNow + the checkpoint make this the standing
-    #    maintenance job shape — a later run with new micro-batch
-    #    files compacts ONLY the new files, which is what keeps the
-    #    job O(new data) on a 100 TB/day ingest lake.
+def _cleanup_compact_root() -> None:
+    shutil.rmtree(_COMPACT_ROOT, ignore_errors=True)
+
+
+# mirror dedup._cleanup_shingle_dirs: the pid-keyed root would
+# otherwise leak ~2x the events table + checkpoint files per process
+atexit.register(_cleanup_compact_root)
+
+
+def run_compaction(spark: SparkSession, frag: str, comp: str, ckpt: str) -> None:
+    """One availableNow compaction pass over the fragmented dir:
+    incremental file-source stream + foreachBatch writer. The
+    checkpoint makes this the standing maintenance job shape — a
+    later pass with new micro-batch files compacts ONLY the new
+    files, which is what keeps the job O(new data) on a 100 TB/day
+    ingest lake (covered by test_compaction_processes_only_new_files)."""
     frag_bytes = sum(os.path.getsize(f) for f in _parquet_files(frag))
     n_out = max(1, math.ceil(frag_bytes / TARGET_FILE_BYTES))
     schema = spark.read.parquet(frag).schema
@@ -658,6 +691,25 @@ def compact_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .start()
     )
     q.awaitTermination()
+
+
+def compact_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Fragment the events table into a simulated micro-batch lake,
+    then compact it with one availableNow streaming pass. Returns
+    (fragmented_dir, compacted_dir); both are cached per source
+    fingerprint for re-entrancy."""
+    fp = _table_fingerprint(sf_dir, "events")
+    if fp in _COMPACT_CACHE:
+        root = _COMPACT_CACHE[fp]
+        return os.path.join(root, "fragmented"), os.path.join(root, "compacted")
+    root = os.path.join(_COMPACT_ROOT, fp)
+    frag = os.path.join(root, "fragmented")
+    comp = os.path.join(root, "compacted")
+    ckpt = os.path.join(root, "ckpt")
+    # simulate a streaming sink that left FRAG_FILES tiny files
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(FRAG_FILES).write.mode("overwrite").parquet(frag)
+    run_compaction(spark, frag, comp, ckpt)
     _COMPACT_CACHE[fp] = root
     return frag, comp
 

@@ -69,15 +69,36 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     assert 0 < n_comp < n_frag
 
 
-def test_compaction_is_incremental(spark, sf_dir):
-    """A second invocation reuses the checkpointed output (cache hit:
-    the fragmented dir is not rewritten — compare mtimes)."""
+def test_compaction_is_cached_per_fingerprint(spark, sf_dir):
+    """A second invocation for the same source is an in-process cache
+    hit: same dirs back, COMPACTED outputs untouched (mtimes equal)."""
     frag, comp = compact_events(spark, sf_dir)
     before = {f: os.path.getmtime(f) for f in _parquet_files(comp)}
     frag2, comp2 = compact_events(spark, sf_dir)
     assert (frag2, comp2) == (frag, comp)
     after = {f: os.path.getmtime(f) for f in _parquet_files(comp)}
     assert after == before
+
+
+def test_compaction_processes_only_new_files(spark, sf_dir, tmp_path):
+    """The checkpointed availableNow pass is genuinely incremental: a
+    second pass after one new micro-batch file lands must append only
+    that file's rows and leave every earlier output untouched."""
+    from noaa_data_pipeline_spark.plans.staging_r8 import run_compaction
+    from noaa_data_pipeline_spark.tables import load_table
+
+    frag, comp, ckpt = (str(tmp_path / d) for d in ("frag", "comp", "ckpt"))
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.limit(50).repartition(4).write.parquet(frag)
+    run_compaction(spark, frag, comp, ckpt)
+    first = {f: os.path.getmtime(f) for f in _parquet_files(comp)}
+    assert spark.read.parquet(comp).count() == 50
+    # a new micro-batch lands
+    ev.limit(7).coalesce(1).write.mode("append").parquet(frag)
+    run_compaction(spark, frag, comp, ckpt)
+    assert spark.read.parquet(comp).count() == 57
+    untouched = {f: os.path.getmtime(f) for f in first}
+    assert untouched == first  # earlier outputs not rewritten
 
 
 def test_np_assign_tie_breaks_to_lowest_cid():
@@ -159,12 +180,15 @@ def adversarial_emb_lake(tmp_path_factory):
     random.seed(7)
     dim = 64
     v = [random.uniform(-1, 1) for _ in range(dim)]
-    vecs = [
+    tiny = [2e-8] * dim  # decimal(·,15) x*x rounds to 0 -> decimal norm 0,
+    vecs = [  # while the float norm (and GEMM cosine vs its twin) is nonzero
         (0, [0.0] * dim, 0),
         (1, v, 0),
         (2, list(v), 0),
         (3, [x * 2 for x in v], 0),
         (4, [random.uniform(-1, 1) for _ in range(dim)], 1),
+        (5, tiny, 1),
+        (6, list(tiny), 1),
     ]
     tmp = str(tmp_path_factory.mktemp("emb_lake"))
     _write_parquet(
@@ -211,13 +235,16 @@ def test_perplexity_proxy_adversarial_text(spark, adversarial_docs_lake):
 
 def test_semantic_dedup_adversarial_embeddings(spark, adversarial_emb_lake):
     """Zero vectors (NaN cosine) drop identically in numpy, decimal,
-    and the oracle; exact duplicates survive with cosine ~1; the
-    entry tolerates fewer vectors than SEM_K."""
+    and the oracle; vectors whose DECIMAL norm rounds to 0 while the
+    float cosine vs their twin is 1.0 must be excluded by the norm>0
+    guard, not crash Spark's ANSI division; exact duplicates survive
+    with cosine ~1; the entry tolerates fewer vectors than SEM_K."""
     rows = _gate_compare(
         spark, adversarial_emb_lake, "dedup_semantic_clusters", ["embeddings"]
     )
     assert any(r[1] == 1 and r[2] == 2 for r in rows)  # the duplicate pair
-    assert not any(r[1] == 0 or r[2] == 0 for r in rows)  # zero vector dropped
+    dropped = {0, 5, 6}  # zero vector + the decimal-norm-0 twins
+    assert not any(r[1] in dropped or r[2] in dropped for r in rows)
 
 
 def _staged_plan(spark, sf_dir, name):
