@@ -281,3 +281,92 @@ def test_perplexity_prunes_document_payload(spark, sf_dir):
     plan = _staged_plan(spark, sf_dir, "text_perplexity_proxy")
     scans = [ln for ln in plan.split("\n") if "ReadSchema" in ln]
     assert scans and all("lang" not in ln and "source" not in ln for ln in scans)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.integers(2, 6).flatmap(
+        lambda dim: st.tuples(
+            st.lists(
+                st.lists(
+                    st.floats(-10, 10, allow_nan=False, allow_infinity=False),
+                    min_size=dim,
+                    max_size=dim,
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+            st.lists(
+                st.lists(
+                    st.floats(-10, 10, allow_nan=False, allow_infinity=False),
+                    min_size=dim,
+                    max_size=dim,
+                ),
+                min_size=1,
+                max_size=5,
+            ),
+        )
+    )
+)
+@settings(max_examples=100, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_np_assign_matches_sequential_fold_reference(data):
+    """_np_assign's vectorized accumulation must equal a pure-Python
+    per-row sequential fold bit-for-bit (the property the oracle
+    parity rests on), including the lowest-cid tie-break."""
+    import numpy as np
+
+    from noaa_data_pipeline_spark.plans.staging_r8 import _np_assign
+
+    rows, cents = data
+    mat = np.array(rows, dtype=np.float64)
+    centroids = [(i * 3 + 1, c) for i, c in enumerate(cents)]  # sorted cids
+    got = _np_assign(mat, centroids).tolist()
+    expected = []
+    for r in rows:
+        best = None
+        for cid, c in centroids:
+            acc = 0.0
+            for a, b in zip(r, c):
+                d = a - b
+                acc = acc + d * d
+            if best is None or acc < best[0] or (acc == best[0] and cid < best[1]):
+                best = (acc, cid)
+        expected.append(best[1])
+    assert got == expected
+
+
+def test_perplexity_proxy_matches_python_reference(spark, adversarial_docs_lake):
+    """Independent pure-Python referee (not the DuckDB twin): trigram
+    counts, rare-ppm integer division, and bucketing recomputed from
+    scratch on the adversarial lake must equal the Spark result."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from noaa_data_pipeline_spark.plans.staging_r8 import (
+        PPM_HIGH,
+        PPM_LOW,
+        RARE_MAX,
+        STAGED,
+    )
+
+    tbl = pq.read_table(f"{adversarial_docs_lake}/documents.parquet")
+    docs = {
+        d: t
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if t is not None and len(t) >= 3
+    }
+    trigrams = {d: [t[i : i + 3] for i in range(len(t) - 2)] for d, t in docs.items()}
+    counts = Counter(tg for tgs in trigrams.values() for tg in tgs)
+    expected = {}
+    for d, tgs in trigrams.items():
+        n_rare = sum(1 for tg in tgs if counts[tg] <= RARE_MAX)
+        ppm = (1_000_000 * n_rare) // len(tgs)
+        bucket = "low" if ppm > PPM_LOW else ("medium" if ppm > PPM_HIGH else "high")
+        expected[d] = (len(tgs), ppm, bucket)
+    out = STAGED["text_perplexity_proxy"].fn(spark, adversarial_docs_lake).collect()
+    got = {r["doc_id"]: (r["n_trigrams"], r["rare_ppm"], r["quality_bucket"]) for r in out}
+    assert got == expected
