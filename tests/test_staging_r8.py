@@ -370,3 +370,51 @@ def test_perplexity_proxy_matches_python_reference(spark, adversarial_docs_lake)
     out = STAGED["text_perplexity_proxy"].fn(spark, adversarial_docs_lake).collect()
     got = {r["doc_id"]: (r["n_trigrams"], r["rare_ppm"], r["quality_bucket"]) for r in out}
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Z", "S")
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_perplexity_proxy_differential_fuzz(spark, tmp_path_factory, texts):
+    """Random-unicode-lake differential fuzz (the translator-fuzzer
+    approach applied to data): Spark vs the DuckDB twin on generated
+    documents must hash-match for ANY text content — catching char
+    semantics drift the fixed adversarial fixture can't."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = str(tmp_path_factory.mktemp("fuzz_lake"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["xx"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([0] * len(texts), pa.int64()),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+    q = STAGED["text_perplexity_proxy"]
+    sdf = q.fn(spark, tmp)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp}/documents.parquet')")
+    res = con.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    con.close()
+    assert len(srows) == len(orows)
+    assert frame_digest(sdf.columns, srows)[0] == frame_digest(ocols, orows)[0]
