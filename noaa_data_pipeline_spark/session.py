@@ -25,6 +25,48 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine package importable on executor Python workers.
+
+    Plain ``local[...]`` masters run workers on the driver's machine
+    with the driver's sys.path, so imports just work. Any master with
+    SEPARATE executors (``local-cluster[...]``, standalone, YARN,
+    k8s) spawns Python workers that must import
+    ``noaa_data_pipeline_spark`` themselves — every module-level
+    function referenced from a pandas UDF closure is pickled BY
+    REFERENCE (observed: ModuleNotFoundError from the multimodal and
+    semantic-dedup mapInPandas stages under local-cluster). Shipping
+    a zip via addPyFile is the same mechanism ``spark-submit
+    --py-files`` uses in a real deployment. Content-hashed and
+    cached per process; idempotent per session."""
+    import hashlib
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    digest = hashlib.sha1()
+    py_files = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                path = os.path.join(root, f)
+                py_files.append(path)
+                with open(path, "rb") as fh:
+                    digest.update(fh.read())
+    zip_path = os.path.join(
+        "/tmp", f"noaa_data_pipeline_spark_{digest.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for path in py_files:
+                arc = os.path.join(
+                    "noaa_data_pipeline_spark", os.path.relpath(path, pkg_dir)
+                )
+                zf.write(path, arc)
+        os.replace(tmp, zip_path)  # atomic vs a concurrent builder
+    spark.sparkContext.addPyFile(zip_path)
+
+
 def get_spark(
     app_name: str = "noaa-data-pipeline-spark",
     master: str | None = None,
@@ -50,4 +92,6 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):
+        _ship_package(spark)
     return spark
