@@ -39,6 +39,13 @@ def _ship_package(spark: SparkSession) -> None:
     a zip via addPyFile is the same mechanism ``spark-submit
     --py-files`` uses in a real deployment. Content-hashed and
     cached per process; idempotent per session."""
+    spark.sparkContext.addPyFile(package_zip())
+
+
+def package_zip() -> str:
+    """Build (or reuse) the content-hashed zip of this package that
+    ``_ship_package`` ships to executors. Exposed for tests and for
+    external submitters that want the --py-files artifact."""
     import hashlib
     import zipfile
 
@@ -64,7 +71,7 @@ def _ship_package(spark: SparkSession) -> None:
                 )
                 zf.write(path, arc)
         os.replace(tmp, zip_path)  # atomic vs a concurrent builder
-    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
 
 
 def get_spark(

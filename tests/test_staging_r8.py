@@ -418,3 +418,34 @@ def test_perplexity_proxy_differential_fuzz(spark, tmp_path_factory, texts):
     con.close()
     assert len(srows) == len(orows)
     assert frame_digest(sdf.columns, srows)[0] == frame_digest(ocols, orows)[0]
+
+
+def test_package_zip_importable_standalone():
+    """The executor-shipping zip (session.package_zip) must be a
+    self-sufficient import root: a fresh interpreter with ONLY the
+    zip on sys.path — no repo checkout — must import the plan modules
+    an executor's pandas UDF closures reference by module path."""
+    import subprocess
+    import sys as _sys
+
+    from noaa_data_pipeline_spark.session import package_zip
+
+    zip_path = package_zip()
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]);\n"
+        "import noaa_data_pipeline_spark.plans.staging_r8 as s\n"
+        "import noaa_data_pipeline_spark.plans.multimodal\n"
+        "import noaa_data_pipeline_spark.operators.textops\n"
+        "assert s._np_assign is not None\n"
+        "print('zip-import-ok')\n"
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", code, zip_path],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",  # not the repo root: the zip must stand alone
+        env={"PATH": os.environ.get("PATH", "")},
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "zip-import-ok" in out.stdout
