@@ -736,7 +736,13 @@ def stream_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (file counts aren't SQL-oracle-able). Scale: the stream source
     checkpoints consumed files, so the standing job is O(new files)
     per trigger; the coalesce width derives from observed bytes /
-    target file size, not a constant."""
+    target file size, not a constant.
+
+    Relationship to ``weather.streaming_ingest.compact_partition``:
+    that one is the batch per-partition rewrite (atomic dir swap,
+    scheduler-driven); this is the checkpointed STREAMING variant
+    that never re-reads already-compacted input — the pairing a lake
+    runs as close-partition rewrite + continuous small-file sweep."""
     _, comp = compact_events(spark, sf_dir)
     return (
         spark.read.parquet(comp)
