@@ -449,3 +449,39 @@ def test_package_zip_importable_standalone():
     )
     assert out.returncode == 0, out.stderr
     assert "zip-import-ok" in out.stdout
+
+
+def test_semantic_centroid_cache_invalidates_on_lake_change(spark, tmp_path):
+    """The per-fingerprint centroid cache must never serve stale
+    centroids after the embeddings table is rewritten in place (the
+    r6-ADVICE cache-invalidation contract, applied to the staged
+    cache)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from noaa_data_pipeline_spark.plans.staging_r8 import _semantic_centroids
+
+    lake = str(tmp_path)
+
+    def write(vals):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vals)), pa.int64()),
+                    "embedding": pa.array(vals, pa.list_(pa.float32())),
+                    "label": pa.array([0] * len(vals), pa.int32()),
+                }
+            ),
+            f"{lake}/embeddings.parquet",
+        )
+
+    write([[float(i), 0.0] for i in range(12)])
+    first = _semantic_centroids(spark, lake)
+    again = _semantic_centroids(spark, lake)
+    assert again is first  # cache hit for identical content
+    _time.sleep(0.05)  # ensure the rewrite lands a distinct mtime
+    write([[0.0, float(i * 5)] for i in range(12)])
+    second = _semantic_centroids(spark, lake)
+    assert second != first  # rewritten lake -> fresh centroids
