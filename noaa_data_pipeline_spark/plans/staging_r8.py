@@ -620,6 +620,131 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental IVF: insert + search a new vector batch --------------
+
+IVF_NEW_PCT = 90  # vectors with hash-pct >= 90 play the "new batch"
+IVF_TOP_K = 5
+
+_SQL_VEC_PCT = (
+    "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+def _vec_pct() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+def _ivf_incremental_oracle_sql() -> str:
+    from .similarity import _SQL_DEC, _SQL_EMB, _sql_dot
+
+    sqd = (
+        f"CAST(CAST(list_sum(list_transform(list_zip(q.emb, cv.cvec), "
+        f"x -> CAST((x[1] - x[2]) * (x[1] - x[2]) AS {_SQL_DEC}))) AS VARCHAR) AS DOUBLE)"
+    )
+    return f"""
+    WITH emb AS ({_SQL_EMB}),
+    split AS (SELECT vec_id, {_SQL_VEC_PCT} AS pct FROM embeddings),
+    idx AS (SELECT e.* FROM emb e JOIN split USING (vec_id)
+            WHERE pct < {IVF_NEW_PCT}),
+    newb AS (SELECT e.* FROM emb e JOIN split USING (vec_id)
+             WHERE pct >= {IVF_NEW_PCT}),
+    comps AS (
+        SELECT label, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+        FROM idx
+    ),
+    centroids AS (
+        SELECT label, dim,
+               CAST(CAST(SUM(CAST(val AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS cval
+        FROM comps GROUP BY label, dim
+    ),
+    cent_vec AS (
+        SELECT label, list(cval ORDER BY dim) AS cvec FROM centroids GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id AS new_vec_id, emb, norm, cell FROM (
+            SELECT q.vec_id, q.emb, q.norm, cv.label AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id ORDER BY {sqd}, cv.label
+                   ) AS rn
+            FROM newb q CROSS JOIN cent_vec cv
+        ) r WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.new_vec_id, a.cell, i.vec_id AS neighbor_id,
+               {_sql_dot('a.emb', 'i.emb')} / (a.norm * i.norm) AS cosine
+        FROM assigned a JOIN idx i ON i.label = a.cell
+    )
+    SELECT new_vec_id, cell, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY new_vec_id ORDER BY cosine DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    ) r WHERE rnk <= {IVF_TOP_K}
+    """
+
+
+@stage("sim_incremental_ivf_insert", oracle=_ivf_incremental_oracle_sql())
+def sim_incremental_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index maintenance: a new vector batch (hash-pct >=
+    {IVF_NEW_PCT}) is INSERTED into the existing IVF index — each new
+    vector is assigned to its nearest index centroid (exact decimal
+    squared-L2, ties to the lowest cell, the faiss `add` step) and
+    immediately searched against that cell's index vectors (top-
+    {IVF_TOP_K} by exact cosine). Complements sim_ivf_probe1 (which
+    cell-partitions BOTH sides by the stored label): here the new
+    batch has no cell until assignment, which is the daily-ingest
+    reality. Scale: centroids are k x dim — broadcast; assignment is
+    map-side over the batch; the search join shuffles only the batch
+    against its assigned cells, so cost is O(batch x cell width),
+    independent of total index size. The centroid recompute here
+    stands in for reading the stored centroid table an index service
+    maintains."""
+    from pyspark.sql import Window
+
+    from .similarity import _centroid_vectors, _dot, _embeddings, _sqdist
+
+    emb = _embeddings(spark, sf_dir)
+    idx = emb.filter(_vec_pct() < IVF_NEW_PCT)
+    newb = emb.filter(_vec_pct() >= IVF_NEW_PCT)
+    cent = _centroid_vectors(idx)
+    w_assign = Window.partitionBy("vec_id").orderBy("sqd", "label")
+    assigned = (
+        newb.select("vec_id", "emb", "norm")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("sqd", _sqdist(F.col("emb"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("new_vec_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.col("label").alias("cell"),
+        )
+    )
+    scored = idx.join(assigned, F.col("label") == F.col("cell")).select(
+        "new_vec_id",
+        "cell",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))).alias(
+            "cosine"
+        ),
+    )
+    w_topk = Window.partitionBy("new_vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_topk).cast("long"))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("new_vec_id", "cell", "neighbor_id", "cosine", "rnk")
+    )
+
+
 # --- streaming small-file compaction ----------------------------------
 
 FRAG_FILES = 64  # simulated micro-batch fragmentation of the lake
