@@ -29,46 +29,55 @@ PLAN_MODULES = [
     "dedup",
     "text",
     "analytics",
+    "lifecycle",
 ]
 
 # The driver gate records exactly the first 50 registry entries, so
 # iteration order decides which entries get fresh driver evidence
-# each round. Round 7 window (r6 verdict task 4): the r6 window was
-# all r6-new/edited entries, so 82 of 132 entries last saw the driver
-# in r4/r5 — this round re-proves the 41 whose last evidence is r4
-# (the r1-era weather/events family and early TPC-H shapes, at the
-# edge of the 3-round freshness window the meta-test in
-# tests/test_registry_oracle.py enforces), plus the 9 entries whose
-# plans were edited in round 7 (lake-layout routing, lazy persists,
-# the decontam shuffle fusion, window-suite null ordering).
+# each round. Round 8 window (the rotation drafted in GATE_LOG
+# "Round-8 rotation plan"): the 40 entries whose last driver evidence
+# is round 5 (at the edge of the 3-round freshness window the
+# meta-test in tests/test_registry_oracle.py enforces), plus the six
+# round-7-staged operators promoted into the registry this round
+# (plans/lifecycle.py — each already oracle-proven at three SFs and
+# three engine configs before promotion), plus the 4 entries whose
+# plans changed in round 8 (bucketed-routing opt-in fix, lazy-persist
+# conversions).
 # NOTE (process): rotation only picks what the DRIVER re-checks;
 # every round must still pass the full-registry local gate
 # (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
 GATE_PRIORITY = [
-    # --- last driver evidence is round 4 (stalest 41)
-    "customer_order_counts", "customers_without_recent_orders",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
-    "distinct_segment_nation", "emb_quantize_int8",
-    "events_asof_view_before_purchase", "events_daily_rollup_two_level",
-    "events_forward_fill", "events_json_extract", "events_lag_lead_delta",
-    "events_moving_avg_7", "events_outcome_scoring", "events_rank_quartiles",
-    "events_time_grid_3h", "events_top3_winners", "events_user_window_agg",
-    "events_value_histogram", "events_value_percentiles",
-    "latest_events_limit", "orders_date_arithmetic",
-    "orders_pivot_status_by_priority", "part_string_functions",
-    "q12_linestatus_priority_split", "q14_promo_revenue",
-    "q18_large_volume_customers", "q19_bracketed_revenue",
-    "q1_pricing_summary_exact_agg", "q2_cheapest_supplier_per_part",
-    "q4_order_priority_check", "rollup_revenue_by_nation_segment",
-    "segments_intersect_except", "skew_salted_user_join",
-    "text_language_id", "text_norm_pandas_udf", "text_quality_score",
-    "text_token_counts", "top_orders_per_customer",
-    "union_by_name_schema_drift", "urgent_order_lines_semi",
-    # --- plans edited in round 7 (re-prove under the current tree)
+    # --- last driver evidence is round 5 (stalest 40)
+    "cube_orders_priority_status", "dedup_clusters_cc",
+    "docs_pack_sequences", "events_anomaly_zscore",
+    "events_column_profile", "events_distinct_users_hll",
+    "events_funnel_ordered", "events_grouping_sets_marginals",
+    "events_interval_overlap_join", "events_linear_interpolate",
+    "events_percentiles_approx_sketch", "events_retention_cohorts",
+    "events_session_window_native", "events_sessionize_batch",
+    "events_sliding_24h_range_window", "kmeans_embeddings",
+    "orders_scd2_status_intervals", "orders_status_transitions",
+    "q6_forecast_revenue_delta", "q7_volume_shipping",
+    "q10_returned_items_customers", "q13_customer_order_distribution",
+    "q16_supplier_part_relationships", "q17_small_quantity_revenue",
+    "q20_excess_stock_suppliers", "q22_global_sales_opportunity",
+    "sample_stratified_hash", "sim_ann_recall_eval",
+    "source_curation_report", "split_train_val_hash",
+    "stream_dedup_keys", "stream_dedup_within_watermark",
+    "stream_sessionize_state", "stream_windowed_counts",
+    "text_bigram_topk", "text_fingerprint_winnow", "text_mask_numbers",
+    "text_repetition_ratio", "text_tfidf_topk", "text_token_rarity",
+    # --- round-8 promotions (new registry entries need first driver
+    #     evidence; staged + oracle-proven in round 7)
+    "dedup_semantic_clusters", "dedup_semantic_purge",
+    "dedup_incremental_minhash", "text_perplexity_proxy",
+    "stream_compaction_report", "sim_incremental_ivf_insert",
+    # --- plans edited in round 8 (re-prove under the current tree):
+    #     q9/q21 route to the bucketed layout only on the explicit
+    #     SPARK_GRAFT_BUCKETED=1 opt-in now (ADVICE fix); the two
+    #     remaining eager persist+count barriers converted to lazy
     "q9_product_type_profit", "q21_waiting_suppliers",
-    "dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh_hyperplane",
-    "dedup_minhash_estimator_quality", "decontam_ngram_overlap",
-    "events_window_function_suite", "lake_bucketed_copartition_join",
+    "dedup_minhash_estimator_quality", "sim_mmr_rerank",
 ]
 
 

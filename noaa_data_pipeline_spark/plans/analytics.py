@@ -846,11 +846,12 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled-profit long) — 3 longs/row instead of 5 doubles — which
     is what the exchange ships on a real cluster.
 
-    Lake-layout routing (r7): when the session serves the bucketed
-    warehouse layout (scale.bucketed_lake_available), the orders
-    fact-join-fact edge is answered from the bucketed copies with no
-    fact exchange at all (q9_product_type_profit_bucketed) — same
-    results, the physical plan a warehouse runs for a hot join key."""
+    Lake-layout routing (r7, opt-in-only since r8): when the session
+    declares the bucketed warehouse profile (SPARK_GRAFT_BUCKETED=1,
+    scale.bucketed_lake_available), the orders fact-join-fact edge is
+    answered from the bucketed copies with no fact exchange at all
+    (q9_product_type_profit_bucketed) — same results, the physical
+    plan a warehouse runs for a hot join key."""
     from .scale import bucketed_lake_available, q9_product_type_profit_bucketed
 
     if bucketed_lake_available(spark, sf_dir):
@@ -1106,9 +1107,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelined shared-memory hash ops, an architecture constant on a
     single box that a 1000-executor cluster trades for scale-out.
 
-    Lake-layout routing (r7): when the session serves the bucketed
-    warehouse layout (scale.bucketed_lake_available — catalog has
-    this lake's bucketed facts, or SPARK_GRAFT_BUCKETED=1), the
+    Lake-layout routing (r7, opt-in-only since r8): when the session
+    declares the bucketed warehouse profile (SPARK_GRAFT_BUCKETED=1,
+    scale.bucketed_lake_available), the
     order-key fact join is answered from the bucketed copies with
     ZERO fact exchanges (q21_waiting_suppliers_bucketed, 1.49-1.80x
     DuckDB at x20-x100 vs 2.7-3.1x here) — same results, different

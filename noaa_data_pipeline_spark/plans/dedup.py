@@ -655,9 +655,10 @@ def dedup_minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .persist()
+        .persist()  # lazy (r8): est/verify/semi-reduction consumers
+        # share the first job's cache fill; the eager count() paid an
+        # extra job launch (same conversion as the r7 headline entries)
     )
-    candidates.count()
     agree = sum(
         (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int") for i in range(k)
     )

@@ -1,31 +1,21 @@
-"""Round-8 candidate operators, staged OUTSIDE the driver registry.
+"""Corpus lifecycle / maintenance operators.
 
-The round-7 gate window is exactly full (50 = 41 stale re-proves + 9
-edited plans — see GATE_PRIORITY in ``plans/__init__.py``), so no new
-registry entries are possible this round without breaking the
-meta-test's freshness invariant. These candidates are therefore built
-and oracle-proven here under pytest only (tests/test_staging_r8.py
-runs the exact driver-gate compare), and round 8 promotes them by
-moving the ``stage`` decorators to ``register`` and adding the names
-to GATE_PRIORITY.
+The standing-jobs family a 100 TB training-data lake runs between
+queries: incremental dedup of a new ingest batch against the stored
+corpus index, semantic (embedding-space) dedup and its output-linear
+purge form, ANN index maintenance (inserting a vector batch into an
+existing IVF index), corpus-statistics quality bucketing, and
+streaming small-file compaction.
 
-Candidates (the three flagged in GATE_LOG "Round-8 candidates"):
-
-- ``dedup_semantic_clusters`` — SemDeDup-shaped semantic dedup:
-  k-means cluster ids (unsupervised) as the blocking key, cosine
-  pairs only within a cluster. Complements ``dedup_embedding_cosine``
-  (which blocks on the supervised ``label`` column).
-- ``text_perplexity_proxy`` — perplexity-proxy quality bucketing via
-  corpus char-trigram statistics, integer-exact by construction (no
-  transcendental functions, so the cross-engine hash gate applies).
-- ``stream_compaction_report`` — streaming small-file compaction:
-  an availableNow Structured Streaming pass rewrites a fragmented
-  micro-batch lake into target-size files via ``foreachBatch``; the
-  gated output proves content preservation against the source.
+History: built and oracle-proven in round 7 as the staged surface
+``plans/staging_r8.py`` (outside the registry — the r7 gate window
+was full), promoted into the driver registry in round 8 with the
+GATE_PRIORITY rotation. VERDICT/GATE_LOG citations of
+``staging_r8.py`` line numbers refer to this file pre-rename.
 
 Reference anchors (spec, not code): the reference's nightly parquet
 re-snapshot loop (weather_data.rs:92-146) is the compaction shape;
-the dedup/quality ops extend SURVEY.md's LLM-pipeline family.
+the dedup/quality/ANN ops extend SURVEY.md's LLM-pipeline family.
 """
 
 from __future__ import annotations
@@ -41,23 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table, table_path
-from . import Query
+from . import register
 from .common import SCALE
-
-# --- staging registry (NOT the driver registry) -----------------------
-
-STAGED: dict[str, Query] = {}
-
-
-def stage(name: str, oracle: str | None = None, doc: str = ""):
-    """Mirror of ``plans.register`` writing to the staging dict, so
-    promotion in round 8 is a one-word decorator swap."""
-
-    def deco(fn):
-        STAGED[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
-        return fn
-
-    return deco
 
 
 # --- semantic dedup over embedding clusters ---------------------------
@@ -245,7 +220,7 @@ def _semantic_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, lis
     return centroids
 
 
-@stage("dedup_semantic_clusters", oracle=_sem_oracle_sql())
+@register("dedup_semantic_clusters", oracle=_sem_oracle_sql())
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic near-dup detection: embeddings are
     k-means-clustered ({SEM_ITERS} Lloyd rounds over {SEM_K} seed
@@ -352,7 +327,7 @@ PPM_LOW = 200_000  # > 20% rare trigrams -> low quality (noise-like)
 PPM_HIGH = 50_000  # < 5% rare -> high quality (fluent/common text)
 
 
-@stage(
+@register(
     "text_perplexity_proxy",
     oracle=f"""
     WITH tg AS (
@@ -451,7 +426,7 @@ def _sem_purge_oracle_sql() -> str:
     """
 
 
-@stage("dedup_semantic_purge", oracle=_sem_purge_oracle_sql())
+@register("dedup_semantic_purge", oracle=_sem_purge_oracle_sql())
 def dedup_semantic_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The output-linear form of semantic dedup (the shape SemDeDup
     deployments actually emit): connected components over the
@@ -534,7 +509,7 @@ def _incremental_oracle_sql() -> str:
     """
 
 
-@stage("dedup_incremental_minhash", oracle=_incremental_oracle_sql())
+@register("dedup_incremental_minhash", oracle=_incremental_oracle_sql())
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection: a newly ingested batch (the
     {100 - NEW_BATCH_PCT}% of docs with hash-pct >= {NEW_BATCH_PCT},
@@ -689,7 +664,7 @@ def _ivf_incremental_oracle_sql() -> str:
     """
 
 
-@stage("sim_incremental_ivf_insert", oracle=_ivf_incremental_oracle_sql())
+@register("sim_incremental_ivf_insert", oracle=_ivf_incremental_oracle_sql())
 def sim_incremental_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index maintenance: a new vector batch (hash-pct >=
     {IVF_NEW_PCT}) is INSERTED into the existing IVF index — each new
@@ -839,7 +814,7 @@ def compact_events(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return frag, comp
 
 
-@stage(
+@register(
     "stream_compaction_report",
     oracle="""
     SELECT event_type,

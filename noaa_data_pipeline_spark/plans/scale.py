@@ -300,45 +300,22 @@ def _bucket_tag(sf_dir: str) -> str:
     return f"{base}_{fp}"
 
 
-# negative-probe memo for bucketed_lake_available; cleared for a lake
-# when bucketed_fact_tables builds its copies mid-session
-_NO_BUCKETED_MEMO: set[tuple] = set()
-
-
 def bucketed_lake_available(spark: SparkSession, sf_dir: str) -> bool:
-    """Lake-layout router predicate (r6 VERDICT task 2): True when
-    this session should serve order-key fact joins from the bucketed
-    layout — either the bucketed copies of THIS lake (same content
-    fingerprint, same bucket count) are already in the catalog, or
+    """Lake-layout router predicate (r6 VERDICT task 2): True iff
     ``SPARK_GRAFT_BUCKETED=1`` declares the session a warehouse
     profile (bench/scale runs), in which case the first consumer
-    builds the layout once via :func:`bucketed_fact_tables`. The
-    driver's correctness gate runs with neither, so the un-bucketed
-    plans keep their own oracle evidence. ``SPARK_GRAFT_BUCKETED=0``
-    force-disables routing even when the catalog has the tables."""
-    env = os.environ.get("SPARK_GRAFT_BUCKETED")
-    if env == "1":
-        return True
-    if env == "0":
-        return False
-    # Memoize the NEGATIVE answer per (session, lake path): the tag
-    # fingerprint walks every fact file and the catalog probes are
-    # two RPCs — per plan construction that is a multi-second
-    # filesystem scan on a many-thousand-file lake. A True answer is
-    # cheap to recheck and sessions that BUILD the layout go through
-    # bucketed_fact_tables (which caches the frames), so only the
-    # steady "no bucketed copies" path needs the memo.
-    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if memo_key in _NO_BUCKETED_MEMO:
-        return False
-    n_buckets = max(N_BUCKETS, spark.sparkContext.defaultParallelism)
-    tag = f"{_bucket_tag(sf_dir)}_b{n_buckets}"
-    present = spark.catalog.tableExists(
-        f"bkt_orders_{tag}"
-    ) and spark.catalog.tableExists(f"bkt_lineitem_{tag}")
-    if not present:
-        _NO_BUCKETED_MEMO.add(memo_key)
-    return present
+    builds/attaches the layout once via :func:`bucketed_fact_tables`.
+
+    Routing is an EXPLICIT opt-in only (r7 ADVICE): the earlier
+    catalog-presence probe made q9/q21's physical plan depend on
+    hidden session state — anything that had built the bucketed
+    layout earlier in the same session (e.g. a plan-shape test in the
+    same pytest run) silently flipped every later call to the
+    bucketed plan, so the un-bucketed plans could lose oracle
+    evidence in the very gate meant to re-prove them. The driver's
+    correctness gate runs without the env var and therefore always
+    verifies the un-bucketed plans."""
+    return os.environ.get("SPARK_GRAFT_BUCKETED") == "1"
 
 
 # (applicationId, tag) -> (orders, lineitem): skips the per-call
@@ -392,11 +369,6 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
     for k in [k for k in _BUCKETED_CACHE if k[0] != cache_key[0]]:
         del _BUCKETED_CACHE[k]
     _BUCKETED_CACHE[cache_key] = (out[0], out[1])
-    # the lake now has bucketed copies: future routing probes must
-    # re-check instead of trusting an earlier negative answer
-    _NO_BUCKETED_MEMO.discard(
-        (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    )
     return out[0], out[1]
 
 

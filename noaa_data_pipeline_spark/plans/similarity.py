@@ -738,8 +738,9 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = emb.select(
         "vec_id",
         F.concat(*[_sign_bit(p) for p in range(LSH_PLANES)]).alias("bucket"),
-    ).persist()
-    buckets.count()
+    ).persist()  # lazy (r8): the corpus and query consumers share the
+    # first job's cache fill; the old eager count() paid one extra
+    # job launch (same conversion as the r7 headline entries)
     qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
     )
@@ -895,11 +896,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w_rel))
         .filter(F.col("rn") <= MMR_POOL)
         .select("query_id", "neighbor_id", "rel")
-        # feeds s1, pairsim (twice), c2, c3: materialize the tiny
-        # frame instead of re-running the corpus scan per consumer
+        # feeds s1, pairsim (twice), c2, c3: persist the tiny frame
+        # instead of re-running the corpus scan per consumer (lazy
+        # since r8 — the first consumer's job fills the cache)
         .persist()
     )
-    pool.count()
     ea = emb.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), F.col("norm").alias("a_norm")
     )
@@ -920,9 +921,9 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sim"
             ),
         )
-        .persist()
+        .persist()  # lazy (r8): reused by the c2 and c3 selection
+        # rounds; eager count() was one redundant job
     )
-    pairsim.count()
     lam, one_m = F.lit(MMR_LAMBDA), F.lit(1 - MMR_LAMBDA)
 
     def argmax(df, score_col):

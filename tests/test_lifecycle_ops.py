@@ -1,10 +1,11 @@
-"""Round-8 staged candidates: driver-gate-equivalent checks.
+"""Lifecycle operators: value-level and plan-shape checks.
 
-These entries live outside the driver registry this round (the r7
-gate window is full — see plans/staging_r8.py docstring), so this
-file applies the same row-count + columns + order-insensitive value
-hash compare the driver gate uses, plus the candidates' non-SQL
-assertions (compaction file counts)."""
+These six operators were staged in round 7 and promoted into the
+driver registry in round 8 (plans/lifecycle.py), so the per-entry
+DuckDB hash compare now runs in tests/test_registry_oracle.py with
+every other registry entry; this file keeps the checks the oracle
+gate cannot express — compaction file counts and incrementality,
+adversarial/fuzz lakes, numpy fold exactness, cache invalidation."""
 
 from __future__ import annotations
 
@@ -13,52 +14,35 @@ import os
 import pytest
 
 from noaa_data_pipeline_spark.plans import load_all
-from noaa_data_pipeline_spark.plans.staging_r8 import (
+from noaa_data_pipeline_spark.plans.lifecycle import (
     FRAG_FILES,
-    STAGED,
     _parquet_files,
     compact_events,
 )
 from tools.check_correctness import frame_digest
 
+# the promoted entries, fetched from the real registry so these tests
+# exercise exactly what the driver gate runs
+STAGED = {
+    n: q
+    for n, q in load_all().items()
+    if n
+    in {
+        "dedup_semantic_clusters",
+        "dedup_semantic_purge",
+        "dedup_incremental_minhash",
+        "text_perplexity_proxy",
+        "stream_compaction_report",
+        "sim_incremental_ivf_insert",
+    }
+}
 
-def _staged_names():
-    return sorted(STAGED.keys())
 
-
-def test_staging_is_not_registered():
-    """The staging module must not leak into the driver registry:
-    the r7 window is full, so a leak would break the gate-rotation
-    freshness invariant mid-round."""
-    registered = set(load_all().keys())
-    assert not (set(STAGED) & registered)
-
-
-@pytest.mark.parametrize("name", _staged_names())
-def test_staged_matches_oracle(spark, duck, sf_dir, name):
-    q = STAGED[name]
-    sdf = q.fn(spark, sf_dir)
-    # same complex-column guard as the gate replica: a top-level
-    # array/map/struct column would crash the driver canonicalizer
-    complex_cols = [
-        f.name
-        for f in sdf.schema.fields
-        if f.dataType.typeName() in ("array", "map", "struct")
-    ]
-    assert not complex_cols, f"top-level complex column(s) {complex_cols}"
-    srows = [tuple(r) for r in sdf.collect()]
-    assert q.oracle is not None, "staged entries must ship an oracle"
-    res = duck.execute(q.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    assert sorted(sdf.columns) == sorted(ocols)
-    assert len(srows) == len(orows)
-    sh, slines = frame_digest(sdf.columns, srows)
-    oh, olines = frame_digest(ocols, orows)
-    if sh != oh:
-        only_s = [x for x in slines if x not in set(olines)][:3]
-        only_o = [x for x in olines if x not in set(slines)][:3]
-        pytest.fail(f"value hash mismatch; spark-only={only_s} oracle-only={only_o}")
+def test_lifecycle_entries_are_registered():
+    """Promotion landed: all six round-7-staged names are registry
+    entries with oracles (the r8 GATE_PRIORITY window covers them)."""
+    assert len(STAGED) == 6
+    assert all(q.oracle is not None for q in STAGED.values())
 
 
 def test_compaction_reduces_file_count(spark, sf_dir):
@@ -84,7 +68,7 @@ def test_compaction_processes_only_new_files(spark, sf_dir, tmp_path):
     """The checkpointed availableNow pass is genuinely incremental: a
     second pass after one new micro-batch file lands must append only
     that file's rows and leave every earlier output untouched."""
-    from noaa_data_pipeline_spark.plans.staging_r8 import run_compaction
+    from noaa_data_pipeline_spark.plans.lifecycle import run_compaction
     from noaa_data_pipeline_spark.tables import load_table
 
     frag, comp, ckpt = (str(tmp_path / d) for d in ("frag", "comp", "ckpt"))
@@ -108,7 +92,7 @@ def test_np_assign_tie_breaks_to_lowest_cid():
     letting np.sum reorder the fold."""
     import numpy as np
 
-    from noaa_data_pipeline_spark.plans.staging_r8 import _np_assign
+    from noaa_data_pipeline_spark.plans.lifecycle import _np_assign
 
     mat = np.array([[0.0, 0.0]])
     cents = [(3, [1.0, 0.0]), (7, [0.0, 1.0])]  # equidistant from origin
@@ -121,8 +105,6 @@ def test_perplexity_proxy_excludes_short_docs(spark, sf_dir):
     """Documents shorter than one trigram are excluded, not emitted
     with n_trigrams <= 0 (which would make the ppm division crash or
     go negative)."""
-    from noaa_data_pipeline_spark.plans.staging_r8 import STAGED
-
     out = STAGED["text_perplexity_proxy"].fn(spark, sf_dir)
     rows = out.collect()
     assert all(r["n_trigrams"] >= 1 for r in rows)
@@ -318,7 +300,7 @@ def test_np_assign_matches_sequential_fold_reference(data):
     parity rests on), including the lowest-cid tie-break."""
     import numpy as np
 
-    from noaa_data_pipeline_spark.plans.staging_r8 import _np_assign
+    from noaa_data_pipeline_spark.plans.lifecycle import _np_assign
 
     rows, cents = data
     mat = np.array(rows, dtype=np.float64)
@@ -346,11 +328,10 @@ def test_perplexity_proxy_matches_python_reference(spark, adversarial_docs_lake)
 
     import pyarrow.parquet as pq
 
-    from noaa_data_pipeline_spark.plans.staging_r8 import (
+    from noaa_data_pipeline_spark.plans.lifecycle import (
         PPM_HIGH,
         PPM_LOW,
         RARE_MAX,
-        STAGED,
     )
 
     tbl = pq.read_table(f"{adversarial_docs_lake}/documents.parquet")
@@ -433,7 +414,7 @@ def test_package_zip_importable_standalone():
     zip_path = package_zip()
     code = (
         "import sys; sys.path.insert(0, sys.argv[1]);\n"
-        "import noaa_data_pipeline_spark.plans.staging_r8 as s\n"
+        "import noaa_data_pipeline_spark.plans.lifecycle as s\n"
         "import noaa_data_pipeline_spark.plans.multimodal\n"
         "import noaa_data_pipeline_spark.operators.textops\n"
         "assert s._np_assign is not None\n"
@@ -461,7 +442,7 @@ def test_semantic_centroid_cache_invalidates_on_lake_change(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from noaa_data_pipeline_spark.plans.staging_r8 import _semantic_centroids
+    from noaa_data_pipeline_spark.plans.lifecycle import _semantic_centroids
 
     lake = str(tmp_path)
 

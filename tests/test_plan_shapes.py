@@ -436,3 +436,11 @@ def test_q9_routes_to_bucketed_when_warehouse(spark, sf_dir, monkeypatch):
     plan = plan_of(spark, sf_dir, "q9_product_type_profit")
     # and explicit opt-out really does serve the un-bucketed plan
     assert "bkt_lineitem" not in plan
+    # DEFAULT (env unset) also serves the un-bucketed plan, even
+    # though this session's catalog has the bucketed tables from the
+    # env=1 call above — routing is an explicit opt-in only (r7
+    # ADVICE: the old catalog-presence probe made the gate's q9/q21
+    # evidence depend on what ran earlier in the same session)
+    monkeypatch.delenv("SPARK_GRAFT_BUCKETED")
+    plan = plan_of(spark, sf_dir, "q9_product_type_profit")
+    assert "bkt_lineitem" not in plan
