@@ -675,17 +675,32 @@ def sim_incremental_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-partitions BOTH sides by the stored label): here the new
     batch has no cell until assignment, which is the daily-ingest
     reality. Scale: centroids are k x dim — broadcast; assignment is
-    map-side over the batch; the search join shuffles only the batch
-    against its assigned cells, so cost is O(batch x cell width),
-    independent of total index size. The centroid recompute here
-    stands in for reading the stored centroid table an index service
-    maintains."""
+    map-side over the batch. The cell-local search is the
+    dedup_semantic_clusters shape: one BLAS GEMM per (cell x batch)
+    cogroup emits top-{IVF_TOP_K} CANDIDATES with a 1e-6 margin below
+    the approximate k-th score (float64 GEMM error is ~1e-13
+    relative, so no vector whose exact cosine belongs in the top k
+    can fall outside the margin), and only the O(batch x k)
+    survivors get the decimal-exact cosine + final ROW_NUMBER — the
+    emitted values never see BLAS rounding. The r7 staged form ran
+    the decimal fold on every (batch x cell-width) pair, which is
+    quadratic in corpus size at fixed cell count (cells widen as the
+    index grows) and measured 7x DuckDB at x20; this form is 100x
+    cheaper per candidate-pair and the exact stage is output-sized.
+    The centroid recompute here stands in for reading the stored
+    centroid table an index service maintains."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
     from .similarity import _centroid_vectors, _dot, _embeddings, _sqdist
 
     emb = _embeddings(spark, sf_dir)
-    idx = emb.filter(_vec_pct() < IVF_NEW_PCT)
+    # persisted lazily: both the candidate cogroup and the exact
+    # rescoring join consume idx, and the decimal norm fold over the
+    # full index is worth computing once (a stored index ships
+    # precomputed norms; the cache stands in for that)
+    idx = emb.filter(_vec_pct() < IVF_NEW_PCT).persist()
     newb = emb.filter(_vec_pct() >= IVF_NEW_PCT)
     cent = _centroid_vectors(idx)
     w_assign = Window.partitionBy("vec_id").orderBy("sqd", "label")
@@ -701,14 +716,65 @@ def sim_incremental_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("norm").alias("q_norm"),
             F.col("label").alias("cell"),
         )
+        .persist()  # lazy: feeds the cogroup and the final select
     )
-    scored = idx.join(assigned, F.col("label") == F.col("cell")).select(
-        "new_vec_id",
-        "cell",
-        F.col("vec_id").alias("neighbor_id"),
-        (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))).alias(
-            "cosine"
-        ),
+
+    def cell_topk_candidates(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        """left = one cell's index vectors, right = the new vectors
+        assigned to that cell. One GEMM scores the whole block; per
+        new vector, everything within 1e-6 of the approximate k-th
+        cosine survives (>= k rows iff ties/margin), so the exact
+        stage downstream sees a superset of the true top-k and its
+        ROW_NUMBER over the candidates equals the global one for
+        every rank <= k."""
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"new_vec_id": [], "neighbor_id": []}).astype("int64")
+        imat = np.array(left["emb"].tolist(), dtype=np.float64)
+        qmat = np.array(right["q_emb"].tolist(), dtype=np.float64)
+        inorm = left["norm"].to_numpy(dtype=np.float64)
+        qnorm = right["q_norm"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = (qmat @ imat.T) / np.outer(qnorm, inorm)
+        iids = left["vec_id"].to_numpy()
+        qids = right["new_vec_id"].to_numpy()
+        out_q, out_i = [], []
+        k = IVF_TOP_K
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            if row.shape[0] > k:
+                kth = np.partition(row, -k)[-k]
+                keep = np.where(row >= kth - 1e-6)[0]
+            else:
+                keep = np.arange(row.shape[0])
+            out_q.append(np.full(keep.shape[0], qids[r], dtype=np.int64))
+            out_i.append(iids[keep].astype(np.int64))
+        return pd.DataFrame(
+            {"new_vec_id": np.concatenate(out_q), "neighbor_id": np.concatenate(out_i)}
+        )
+
+    cands = (
+        idx.select("label", "vec_id", "emb", "norm")
+        .groupBy("label")
+        .cogroup(assigned.groupBy("cell"))
+        .applyInPandas(cell_topk_candidates, schema="new_vec_id long, neighbor_id long")
+    )
+    # exact rescoring: candidates are output-sized (batch x ~k), so
+    # both joins broadcast the small side and the decimal fold runs
+    # only on survivors
+    scored = (
+        idx.join(F.broadcast(cands), idx["vec_id"] == cands["neighbor_id"])
+        .join(
+            F.broadcast(assigned.select("new_vec_id", "q_emb", "q_norm", "cell")),
+            "new_vec_id",
+        )
+        .select(
+            "new_vec_id",
+            "cell",
+            "neighbor_id",
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))).alias(
+                "cosine"
+            ),
+        )
     )
     w_topk = Window.partitionBy("new_vec_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
