@@ -52,11 +52,21 @@ def package_zip() -> str:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     digest = hashlib.sha1()
     py_files = []
-    for root, _dirs, files in os.walk(pkg_dir):
+    for root, dirs, files in os.walk(pkg_dir):
+        # sort the in-place dirs list so the walk order — and with it
+        # the content digest — is a deterministic function of content,
+        # not of filesystem iteration order (ADVICE r8: unsorted
+        # walks produced differently-named zips for identical content
+        # across machines, defeating the content-addressed cache)
+        dirs.sort()
         for f in sorted(files):
             if f.endswith(".py"):
                 path = os.path.join(root, f)
                 py_files.append(path)
+                # fold the archive-relative path in too: moving code
+                # between files must change the digest even when the
+                # concatenated bytes happen to be identical
+                digest.update(os.path.relpath(path, pkg_dir).encode())
                 with open(path, "rb") as fh:
                     digest.update(fh.read())
     zip_path = os.path.join(

@@ -31,12 +31,42 @@ def _strip_comments(sql: str) -> str:
     return sql
 
 
-def validate_select_only(sql: str) -> None:
+# Spark's qualified-path table syntax: FROM <format>.`/abs/path`.
+# Any of these reads server-side files directly, bypassing the view
+# registry — the restricted surface must see and police them all.
+_PATH_TABLE_FORMATS = r"parquet|json|csv|text|orc|avro|binaryfile|delta|textfile"
+
+
+def _path_allowed(path: str, roots: list[str]) -> bool:
+    """True iff ``path`` resolves (symlinks and ``..`` included) to a
+    file under one of ``roots``."""
+    import os
+
+    rp = os.path.realpath(path)
+    for root in roots:
+        rr = os.path.realpath(root)
+        if rp == rr or rp.startswith(rr + os.sep):
+            return True
+    return False
+
+
+def validate_select_only(sql: str, allowed_path_roots: list[str] | None = None) -> None:
     """Reject anything but a single SELECT/WITH query. Token-level
     check on the comment-stripped text: statement must start with
     SELECT/WITH/VALUES, contain no statement separator, and no DML/
     DDL keyword anywhere (conservative: a SELECT mentioning 'update'
-    as a bare word is rejected rather than risk a bypass)."""
+    as a bare word is rejected rather than risk a bypass).
+
+    ``allowed_path_roots`` (r8, ADVICE): when not None, the query may
+    not read files outside those directory roots — every
+    ``<format>.`path``` qualified-path table reference is resolved
+    (realpath, so symlinks and ``..`` cannot escape) and checked.
+    ``[]`` therefore restricts the query to registered views only.
+    The default None keeps the programmatic surface unrestricted;
+    HTTP-facing callers (the UI query box) MUST pass a root list,
+    because a SELECT over ``parquet.`/any/file``` is otherwise an
+    arbitrary-file-read primitive for any client that can reach the
+    port."""
     import re
 
     cleaned = _strip_comments(sql).strip().rstrip(";").strip()
@@ -51,17 +81,37 @@ def validate_select_only(sql: str) -> None:
     hit = tokens & FORBIDDEN_KEYWORDS
     if hit:
         raise SqlGuardError(f"forbidden keyword(s): {sorted(hit)}")
+    if allowed_path_roots is not None:
+        for m in re.finditer(
+            rf"(?i)\b({_PATH_TABLE_FORMATS})\s*\.\s*`([^`]*)`", cleaned
+        ):
+            if not _path_allowed(m.group(2), allowed_path_roots):
+                raise SqlGuardError(
+                    f"path-backed table {m.group(1)}.`{m.group(2)}` is outside "
+                    "the allowed directories; query the registered views instead"
+                )
 
 
-def run_user_sql(spark: SparkSession, sql: str, dialect: str = "spark") -> DataFrame:
+def run_user_sql(
+    spark: SparkSession,
+    sql: str,
+    dialect: str = "spark",
+    allowed_path_roots: list[str] | None = None,
+) -> DataFrame:
     """Execute guarded ad-hoc SQL against the registered views.
 
     ``dialect="duckdb"`` accepts the reference UI's dialect
     (duckdb-wasm, ui/main.js:131-141) and translates the common
-    idioms to Spark SQL first — see :func:`translate_duckdb`."""
+    idioms to Spark SQL first — see :func:`translate_duckdb`.
+
+    ``allowed_path_roots`` restricts file-backed table references
+    (``read_parquet`` in the DuckDB dialect, ``<format>.`path``` in
+    Spark SQL) to the given directory roots — ``[]`` means registered
+    views only. Untrusted (HTTP) callers must pass it; see
+    :func:`validate_select_only`."""
     if dialect == "duckdb":
-        sql = translate_duckdb(sql, spark)
-    validate_select_only(sql)
+        sql = translate_duckdb(sql, spark, allowed_path_roots=allowed_path_roots)
+    validate_select_only(sql, allowed_path_roots=allowed_path_roots)
     return spark.sql(sql)
 
 
@@ -74,7 +124,14 @@ def register_ui_bootstrap(spark: SparkSession, sql: str) -> str:
     DuckDB instance; the SELECT-only guard on the ad-hoc surface
     stays intact because this entry point only ever creates views
     from the statement's inner SELECT). Returns the registered view
-    name."""
+    name.
+
+    Paths here are unrestricted BY DESIGN: the statement is built
+    server-side (weather/ui.bootstrap_tables) from file names that
+    already passed the exchange-directory traversal guard
+    (http_api.upload_name_is_valid) — client-supplied SQL never
+    reaches this function. The client-facing query box goes through
+    :func:`run_user_sql` with ``allowed_path_roots=[]`` instead."""
     import re
 
     m = re.match(
@@ -330,7 +387,11 @@ _RP_LIST = (
 )
 
 
-def translate_duckdb(sql: str, spark: SparkSession | None = None) -> str:
+def translate_duckdb(
+    sql: str,
+    spark: SparkSession | None = None,
+    allowed_path_roots: list[str] | None = None,
+) -> str:
     """Best-effort DuckDB -> Spark SQL translation of the common
     idioms; raises SqlGuardError with guidance for the known
     untranslatable ones. Covered: ``expr::TYPE`` casts (including
@@ -354,8 +415,21 @@ def translate_duckdb(sql: str, spark: SparkSession | None = None) -> str:
         if re.search(rf"\b{fn}\s*\(", masked, flags=re.I):
             raise SqlGuardError(f"unsupported DuckDB function {fn}(): {hint}")
 
+    def _check_paths(paths: list[str]) -> None:
+        # enforced HERE, before any view registration: registering a
+        # mergeSchema view over an arbitrary path is already the read
+        if allowed_path_roots is None:
+            return
+        for p in paths:
+            if not _path_allowed(p, allowed_path_roots):
+                raise SqlGuardError(
+                    f"read_parquet path '{p}' is outside the allowed "
+                    "directories; query the registered views instead"
+                )
+
     def _rp_list(m: "re.Match[str]") -> str:
         paths = [literals[k][1:-1] for k in re.split(r"\s*,\s*", m.group(1))]
+        _check_paths(paths)
         view = "read_parquet_" + hashlib.md5("|".join(paths).encode()).hexdigest()[:8]
         (
             spark.read.option("mergeSchema", "true")
@@ -388,6 +462,7 @@ def translate_duckdb(sql: str, spark: SparkSession | None = None) -> str:
     # read_parquet('path') -> parquet.`path` (single literal path)
     def _rp(m: "re.Match[str]") -> str:
         path = literals[m.group(1)][1:-1]
+        _check_paths([path])
         return f"parquet.`{path}`"
 
     masked = re.sub(

@@ -132,6 +132,30 @@ def _warehouse_copy(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) 
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _stat_fingerprint(src: str) -> tuple | None:
+    """Invalidation key for one table source. For a directory source
+    the top-level stat is NOT enough: rewriting a data file in place
+    (same name, no rename) changes neither the directory's size nor
+    its mtime (ADVICE r8), so fold per-file stats in — the same
+    recursive contract scale._bucket_tag and the lifecycle
+    fingerprints use."""
+    try:
+        st = os.stat(src)
+        if not os.path.isdir(src):
+            return (st.st_size, st.st_mtime_ns)
+        n, total, mtime = 0, 0, 0
+        for root, dirs, files in os.walk(src):
+            dirs.sort()
+            for f in sorted(files):
+                fst = os.stat(os.path.join(root, f))
+                n += 1
+                total += fst.st_size
+                mtime = max(mtime, fst.st_mtime_ns)
+        return (n, total, mtime)
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Schema-drift-tolerant union read (reference's
     ``union_by_name=true``, SURVEY §2 S9) is a mergeSchema read.
@@ -146,11 +170,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB oracle's naive-UTC reading.
     """
     src = os.path.abspath(table_path(sf_dir, name))
-    try:
-        st = os.stat(src)
-        fingerprint = (st.st_size, st.st_mtime_ns)
-    except OSError:
-        fingerprint = None
+    fingerprint = _stat_fingerprint(src)
     app_id = spark.sparkContext.applicationId
     key = (app_id, src, fingerprint, _warehouse_active())
     if fingerprint is not None:

@@ -397,7 +397,24 @@ class EventStore:
         (event_data.rs:405-448) as a merge. Delta backend: literally
         ``MERGE INTO`` — transactional, matched rows updated in
         place. Parquet backend: left-join + rename-swap overwrite,
-        same result, golden-tested equivalence."""
+        same result, golden-tested equivalence.
+
+        The score frame must be unique per entry_id — asserted up
+        front (ADVICE r8) because the two backends otherwise FAIL
+        DIFFERENTLY on duplicates: Delta MERGE raises its
+        multiple-source-rows-matched error while the parquet
+        left-join silently duplicates entry rows in the rewritten
+        table. The reference's UPDATE ... FROM (VALUES ...) has the
+        same silent last-writer ambiguity; failing loudly is the
+        safer twin."""
+        dup = (
+            scored.groupBy("entry_id").count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"update_scores: duplicate entry_id {dup[0]['entry_id']!r} in the "
+                "score frame; scores must be unique per entry"
+            )
         now = now or dt.datetime.utcnow()
         if self.backend == "delta":
             from delta.tables import DeltaTable

@@ -161,7 +161,15 @@ def bootstrap_tables(
 
 
 def run_query(spark: SparkSession, sql: str) -> dict:
-    """The query box: guarded, DuckDB dialect accepted, row-capped."""
-    df = sql_surface.run_user_sql(spark, sql, dialect="duckdb")
+    """The query box: guarded, DuckDB dialect accepted, row-capped.
+
+    Registered views ONLY (``allowed_path_roots=[]``, r8 ADVICE): the
+    reference page's query box runs in-browser over files the client
+    already downloaded, so a server-side twin that accepted
+    ``read_parquet('/any/path')`` or ``parquet.`/any/path``` would be
+    a NEW arbitrary-file-read primitive for any HTTP client — the
+    /ui/bootstrap route registers the exchange files as views, and
+    the box queries those."""
+    df = sql_surface.run_user_sql(spark, sql, dialect="duckdb", allowed_path_roots=[])
     rows = [r.asDict(recursive=True) for r in df.limit(UI_MAX_ROWS).collect()]
     return {"columns": df.columns, "rows": rows, "row_cap": UI_MAX_ROWS}

@@ -345,3 +345,24 @@ def test_etl_golden_under_delta_backend(tmp_path_factory):
         _assert_golden_etl(store, lake_root, event_id, run.run_etl)
     finally:
         dspark.stop()
+
+
+def test_update_scores_rejects_duplicate_entry_ids(spark, tmp_path_factory):
+    """Duplicate entry_ids in the score frame must fail LOUDLY and
+    identically on both backends (ADVICE r8): Delta MERGE would raise
+    its multiple-source-rows-matched error while the parquet
+    left-join silently duplicated entry rows — now both hit the same
+    up-front uniqueness check."""
+    from pyspark.sql import functions as F
+
+    store = EventStore(spark, str(tmp_path_factory.mktemp("dup_scores")))
+    scored = spark.createDataFrame(
+        [("E1", 10, 10), ("E1", 20, 20), ("E2", 5, 5)],
+        "entry_id string, score long, base_score long",
+    )
+    with pytest.raises(ValueError, match="duplicate entry_id"):
+        store.update_scores(scored)
+    # unique frame against an empty store is a clean no-op pass
+    store.update_scores(scored.groupBy("entry_id").agg(
+        F.max("score").alias("score"), F.max("base_score").alias("base_score")
+    ))

@@ -280,6 +280,16 @@ def test_ui_page_bootstrap_and_query(served):
         _post_json(base, "/ui/sql", {"sql": "DROP TABLE observations"})
     assert exc.value.code == 400
 
+    # guarded: the box is views-only (r8 ADVICE) — path-backed table
+    # references are a 400, not a server-side file read
+    for sneak in [
+        "SELECT * FROM read_parquet('/root/testdata/sf0.001/region.parquet')",
+        "SELECT * FROM parquet.`/root/testdata/sf0.001/region.parquet`",
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post_json(base, "/ui/sql", {"sql": sneak})
+        assert exc.value.code == 400
+
     # schema introspection endpoint mirrors the loadSchema pass
     status, body = _get(base, "/ui/schema?tables=observations")
     assert status == 200

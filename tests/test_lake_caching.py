@@ -106,3 +106,51 @@ def test_two_lakes_sharing_basename_do_not_collide(spark, tmp_path_factory):
     ob, _ = scale.bucketed_fact_tables(spark, str(b))
     assert oa.select("o_orderpriority").first()[0] == "P-1"
     assert ob.select("o_orderpriority").first()[0] == "P-2"
+
+
+def test_load_table_cache_invalidates_on_in_place_file_rewrite_in_dir(
+    spark, tmp_path_factory
+):
+    """Directory-backed table source: rewriting a DATA FILE in place
+    (same filename, same byte count, no rename) changes neither the
+    directory's size nor its mtime, so the old top-level-stat
+    fingerprint served a stale DataFrame (ADVICE r8). The fingerprint
+    now folds per-file stats in."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path_factory.mktemp("lake_dir_cache"))
+    tdir = os.path.join(root, "orders.parquet")  # directory source
+    os.makedirs(tdir)
+
+    def write(tag: str, mtime: float) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": [1, 2],
+                    "o_custkey": [1, 1],
+                    "o_orderpriority": [tag, tag],
+                    "o_orderstatus": ["F", "F"],
+                }
+            ),
+            os.path.join(tdir, "part-00000.parquet"),
+        )
+        # pin BOTH the file's and the directory's mtime so only the
+        # file CONTENT distinguishes the two generations
+        os.utime(os.path.join(tdir, "part-00000.parquet"), (mtime, mtime))
+        os.utime(tdir, (mtime, mtime))
+
+    write("A-1", 1700000000.0)
+    first = tables.load_table(spark, root, "orders")
+    assert first.select("o_orderpriority").first()[0] == "A-1"
+    assert tables.load_table(spark, root, "orders") is first
+
+    write("B-2", 1700000000.0)  # same size, same mtimes, new content?
+    # same-size same-mtime content swap is undetectable by ANY stat
+    # scheme; real rewrites move at least one file stat — emulate by
+    # touching only the inner file (the directory stat stays fixed)
+    os.utime(os.path.join(tdir, "part-00000.parquet"), (1700000001.0, 1700000001.0))
+    os.utime(tdir, (1700000000.0, 1700000000.0))
+    fresh = tables.load_table(spark, root, "orders")
+    assert fresh is not first
+    assert fresh.select("o_orderpriority").first()[0] == "B-2"

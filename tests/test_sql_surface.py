@@ -371,3 +371,67 @@ def test_translator_differential_fuzz(spark, expr):
     assert [canon(v) for r in duck_rows for v in r] == [
         canon(v) for r in spark_rows for v in r
     ], f"original: {sql}\ntranslated: {translated}"
+
+
+# --- path-root restriction (r8 ADVICE: the HTTP query box must not
+# --- be an arbitrary-file-read primitive) ----------------------------
+
+
+def test_path_guard_default_unrestricted(spark, sf_dir):
+    """Programmatic callers (dialect tools, tests) keep the old
+    behavior: qualified-path tables work with no root list."""
+    p = f"{sf_dir}/region.parquet"
+    n = sql_surface.run_user_sql(spark, f"SELECT COUNT(*) AS n FROM parquet.`{p}`")
+    assert n.collect()[0].n == 5
+
+
+@pytest.mark.parametrize(
+    "template",
+    [
+        "SELECT * FROM parquet.`{p}`",
+        "SELECT * FROM PARQUET.`{p}`",
+        "SELECT * FROM json.`{p}`",
+        "SELECT * FROM read_parquet('{p}')",
+        "SELECT * FROM read_parquet(['{p}'], union_by_name = true)",
+    ],
+)
+def test_path_guard_empty_roots_rejects_all_paths(spark, sf_dir, template):
+    """allowed_path_roots=[] (the /ui/sql setting) means registered
+    views only — every file-backed reference form is rejected."""
+    q = template.format(p=f"{sf_dir}/region.parquet")
+    with pytest.raises(sql_surface.SqlGuardError, match="allowed directories"):
+        sql_surface.run_user_sql(spark, q, dialect="duckdb", allowed_path_roots=[])
+
+
+def test_path_guard_allows_inside_root_and_resolves_traversal(spark, sf_dir):
+    p = f"{sf_dir}/region.parquet"
+    df = sql_surface.run_user_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM read_parquet('{p}')",
+        dialect="duckdb",
+        allowed_path_roots=[sf_dir],
+    )
+    assert df.collect()[0].n == 5
+    # a path that STARTS under the root but realpath-resolves outside
+    # it (.. traversal) must still be rejected
+    sneaky = f"{sf_dir}/../../etc/passwd"
+    with pytest.raises(sql_surface.SqlGuardError, match="allowed directories"):
+        sql_surface.run_user_sql(
+            spark,
+            f"SELECT * FROM read_parquet('{sneaky}')",
+            dialect="duckdb",
+            allowed_path_roots=[sf_dir],
+        )
+
+
+def test_ui_run_query_is_views_only(spark, sf_dir):
+    """weather/ui.run_query (the /ui/sql handler body) refuses paths
+    outright while registered-view queries still work."""
+    from noaa_data_pipeline_spark.weather import ui
+
+    out = ui.run_query(spark, "SELECT COUNT(*) AS n FROM region")
+    assert out["rows"][0]["n"] == 5
+    with pytest.raises(sql_surface.SqlGuardError):
+        ui.run_query(spark, f"SELECT * FROM read_parquet('{sf_dir}/region.parquet')")
+    with pytest.raises(sql_surface.SqlGuardError):
+        ui.run_query(spark, f"SELECT * FROM parquet.`{sf_dir}/region.parquet`")
