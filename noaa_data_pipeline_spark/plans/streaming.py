@@ -45,32 +45,77 @@ WINDOW_HOURS = 6
 SESSION_GAP_MIN = 30
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet with the same
-    timestamp normalization as the batch loader (``tables.load_table``):
-    the driver has shipped ``ts`` as int64 nanos, TIMESTAMP_NTZ, and
-    TIMESTAMP across rounds, so take the stream schema from a batch
-    probe of the same file instead of hardcoding one encoding."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(table_path(sf_dir, "events"))
-        .schema
-    )
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("mergeSchema", "true")
-        # the file stream source wants a directory: stream the lake
-        # dir and glob-filter to the events table file(s)
-        .option("pathGlobFilter", "events*.parquet")
-        .parquet(sf_dir)
-    )
+def _normalize_ts(raw: DataFrame) -> DataFrame:
+    """The driver has shipped ``ts`` as int64 nanos, TIMESTAMP_NTZ,
+    and TIMESTAMP across rounds — normalize all three to TIMESTAMP."""
     ts_type = dict(raw.dtypes).get("ts")
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
+
+
+def _events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read of the same file set the stream source sees (lake
+    dir + ``events*.parquet`` glob, so split-file lakes read
+    identically in both paths), ts-normalized like
+    ``tables.load_table``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize_ts(
+        spark.read.option("mergeSchema", "true")
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet; the stream schema
+    comes from a batch probe of the same files instead of hardcoding
+    one ``ts`` encoding (see :func:`_events_batch`).
+
+    ``SPARK_GRAFT_STREAM_MAX_FILES`` caps files per micro-batch
+    (``maxFilesPerTrigger``) — availableNow honors read limits, so
+    setting it makes a replay run as MANY micro-batches, the shape
+    the multi-batch correctness tests drive."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        spark.read.option("mergeSchema", "true")
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
+    reader = (
+        spark.readStream.schema(raw_schema)
+        .option("mergeSchema", "true")
+        # the file stream source wants a directory: stream the lake
+        # dir and glob-filter to the events table file(s)
+        .option("pathGlobFilter", "events*.parquet")
+    )
+    max_files = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", int(max_files))
+    return _normalize_ts(reader.parquet(sf_dir))
+
+
+def _replay_disorder_delay(spark: SparkSession, sf_dir: str) -> str:
+    """Watermark delay for replaying a STATIC lake through a stateful
+    stream-stream join. The delay models the max event-time disorder
+    of the ARRIVAL sequence; a live feed bounds it by its delivery
+    SLA (minutes), but a historical replay picks files in an order
+    unrelated to event time, so its disorder is the lake's full
+    event-time span — any smaller delay lets the join evict state
+    whose partner is still in an unread file. Derived from a
+    column-pruned min/max probe of ``ts`` (footer-stats cheap on a
+    real lake) plus the join horizon as slack; empty lake falls back
+    to the live default."""
+    lo, hi = _events_batch(spark, sf_dir).agg(
+        F.min("ts"), F.max("ts")
+    ).first()
+    if lo is None or hi is None:
+        return "10 minutes"
+    span_s = int((hi - lo).total_seconds()) + JOIN_HORIZON_MIN * 60 + 3600
+    return f"{span_s} seconds"
 
 
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
@@ -172,7 +217,16 @@ _SESSION_SCHEMA = T.StructType(
     ]
 )
 
-_STATE_SCHEMA = T.StructType([T.StructField("n_sessions", T.LongType())])
+# State = the user's OPEN session (start/end as epoch micros + event
+# count): bounded at one row per user regardless of history length,
+# and exactly what the next micro-batch needs to continue or close it.
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
 
 
 def _sessionize(
@@ -180,18 +234,48 @@ def _sessionize(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """30-min-gap sessionization per user. State carries the session
-    count across micro-batches (a single availableNow batch sees all
-    rows, so output is deterministic; the state round-trip is still
-    exercised)."""
+    """30-min-gap sessionization per user, multi-micro-batch capable:
+    state carries the user's open session; each batch's rows either
+    extend it (first gap <= the session gap) or close it and open new
+    sessions. Every session version touched this batch is emitted
+    (update mode); the plan collapses re-emissions of a growing
+    session by its stable (user_id, session_start) key. Assumes each
+    user's rows arrive event-time-ordered ACROSS micro-batches
+    (intra-batch disorder is sorted away) — the daily-ingest lake
+    shape the multi-batch test drives; a single availableNow batch
+    trivially satisfies it."""
     rows = pd.concat(list(pdfs)).sort_values("ts")
     gaps = rows["ts"].diff().dt.total_seconds().fillna(0)
     session_ids = (gaps > SESSION_GAP_MIN * 60).cumsum()
     out = rows.groupby(session_ids).agg(
         session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "size")
     )
-    (n_prev,) = state.get if state.exists else (0,)
-    state.update((n_prev + len(out),))
+    out = out.reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    if state.exists:
+        start_us, end_us, n_prev = state.get
+        open_start = pd.Timestamp(start_us, unit="us")
+        open_end = pd.Timestamp(end_us, unit="us")
+        first_start = pd.Timestamp(out.loc[0, "session_start"])
+        if (first_start - open_end).total_seconds() <= SESSION_GAP_MIN * 60:
+            # batch continues the open session: same start key, so the
+            # collapse replaces last batch's version with this one
+            out.loc[0, "session_start"] = open_start
+            out.loc[0, "n_events"] = int(out.loc[0, "n_events"]) + int(n_prev)
+            if pd.Timestamp(out.loc[0, "session_end"]) < open_end:
+                out.loc[0, "session_end"] = open_end
+        else:
+            # the open session closed in the gap between batches; its
+            # final version was already emitted last batch
+            pass
+    last = out.iloc[-1]
+    state.update(
+        (
+            int(pd.Timestamp(last["session_start"]).value // 1000),
+            int(pd.Timestamp(last["session_end"]).value // 1000),
+            int(last["n_events"]),
+        )
+    )
     out["user_id"] = key[0]
     yield out[["user_id", "session_start", "session_end", "n_events"]]
 
@@ -222,12 +306,20 @@ def _sessionize(
 def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user 30-min-gap
     sessionization via applyInPandasWithState (the Spark form of a
-    hand-rolled stateful stream operator). Oracle-checked: one
-    availableNow pass over the static lake must produce exactly the
+    hand-rolled stateful stream operator). Oracle-checked: an
+    availableNow replay of the static lake must produce exactly the
     batch sessionization (the lag/cumsum SQL twin) — the same
-    equality tests/test_streaming.py asserts value-for-value. Scale:
-    state is per-user and Arrow-batched; a processing-time timeout
-    would evict idle users on an unbounded stream."""
+    equality tests/test_streaming.py asserts value-for-value, in one
+    micro-batch AND split across many (state carries the open
+    session; an update-mode sink accumulates every emitted version of
+    a growing session, so the plan collapses them by the stable
+    (user_id, session_start) key, taking the latest = max end/count).
+    Requires per-user event-time-ordered arrival across micro-batches
+    — the shape a time-partitioned ingest lake delivers; for
+    arbitrarily disordered replays use the watermarked native
+    session_window instead. Scale: state is one open session per
+    user, Arrow-batched; a processing-time timeout would evict idle
+    users on an unbounded stream."""
     ev = _events_stream(spark, sf_dir)
     sessions = (
         ev.select("user_id", "ts")
@@ -240,7 +332,11 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _run_to_memory(sessions, "update")
+    sink = _run_to_memory(sessions, "update")
+    return sink.groupBy("user_id", "session_start").agg(
+        F.max("session_end").alias("session_end"),
+        F.max("n_events").alias("n_events"),
+    )
 
 
 @register(
@@ -254,14 +350,19 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     dedup (stream_dedup_keys) but state for a key is DROPPED once the
     watermark passes its first-seen event time — the bounded-state
     form for unbounded streams where plain dropDuplicates state grows
-    forever. Over one availableNow pass every duplicate falls within
-    the watermark horizon, so the result equals DISTINCT and the
-    oracle hash applies; on a live stream the horizon becomes the
-    dedup guarantee window. Requires an event-time watermark on the
-    deduped columns' frame (Spark 3.5+ API surface)."""
+    forever. The watermark horizon IS the dedup guarantee window, so
+    a replay of a static lake must size it to the replay's
+    event-time disorder (:func:`_replay_disorder_delay`): under the
+    old fixed 10-minute delay a 4-file unordered split re-emitted a
+    duplicate whose first-seen state expired between micro-batches
+    (measured 751 rows vs DISTINCT's 750). With the span-derived
+    delay any replay — single- or multi-micro-batch — equals
+    DISTINCT; a live stream pins the horizon to its delivery SLA and
+    accepts re-emits beyond it. Requires an event-time watermark on
+    the deduped columns' frame (Spark 3.5+ API surface)."""
     ev = _events_stream(spark, sf_dir)
     deduped = (
-        ev.withWatermark("ts", "10 minutes")
+        ev.withWatermark("ts", _replay_disorder_delay(spark, sf_dir))
         .select("user_id", "event_type", "ts")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
@@ -348,7 +449,19 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     static lake must equal the batch interval self-join the oracle
     runs. Scale: the join shuffles both sides on user_id; the
     interval condition is evaluated inside the state store probe,
-    not as a post-filter on a cartesian per user."""
+    not as a post-filter on a cartesian per user.
+
+    The watermark delay is the REPLAY-DISORDER bound, not a literal:
+    this entry replays a static historical lake, where micro-batch
+    file pickup is unordered in event time, so the delay derives from
+    the lake's event-time span (:func:`_replay_disorder_delay`) — a
+    10-minute delay would be correct only if the whole lake landed in
+    one micro-batch (the r6 ADVICE caveat, now closed: the multi-file
+    multi-micro-batch run is gate-compared in
+    tests/test_streaming.py). A LIVE deployment replaces the probe
+    with its delivery-SLA disorder bound, restoring rate x (delay +
+    horizon) state eviction."""
+    delay = _replay_disorder_delay(spark, sf_dir)
     views = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")
@@ -357,7 +470,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id"),
             F.col("ts").alias("view_ts"),
         )
-        .withWatermark("view_ts", "10 minutes")
+        .withWatermark("view_ts", delay)
     )
     purchases = (
         _events_stream(spark, sf_dir)
@@ -367,16 +480,8 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("purchase_ts"),
         )
-        .withWatermark("purchase_ts", "10 minutes")
+        .withWatermark("purchase_ts", delay)
     )
-    # Single-micro-batch assumption (r6 ADVICE): the availableNow run
-    # processes the whole static events table in ONE batch, so no row
-    # is ever older than the watermark when it arrives and the result
-    # equals the batch self-join oracle exactly. If the lake ever
-    # splits into multiple files processed across micro-batches, rows
-    # older than (watermark delay + horizon) would be evicted from
-    # join state before their partner arrives — for a gated multi-
-    # batch run, widen both delays to cover the data's full time span.
     joined = views.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))

@@ -92,3 +92,147 @@ def test_watermark_drops_late_data_across_runs(spark, tmp_path_factory):
     # late 10:15 did NOT amend or re-emit the 10:00 window; the 12:00
     # window finalized with exactly its one row
     assert rows2 == {t(10, 0): 2, t(12, 0): 1}
+
+
+def test_stream_stream_interval_join_multi_micro_batch(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The r6 ADVICE caveat, closed: the interval join must equal the
+    batch oracle even when the lake is MANY files processed across
+    MANY micro-batches. The split is round-robin by row, so every
+    file spans the full event-time range and no pickup order is
+    time-sorted — under the old fixed 10-minute watermark, batch 1
+    advances the watermark to (max_ts - 10min) and every later file's
+    rows arrive 'late', evicting join state before partners show up;
+    the replay-disorder delay derived from the lake's span keeps all
+    state live for the whole replay. Gate-grade compare (columns +
+    row count + value hash) against the DuckDB oracle on the SAME
+    split files."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from noaa_data_pipeline_spark import plans
+    from tools.check_correctness import frame_digest
+
+    src_sf = "/root/testdata/sf0.01"  # 40 joined pairs; sf0.001 has 3
+    lake = str(tmp_path_factory.mktemp("split_lake"))
+    table = pq.read_table(f"{src_sf}/events.parquet")
+    n_files = 4
+    for i in range(n_files):
+        pq.write_table(
+            table.take(list(range(i, table.num_rows, n_files))),
+            f"{lake}/events_{i:02d}.parquet",
+        )
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES", "1")
+
+    q = plans.load_all()["stream_stream_interval_join"]
+    sdf = q.fn(spark, lake)
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{lake}/events_*.parquet')"
+        )
+        res = con.execute(q.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+    finally:
+        con.close()
+
+    assert len(srows) == len(orows) > 0
+    assert sorted(sdf.columns) == sorted(ocols)
+    sh, _ = frame_digest(sdf.columns, srows)
+    oh, _ = frame_digest(ocols, orows)
+    assert sh == oh
+
+
+def _split_events_lake(tmpdir: str, src_sf: str, ordered: bool, n_files: int = 4):
+    """Split the events table into n files. ordered=False: round-robin
+    rows, every file spans the full time range (worst-case replay
+    disorder). ordered=True: contiguous event-time quartiles with
+    increasing mod times (the time-partitioned ingest shape — the file
+    stream source picks oldest-mtime first)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(f"{src_sf}/events.parquet")
+    if ordered:
+        order = pc.sort_indices(table, sort_keys=[("ts", "ascending")])
+        table = table.take(order)
+        bounds = [round(i * table.num_rows / n_files) for i in range(n_files + 1)]
+        shards = [table.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_files)]
+    else:
+        shards = [
+            table.take(list(range(i, table.num_rows, n_files))) for i in range(n_files)
+        ]
+    base = 1700000000.0
+    for i, shard in enumerate(shards):
+        path = f"{tmpdir}/events_{i:02d}.parquet"
+        pq.write_table(shard, path)
+        os.utime(path, (base + 60 * i, base + 60 * i))
+    return tmpdir
+
+
+def test_stream_dedup_within_watermark_multi_micro_batch(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Unordered 4-file replay, one file per micro-batch: with the
+    replay-disorder watermark the bounded-state dedup still equals
+    DISTINCT (under the old fixed 10-minute horizon a duplicate whose
+    first occurrence expired between batches was re-emitted: 751 rows
+    vs 750)."""
+    import duckdb
+
+    from noaa_data_pipeline_spark import plans
+
+    lake = _split_events_lake(
+        str(tmp_path_factory.mktemp("dedup_split")), "/root/testdata/sf0.01", ordered=False
+    )
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES", "1")
+    q = plans.load_all()["stream_dedup_within_watermark"]
+    got = sorted((r.user_id, r.event_type) for r in q.fn(spark, lake).collect())
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{lake}/events_*.parquet')"
+        )
+        expected = sorted(con.execute(q.oracle).fetchall())
+    finally:
+        con.close()
+    assert got == expected
+
+
+def test_stream_sessionize_multi_micro_batch_ordered(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Time-ordered 4-file replay, one file per micro-batch: open
+    sessions carried in state across batches (a session spanning a
+    file boundary must come out as ONE session, not two), re-emitted
+    versions collapsed by (user_id, session_start). Value-exact vs
+    the batch lag/cumsum sessionization on the same files."""
+    import duckdb
+
+    from noaa_data_pipeline_spark import plans
+
+    lake = _split_events_lake(
+        str(tmp_path_factory.mktemp("sess_split")), "/root/testdata/sf0.01", ordered=True
+    )
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES", "1")
+    q = plans.load_all()["stream_sessionize_state"]
+    sdf = q.fn(spark, lake)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{lake}/events_*.parquet')"
+        )
+        expected = sorted(con.execute(q.oracle).fetchall())
+    finally:
+        con.close()
+    assert len(got) == len(expected)
+    assert got == expected
