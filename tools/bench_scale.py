@@ -55,6 +55,11 @@ FACTS = {
 }
 DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
 
+# entries whose BENCH_SCALE row should also report input-throughput
+# (entry -> (table, byte-count column)); bpe_encode_docs is the
+# measured tokenization-cost point for the 100 TB story
+THROUGHPUT_BYTES = {"bpe_encode_docs": ("documents", "n_chars")}
+
 
 def build_scaled_lake(replicas: int) -> str:
     out_dir = os.path.join(REPO, ".bench_scale", f"x{replicas}")
@@ -145,6 +150,14 @@ def main() -> None:
             "duckdb_sec": duck_s,
             "ratio": round(spark_s / duck_s, 2) if duck_s else None,
         }
+        if name in THROUGHPUT_BYTES:
+            # tokenizer-cost point for the 100 TB story: corpus bytes
+            # per second of the BEST timed pass (same protocol as the
+            # seconds themselves)
+            table, col = THROUGHPUT_BYTES[name]
+            n_bytes = duck.execute(f"SELECT SUM({col}) FROM {table}").fetchone()[0]
+            results[name]["corpus_bytes"] = int(n_bytes)
+            results[name]["spark_bytes_per_sec"] = int(n_bytes / spark_s)
 
     out = {
         "metric": "scale_bench_spark_vs_duckdb",
