@@ -20,8 +20,12 @@ Candidates (the r7 verdict's "registry growth" list):
 - ``ivf_cell_rebalance`` — ANN index maintenance, step 2: split
   oversized cells on their widest dimension at its midpoint — the
   classic quantizer-rebalance that keeps probe cost flat as inserts
-  skew cell sizes (completes the lifecycle that
-  ``sim_incremental_ivf_insert`` started).
+  skew cell sizes.
+- ``ivf_retrain_centroids`` — ANN index maintenance, step 3: retrain
+  the coarse quantizer on the rebalanced assignment (decimal-exact
+  per-cell means), producing the centroid table the IVF search
+  entries consume — closes the lifecycle
+  ``sim_incremental_ivf_insert`` started.
 - ``docs_gopher_rule_filter`` — rule-based document quality
   filtering in the style of the published Gopher/MassiveText rules
   (word-count bounds, mean-word-length bounds, stop-word presence,
@@ -138,9 +142,12 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE exchange on (cell, dim) — k x dim rows out of the
     corpus scan with map-side partial aggregation — then a k-row
-    regroup; nothing about the corpus is ever shuffled or collected,
-    so the plan is identical at 100 TB. Scans only (label, vec_id,
-    embedding)."""
+    regroup (plus the shared _embeddings loader's compute-spreading
+    repartition, the documented single-small-file mitigation that a
+    real lake's scan parallelism replaces); the corpus is never
+    joined or collected, so the plan is identical at 100 TB. Scans
+    only (label, vec_id, embedding) — the loader's unused norm
+    column is pruned (plan-asserted in tests/test_staging_r9.py)."""
     emb = _embeddings(spark, sf_dir).select(
         F.col("label").alias("cell"),
         (F.col("vec_id") % BUILD_MOD < BUILD_MOD - 1).alias("in_build"),
@@ -192,10 +199,11 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1.05 to keep the split path exercised at every SF (3-4 of 10 cells).
 OVERSIZE = 1.05
 
-
-@stage(
-    "ivf_cell_rebalance",
-    oracle=f"""
+# the rebalance assignment, shared by ivf_cell_rebalance (emits it)
+# and ivf_retrain_centroids (retrains on it) — in SQL as CTEs and in
+# Spark as a frame-building helper, the same factoring the r8
+# semantic pair used (_sem_pairs_ctes)
+_REBAL_SQL_CTES = f"""
     WITH emb AS (
         SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings
@@ -221,34 +229,21 @@ OVERSIZE = 1.05
                 PARTITION BY cell ORDER BY mx - mn DESC, dim
             ) AS rnk FROM spreads
         ) r WHERE rnk = 1
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.cell AS old_cell, e.emb,
+               CASE WHEN s.cell IS NULL THEN CAST(e.cell AS VARCHAR)
+                    WHEN e.emb[s.split_dim] > s.mid
+                        THEN CAST(e.cell AS VARCHAR) || '_hi'
+                    ELSE CAST(e.cell AS VARCHAR) || '_lo' END AS new_cell
+        FROM emb e LEFT JOIN split_dims s ON e.cell = s.cell
     )
-    SELECT e.vec_id, e.cell AS old_cell,
-           CASE WHEN s.cell IS NULL THEN CAST(e.cell AS VARCHAR)
-                WHEN e.emb[s.split_dim] > s.mid
-                    THEN CAST(e.cell AS VARCHAR) || '_hi'
-                ELSE CAST(e.cell AS VARCHAR) || '_lo' END AS new_cell
-    FROM emb e LEFT JOIN split_dims s ON e.cell = s.cell
-    """,
-)
-def ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index maintenance, rebalance step: cells that grew past
-    OVERSIZE x the mean cell size are split in two on their widest
-    dimension (max value spread, ties to the lowest dim) at its
-    midpoint — the deterministic median-of-extremes split a
-    production quantizer applies between retrains to keep per-probe
-    cost flat as inserts skew cell sizes. Emits every vector's
-    (old_cell, new_cell) assignment; unsplit cells pass through.
+"""
 
-    Exactness: spreads/midpoints are raw double max/min/subtract/
-    halve — single IEEE ops, bit-identical across engines; no
-    accumulation, so no decimal machinery needed.
 
-    Scale: cell sizes and per-(cell,dim) extremes are tiny mergeable
-    aggregates (k and k x dim rows); the split plan (cell ->
-    split_dim, mid) broadcasts back into the corpus scan, so the
-    corpus itself is never shuffled — assignment is one map-side
-    projection, the same no-corpus-shuffle contract as the IVF
-    search entries."""
+def _rebalance_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of the ``assigned`` CTE: every vector with its
+    (old_cell, new_cell) assignment and the embedding still attached."""
     emb = _embeddings(spark, sf_dir).select(
         "vec_id", F.col("label").alias("cell"), "emb"
     )
@@ -282,6 +277,7 @@ def ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("cell").alias("old_cell"),
+            "emb",
             F.when(F.col("s_cell").isNull(), F.col("cell").cast("string"))
             .when(
                 F.element_at("emb", F.col("split_dim").cast("int")) > F.col("mid"),
@@ -290,6 +286,86 @@ def ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.concat(F.col("cell").cast("string"), F.lit("_lo")))
             .alias("new_cell"),
         )
+    )
+
+
+@stage(
+    "ivf_cell_rebalance",
+    oracle=_REBAL_SQL_CTES
+    + "SELECT vec_id, old_cell, new_cell FROM assigned",
+)
+def ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance, rebalance step: cells that grew past
+    OVERSIZE x the mean cell size are split in two on their widest
+    dimension (max value spread, ties to the lowest dim) at its
+    midpoint — the deterministic median-of-extremes split a
+    production quantizer applies between retrains to keep per-probe
+    cost flat as inserts skew cell sizes. Emits every vector's
+    (old_cell, new_cell) assignment; unsplit cells pass through.
+
+    Exactness: spreads/midpoints are raw double max/min/subtract/
+    halve — single IEEE ops, bit-identical across engines; no
+    accumulation, so no decimal machinery needed.
+
+    Scale: cell sizes and per-(cell,dim) extremes are tiny mergeable
+    aggregates (k and k x dim rows); the split plan (cell ->
+    split_dim, mid) broadcasts back into the corpus scan, so the
+    corpus itself is never shuffled — assignment is one map-side
+    projection, the same no-corpus-shuffle contract as the IVF
+    search entries. Measured x5->x100: Spark wall flat (0.93-1.6 s,
+    pure fixed cost) while the DuckDB twin grows linearly — 22x ->
+    2.89x, crossover just past x100."""
+    return _rebalance_assigned(spark, sf_dir).select(
+        "vec_id", "old_cell", "new_cell"
+    )
+
+
+@stage(
+    "ivf_retrain_centroids",
+    oracle=_REBAL_SQL_CTES
+    + f"""
+    SELECT new_cell AS cell, dim,
+           CAST(CAST(SUM(CAST(val AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM (
+        SELECT new_cell, unnest(emb) AS val,
+               generate_subscripts(emb, 1) AS dim
+        FROM assigned
+    ) u
+    GROUP BY new_cell, dim
+    """,
+)
+def ivf_retrain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance, final step: retrain the coarse
+    quantizer on the rebalanced assignment — each (possibly split)
+    cell's new centroid is the decimal-exact mean of its members,
+    emitted as (cell, dim, centroid, n_vectors) rows. This closes the
+    lifecycle the registry started: sim_incremental_ivf_insert adds
+    vectors, ivf_centroid_drift_report decides WHEN to act,
+    ivf_cell_rebalance splits the oversized cells, and this entry
+    produces the centroid table the search entries
+    (sim_ivf_probe1/multiprobe) consume.
+
+    Exactness: the same decimal-sum -> VARCHAR -> DOUBLE hop as the
+    drift report, so means are bit-identical across engines.
+
+    Scale: ONE exchange — the corpus explodes to (new_cell, dim)
+    components with map-side partial sums, and only k' x dim
+    aggregate rows shuffle; the corpus itself never moves. The
+    rebalance assignment it builds on is itself map-side (broadcast
+    split plan), so end-to-end the fact table is scanned, never
+    shuffled."""
+    comps = _rebalance_assigned(spark, sf_dir).select(
+        F.col("new_cell").alias("cell"),
+        F.posexplode("emb").alias("dim0", "val"),
+    )
+    return comps.groupBy("cell", (F.col("dim0") + 1).alias("dim")).agg(
+        (
+            F.sum(F.col("val").cast(_DEC)).cast("string").cast("double")
+            / F.count("*")
+        ).alias("centroid"),
+        F.count("*").alias("n_vectors"),
     )
 
 

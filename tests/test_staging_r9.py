@@ -72,6 +72,69 @@ def test_rebalance_splits_some_cells_and_preserves_vectors(spark, sf_dir):
     assert any(c[:-3] + "_hi" in sides and c in sides for c in sides if c.endswith("_lo"))
 
 
+def _plan(spark, sf_dir, name: str) -> str:
+    df = STAGED[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gopher_plan_is_exchange_free(spark, sf_dir):
+    """All four rules are per-document map-side features: any
+    exchange in this plan is a scale bug."""
+    assert "Exchange" not in _plan(spark, sf_dir, "docs_gopher_rule_filter")
+
+
+def test_drift_plan_shuffles_components_once(spark, sf_dir):
+    """One (cell, dim) exchange with map-side partials + the k-row
+    cell regroup + the shared _embeddings loader's compute-spreading
+    repartition (the documented single-small-file mitigation; a real
+    lake's scan parallelism replaces it). The corpus is never joined,
+    and the loader's unused norm column is pruned out of the scan."""
+    plan = _plan(spark, sf_dir, "ivf_centroid_drift_report")
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "SQRT" not in plan.split("Generate posexplode")[-1]  # norm pruned
+
+
+@pytest.mark.parametrize("name", ["ivf_cell_rebalance", "ivf_retrain_centroids"])
+def test_rebalance_family_never_shuffles_corpus_joins(spark, sf_dir, name):
+    """The split plan (sizes -> cap -> oversized -> split_dims) joins
+    back into the corpus scan by broadcast only; a sort-merge join or
+    cartesian would mean the corpus was shuffled."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_retrain_covers_split_cells_consistently(spark, sf_dir):
+    """Retrained centroids must cover every post-rebalance cell
+    (including the _hi/_lo splits), report one membership count per
+    cell across all dims, and place a split pair's centroids on
+    opposite sides of the split midpoint implicitly (their means
+    must differ on at least one dimension)."""
+    rows = STAGED["ivf_retrain_centroids"].fn(spark, sf_dir).collect()
+    assign = STAGED["ivf_cell_rebalance"].fn(spark, sf_dir).collect()
+    cells = {r.new_cell for r in assign}
+    got = {r.cell for r in rows}
+    assert got == cells
+    assert any(c.endswith("_hi") for c in got)
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, set()).add(r.n_vectors)
+    assert all(len(v) == 1 for v in by_cell.values())
+    # membership counts agree with the assignment
+    from collections import Counter
+
+    counts = Counter(r.new_cell for r in assign)
+    assert {c: v.pop() for c, v in by_cell.items()} == dict(counts)
+    # a split pair's centroids differ somewhere
+    lo = [r for r in rows if r.cell.endswith("_lo")]
+    assert lo
+    base = lo[0].cell[:-3]
+    hi = {r.dim: r.centroid for r in rows if r.cell == base + "_hi"}
+    lo_c = {r.dim: r.centroid for r in rows if r.cell == base + "_lo"}
+    assert any(hi[d] != lo_c[d] for d in hi)
+
+
 def test_gopher_rules_not_degenerate(spark, sf_dir):
     rows = STAGED["docs_gopher_rule_filter"].fn(spark, sf_dir).collect()
     assert {r.keep for r in rows} == {0, 1}
