@@ -398,6 +398,7 @@ GOPHER_STOPS = ("the", "a")
                CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
                     AS BIGINT) AS n_alnum
         FROM documents
+        WHERE text IS NOT NULL
     ),
     counts AS (
         SELECT doc_id, COUNT(*) AS c
@@ -441,7 +442,14 @@ def docs_gopher_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the plan is a single documents scan with no exchange at all;
     at 100 TB it parallelizes embarrassingly. Scans (doc_id, text)
     only."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text is rejected before rule evaluation (not scored as an
+    # all-rules-fail row — that would inflate every per-rule reject
+    # count with documents that were never evaluated); found by the
+    # adversarial-lake fuzz, where Spark's NULL-propagating rule bits
+    # diverged from the oracle's inner-join drop
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     toks = F.split(textops.norm_text(F.col("text")), " ")
     # longest equal-run over the sorted array == max per-word count,
     # computed without exploding: struct accumulator (prev, run, best)

@@ -72,6 +72,133 @@ def test_rebalance_splits_some_cells_and_preserves_vectors(spark, sf_dir):
     assert any(c[:-3] + "_hi" in sides and c in sides for c in sides if c.endswith("_lo"))
 
 
+def _gate_compare(spark, lake, name, views):
+    """The driver-gate compare against a hand-built adversarial lake."""
+    import duckdb
+
+    q = STAGED[name]
+    con = duckdb.connect()
+    for t in views:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{lake}/{t}.parquet')"
+        )
+    sdf = q.fn(spark, lake)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    sh, _ = frame_digest(sdf.columns, srows)
+    oh, _ = frame_digest(ocols, orows)
+    assert sh == oh
+    return srows
+
+
+@pytest.fixture(scope="module")
+def adversarial_docs_lake(tmp_path_factory):
+    """Text shapes the synthetic corpus never exercises: unicode,
+    emoji, CJK, control/quote chars, empty, and NULL text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = str(tmp_path_factory.mktemp("gopher_docs"))
+    docs = [
+        (1, "héllo wörld — ünïcode"),
+        (2, "emoji 🎉🎉🎉 and more 🎉 text"),
+        (3, "ab"),
+        (4, ""),
+        (5, "a\nb\tc'd\"e\\f"),
+        (6, "日本語のテキストです"),
+        (7, "combining á chars é"),
+        (8, "aaa aaa aaa aaa"),
+        (9, None),
+        (10, "the a " + " ".join("word%d" % (i % 40) for i in range(60))),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "lang": pa.array(["xx"] * len(docs), pa.string()),
+                "source": pa.array(["s"] * len(docs), pa.string()),
+                "n_chars": pa.array([0] * len(docs), pa.int64()),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+    return tmp
+
+
+def test_gopher_adversarial_text(spark, adversarial_docs_lake):
+    """NULL text must be REJECTED before rule evaluation in both
+    engines (Spark's NULL-propagating rule bits scored it as an
+    all-rules-fail row while the oracle's inner join dropped it —
+    the fuzz lake caught the divergence); unicode/emoji/empty text
+    must hash-match; only the stop-word-seeded long doc passes."""
+    rows = _gate_compare(
+        spark, adversarial_docs_lake, "docs_gopher_rule_filter", ["documents"]
+    )
+    assert {r[0] for r in rows} == set(range(1, 9)) | {10}  # 9 (NULL) rejected
+    assert [r[0] for r in rows if r[-1] == 1] == [10]
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_lake(tmp_path_factory):
+    """Cells the synthetic lake never produces: an oversized cell
+    with a zero vector and exact duplicates, a single-member cell
+    that is entirely post-build inserts (vec_id % 5 == 4 -> the
+    drift report's n_then = 0 division guard), a zero-spread cell
+    (split midpoint == every value), plus a NULL and an empty
+    embedding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 8
+    vecs = [
+        (0, [0.0] * dim, 0),
+        (1, [1.0] * dim, 0),
+        (2, [1.0] * dim, 0),
+        (5, [0.5] * dim, 0),
+        (10, [-1.0] * dim, 0),
+        (15, [0.25] * dim, 0),
+        (20, [2e-8] * dim, 0),
+        (4, [3.0] * dim, 1),
+        (6, [7.0] * dim, 2),
+        (11, [7.0] * dim, 2),
+        (3, None, 2),
+        (14, [], 1),
+    ]
+    tmp = str(tmp_path_factory.mktemp("ivf_emb"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([v[2] for v in vecs], pa.int32()),
+            }
+        ),
+        f"{tmp}/embeddings.parquet",
+    )
+    return tmp
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ivf_centroid_drift_report", "ivf_cell_rebalance", "ivf_retrain_centroids"],
+)
+def test_ivf_trio_adversarial_embeddings(spark, adversarial_emb_lake, name):
+    """Zero vectors, exact duplicates, an all-inserts cell (n_then=0
+    -> NULL drift, needs_retrain=1 via the guard, no ANSI
+    divide-by-zero), a zero-spread split, and NULL/empty embeddings
+    hash-match the oracle."""
+    rows = _gate_compare(spark, adversarial_emb_lake, name, ["embeddings"])
+    assert rows
+    if name == "ivf_centroid_drift_report":
+        flags = {r[0]: r[4] for r in rows}
+        assert flags[1] == 1  # the all-inserts cell must flag retrain
+
+
 def _plan(spark, sf_dir, name: str) -> str:
     df = STAGED[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
