@@ -624,9 +624,9 @@ def _ivf_incremental_oracle_sql() -> str:
     WITH emb AS ({_SQL_EMB}),
     split AS (SELECT vec_id, {_SQL_VEC_PCT} AS pct FROM embeddings),
     idx AS (SELECT e.* FROM emb e JOIN split USING (vec_id)
-            WHERE pct < {IVF_NEW_PCT}),
+            WHERE pct < {IVF_NEW_PCT} AND e.norm > 0),
     newb AS (SELECT e.* FROM emb e JOIN split USING (vec_id)
-             WHERE pct >= {IVF_NEW_PCT}),
+             WHERE pct >= {IVF_NEW_PCT} AND e.norm > 0),
     comps AS (
         SELECT label, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
         FROM idx
@@ -700,8 +700,14 @@ def sim_incremental_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rescoring join consume idx, and the decimal norm fold over the
     # full index is worth computing once (a stored index ships
     # precomputed norms; the cache stands in for that)
-    idx = emb.filter(_vec_pct() < IVF_NEW_PCT).persist()
-    newb = emb.filter(_vec_pct() >= IVF_NEW_PCT)
+    # norm > 0 on BOTH sides and in the oracle (the dedup_semantic
+    # guard, review r8): cosine is undefined for zero vectors —
+    # without the filter a zero-norm NEW vector's all-NaN GEMM row
+    # silently dropped every candidate Spark-side while the oracle
+    # emitted NULL-cosine rows, and a zero-norm INDEX vector could
+    # poison np.partition's kth with NaN
+    idx = emb.filter((_vec_pct() < IVF_NEW_PCT) & (F.col("norm") > 0)).persist()
+    newb = emb.filter((_vec_pct() >= IVF_NEW_PCT) & (F.col("norm") > 0))
     cent = _centroid_vectors(idx)
     w_assign = Window.partitionBy("vec_id").orderBy("sqd", "label")
     assigned = (

@@ -168,16 +168,44 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift = means.groupBy("cell").agg(
         F.max("n_then_d").alias("n_then"),
         F.max("n_now_d").alias("n_now"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim0", "m_now", "m_then"))),
-                lambda s: s["m_now"] - s["m_then"],
-            ),
-            F.lit(0).cast(_DEC),
-            lambda acc, x: (acc + (x * x).cast(_DEC)).cast(_DEC),
+        # DuckDB's list_sum SKIPS NULL elements but returns NULL when
+        # ALL elements are NULL — a dim with no build-snapshot members
+        # has m_then NULL, so the fold must filter NULL diffs out
+        # instead of NULL-poisoning the sum, and an all-NULL cell
+        # (n_then = 0) must yield NULL drift (review r8:
+        # partially-ragged cells diverged)
+        F.when(
+            F.size(
+                F.filter(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("dim0", "m_now", "m_then"))
+                        ),
+                        lambda s: s["m_now"] - s["m_then"],
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            )
+            == 0,
+            F.lit(None).cast("double"),
         )
-        .cast("string")
-        .cast("double")
+        .otherwise(
+            F.aggregate(
+                F.filter(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("dim0", "m_now", "m_then"))
+                        ),
+                        lambda s: s["m_now"] - s["m_then"],
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+                F.lit(0).cast(_DEC),
+                lambda acc, x: (acc + (x * x).cast(_DEC)).cast(_DEC),
+            )
+            .cast("string")
+            .cast("double")
+        )
         .alias("drift_sq"),
     )
     return drift.select(
@@ -197,7 +225,13 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantizers rebalance at 2-4x with real k-means imbalance; the
 # synthetic labels are near-uniform, so the staged parameter sits at
 # 1.05 to keep the split path exercised at every SF (3-4 of 10 cells).
-OVERSIZE = 1.05
+# The threshold is evaluated as the INTEGER comparison
+# ``DEN * n * k > NUM * total_n`` (n > NUM/DEN * total/k) — a float
+# ``n > 1.05 * mean`` is not cross-engine exact (DuckDB folds the
+# 1.05 literal in DECIMAL, Spark in DOUBLE; within one ulp of an
+# integer cell size the engines could disagree and relabel an entire
+# cell — review r8).
+OVERSIZE_NUM, OVERSIZE_DEN = 21, 20  # = 1.05
 
 # the rebalance assignment, shared by ivf_cell_rebalance (emits it)
 # and ivf_retrain_centroids (retrains on it) — in SQL as CTEs and in
@@ -209,11 +243,12 @@ _REBAL_SQL_CTES = f"""
         FROM embeddings
     ),
     sizes AS (SELECT cell, COUNT(*) AS n FROM emb GROUP BY cell),
-    threshold AS (
-        SELECT {OVERSIZE} * SUM(n) / COUNT(*) AS cap FROM sizes
+    totals AS (
+        SELECT SUM(n) AS total_n, COUNT(*) AS k FROM sizes
     ),
     oversized AS (
-        SELECT s.cell FROM sizes s, threshold t WHERE s.n > t.cap
+        SELECT s.cell FROM sizes s, totals t
+        WHERE {OVERSIZE_DEN} * s.n * t.k > {OVERSIZE_NUM} * t.total_n
     ),
     spreads AS (
         SELECT e.cell, dim, MAX(val) AS mx, MIN(val) AS mn
@@ -248,10 +283,11 @@ def _rebalance_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("label").alias("cell"), "emb"
     )
     sizes = emb.groupBy("cell").agg(F.count("*").alias("n"))
-    cap = sizes.agg(
-        (F.lit(OVERSIZE) * F.sum("n") / F.count("*")).alias("cap")
-    )
-    oversized = sizes.join(F.broadcast(cap), F.col("n") > F.col("cap")).select("cell")
+    totals = sizes.agg(F.sum("n").alias("total_n"), F.count("*").alias("k"))
+    oversized = sizes.join(
+        F.broadcast(totals),
+        OVERSIZE_DEN * F.col("n") * F.col("k") > OVERSIZE_NUM * F.col("total_n"),
+    ).select("cell")
     spreads = (
         emb.join(F.broadcast(oversized), "cell")
         .select("cell", F.posexplode("emb").alias("dim0", "val"))
@@ -280,7 +316,11 @@ def _rebalance_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "emb",
             F.when(F.col("s_cell").isNull(), F.col("cell").cast("string"))
             .when(
-                F.element_at("emb", F.col("split_dim").cast("int")) > F.col("mid"),
+                # try_element_at: an embedding SHORTER than the split
+                # dim (ragged/empty row in an oversized cell) must
+                # yield NULL -> '_lo' like the oracle's e.emb[dim],
+                # not an ANSI INVALID_ARRAY_INDEX abort (review r8)
+                F.try_element_at("emb", F.col("split_dim").cast("int")) > F.col("mid"),
                 F.concat(F.col("cell").cast("string"), F.lit("_hi")),
             )
             .otherwise(F.concat(F.col("cell").cast("string"), F.lit("_lo")))

@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..tables import table_path
 from . import register
 
 WINDOW_HOURS = 6
@@ -92,9 +91,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dir and glob-filter to the events table file(s)
         .option("pathGlobFilter", "events*.parquet")
     )
-    max_files = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
-    if max_files:
-        reader = reader.option("maxFilesPerTrigger", int(max_files))
+    # positive-int parse: '0' and non-numeric spellings mean
+    # "disabled" (mirroring SPARK_GRAFT_BUCKETED=0), never an invalid
+    # maxFilesPerTrigger=0 or a ValueError at plan construction
+    try:
+        max_files = int(os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES", "0"))
+    except ValueError:
+        max_files = 0
+    if max_files > 0:
+        reader = reader.option("maxFilesPerTrigger", max_files)
     return _normalize_ts(reader.parquet(sf_dir))
 
 

@@ -34,7 +34,16 @@ def _strip_comments(sql: str) -> str:
 # Spark's qualified-path table syntax: FROM <format>.`/abs/path`.
 # Any of these reads server-side files directly, bypassing the view
 # registry — the restricted surface must see and police them all.
-_PATH_TABLE_FORMATS = r"parquet|json|csv|text|orc|avro|binaryfile|delta|textfile"
+# The short-name list is NOT sufficient on its own: Spark's
+# DataSource.lookupDataSource also resolves FULLY-QUALIFIED datasource
+# class names, so ``FROM `org.apache.spark.sql.execution.datasources.
+# parquet.ParquetFileFormat`.`/any/file``` reads the file while never
+# matching a short name (found by review, reproduced live) — hence the
+# structural rules in validate_select_only below.
+_PATH_TABLE_FORMATS = r"parquet|json|csv|text|orc|avro|binaryfile|delta|textfile|xml"
+
+# one dotted-identifier step: backquoted or bare
+_IDENT_PART = r"(?:`[^`]+`|[\w$]+)"
 
 
 def _path_allowed(path: str, roots: list[str]) -> bool:
@@ -82,14 +91,37 @@ def validate_select_only(sql: str, allowed_path_roots: list[str] | None = None) 
     if hit:
         raise SqlGuardError(f"forbidden keyword(s): {sorted(hit)}")
     if allowed_path_roots is not None:
+        def _reject_if_outside(path: str, ref: str) -> None:
+            if not _path_allowed(path, allowed_path_roots):
+                raise SqlGuardError(
+                    f"path-backed table reference {ref} is outside the "
+                    "allowed directories; query the registered views instead"
+                )
+
+        # Rule A: a known format short name qualifying a backquoted
+        # path, anywhere in the statement.
         for m in re.finditer(
             rf"(?i)\b({_PATH_TABLE_FORMATS})\s*\.\s*`([^`]*)`", cleaned
         ):
-            if not _path_allowed(m.group(2), allowed_path_roots):
-                raise SqlGuardError(
-                    f"path-backed table {m.group(1)}.`{m.group(2)}` is outside "
-                    "the allowed directories; query the registered views instead"
-                )
+            _reject_if_outside(m.group(2), f"{m.group(1)}.`{m.group(2)}`")
+        # Rule B: in RELATION position (after FROM/JOIN/TABLE), any
+        # dotted chain whose last part is backquoted is treated as
+        # <datasource>.`path` — Spark resolves arbitrary qualifiers
+        # (including fully-qualified class names) there, so the
+        # qualifier spelling cannot be trusted. Conservative by
+        # design: `global_temp`.`v`-style view references are also
+        # rejected on this surface (use the bare view name).
+        for m in re.finditer(
+            rf"(?i)\b(?:from|join|table)\s+((?:{_IDENT_PART}\s*\.\s*)+)`([^`]*)`",
+            cleaned,
+        ):
+            _reject_if_outside(m.group(2), f"{m.group(1)}`{m.group(2)}`")
+        # Rule C: any dot-qualified backquoted segment containing a
+        # path separator, wherever it appears (subqueries reached via
+        # comma-separated FROM lists and other spots Rule B's keyword
+        # anchor can miss).
+        for m in re.finditer(r"\.\s*`([^`]*[/\\][^`]*)`", cleaned):
+            _reject_if_outside(m.group(1), f"`{m.group(1)}`")
 
 
 def run_user_sql(

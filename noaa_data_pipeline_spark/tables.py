@@ -132,26 +132,42 @@ def _warehouse_copy(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) 
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+# Above this many files, the per-call stat walk costs more than the
+# cache saves (a many-thousand-file lake would pay seconds of stat()
+# per plan construction): skip caching instead of walking.
+_DIR_WALK_CAP = 256
+
+
 def _stat_fingerprint(src: str) -> tuple | None:
     """Invalidation key for one table source. For a directory source
     the top-level stat is NOT enough: rewriting a data file in place
     (same name, no rename) changes neither the directory's size nor
     its mtime (ADVICE r8), so fold per-file stats in — the same
     recursive contract scale._bucket_tag and the lifecycle
-    fingerprints use."""
+    fingerprints use. File NAMES fold in too (review r8): a rename
+    that preserves content/size/mtime — a compactor re-numbering part
+    files — must invalidate, or the cached DataFrame's file index
+    points at dead paths. Directories past _DIR_WALK_CAP files return
+    None (no caching) rather than stat-storm on every call."""
+    import zlib
+
     try:
         st = os.stat(src)
         if not os.path.isdir(src):
             return (st.st_size, st.st_mtime_ns)
-        n, total, mtime = 0, 0, 0
+        n, total, mtime, names = 0, 0, 0, 0
         for root, dirs, files in os.walk(src):
             dirs.sort()
             for f in sorted(files):
-                fst = os.stat(os.path.join(root, f))
+                p = os.path.join(root, f)
+                fst = os.stat(p)
                 n += 1
+                if n > _DIR_WALK_CAP:
+                    return None
                 total += fst.st_size
                 mtime = max(mtime, fst.st_mtime_ns)
-        return (n, total, mtime)
+                names = zlib.crc32(os.path.relpath(p, src).encode(), names)
+        return (n, total, mtime, names)
     except OSError:
         return None
 

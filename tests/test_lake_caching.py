@@ -154,3 +154,50 @@ def test_load_table_cache_invalidates_on_in_place_file_rewrite_in_dir(
     fresh = tables.load_table(spark, root, "orders")
     assert fresh is not first
     assert fresh.select("o_orderpriority").first()[0] == "B-2"
+
+
+def test_load_table_cache_invalidates_on_rename_in_dir(
+    spark, tmp_path_factory
+):
+    """A compactor that renames part files while preserving size and
+    mtime must invalidate the cache (review r8): the cached
+    DataFrame's file index points at the OLD path, so serving it
+    yields FileNotFound / stale listings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path_factory.mktemp("lake_rename"))
+    tdir = os.path.join(root, "orders.parquet")
+    os.makedirs(tdir)
+    pq.write_table(
+        pa.table({"o_orderkey": [1, 2], "o_orderpriority": ["X", "X"]}),
+        os.path.join(tdir, "part-00000.parquet"),
+    )
+    mtime = 1700000000.0
+    os.utime(os.path.join(tdir, "part-00000.parquet"), (mtime, mtime))
+    first = tables.load_table(spark, root, "orders")
+    assert tables.load_table(spark, root, "orders") is first
+
+    os.rename(
+        os.path.join(tdir, "part-00000.parquet"),
+        os.path.join(tdir, "part-00001.parquet"),
+    )
+    os.utime(os.path.join(tdir, "part-00001.parquet"), (mtime, mtime))
+    fresh = tables.load_table(spark, root, "orders")
+    assert fresh is not first
+    assert fresh.count() == 2  # reads through the NEW file index
+
+
+def test_fingerprint_skips_walk_past_cap(tmp_path):
+    """Directories beyond _DIR_WALK_CAP files are not fingerprinted
+    (no caching) — a many-thousand-file lake must not pay a full stat
+    walk on every plan construction."""
+    d = tmp_path / "big"
+    d.mkdir()
+    for i in range(tables._DIR_WALK_CAP + 1):
+        (d / f"f{i:05d}").write_text("x")
+    assert tables._stat_fingerprint(str(d)) is None
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "f0").write_text("x")
+    assert tables._stat_fingerprint(str(small)) is not None

@@ -466,3 +466,42 @@ def test_semantic_centroid_cache_invalidates_on_lake_change(spark, tmp_path):
     write([[0.0, float(i * 5)] for i in range(12)])
     second = _semantic_centroids(spark, lake)
     assert second != first  # rewritten lake -> fresh centroids
+
+
+def test_incremental_ivf_insert_excludes_zero_norm(spark, tmp_path_factory):
+    """Zero-norm vectors (cosine undefined) must be excluded from
+    BOTH the index and the new batch in BOTH engines (review r8: a
+    zero-norm new vector's all-NaN GEMM row silently dropped every
+    candidate Spark-side while the oracle emitted NULL-cosine rows;
+    a zero-norm index vector could poison np.partition's kth)."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+
+    random.seed(3)
+    dim = 16
+    rows = []
+    zero_ids = set()
+    for i in range(120):
+        if i % 17 == 0:
+            v = [0.0] * dim
+            zero_ids.add(i)
+        else:
+            v = [random.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, v, i % 4))
+    tmp = str(tmp_path_factory.mktemp("ivf_zero"))
+    _write_parquet(
+        f"{tmp}/embeddings.parquet",
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+    )
+    out = _gate_compare(spark, tmp, "sim_incremental_ivf_insert", ["embeddings"])
+    assert out, "the 120-vector lake must produce some inserts"
+    touched = {r[0] for r in out} | {r[2] for r in out}
+    assert not (touched & zero_ids)

@@ -403,6 +403,47 @@ def test_path_guard_empty_roots_rejects_all_paths(spark, sf_dir, template):
         sql_surface.run_user_sql(spark, q, dialect="duckdb", allowed_path_roots=[])
 
 
+@pytest.mark.parametrize(
+    "template",
+    [
+        # fully-qualified datasource class names resolve through
+        # DataSource.lookupDataSource exactly like short names — the
+        # original blacklist never matched them (live-verified bypass)
+        "SELECT * FROM `org.apache.spark.sql.execution.datasources."
+        "parquet.ParquetFileFormat`.`{p}`",
+        "SELECT * FROM `org.apache.spark.sql.execution.datasources."
+        "v2.text.TextDataSourceV2`.`{p}`",
+        # backquoted short name dodges the \b word-boundary form
+        "SELECT * FROM `parquet`.`{p}`",
+        # relation buried in a subquery
+        "SELECT 1 FROM region WHERE 1 IN (SELECT 1 FROM `parquet`.`{p}`)",
+        # spark 4 ships an xml source; it was missing from the list
+        "SELECT * FROM xml.`{p}`",
+    ],
+)
+def test_path_guard_rejects_class_name_and_quoted_qualifiers(
+    spark, sf_dir, template
+):
+    q = template.format(p=f"{sf_dir}/region.parquet")
+    with pytest.raises(sql_surface.SqlGuardError, match="allowed directories"):
+        sql_surface.run_user_sql(spark, q, allowed_path_roots=[])
+
+
+def test_path_guard_leaves_qualified_columns_alone(spark, sf_dir):
+    """Backquoted table.column references in EXPRESSION position are
+    not path references and must keep working under the restricted
+    surface."""
+    from noaa_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    df = sql_surface.run_user_sql(
+        spark,
+        "SELECT `r`.`r_name` FROM region r ORDER BY `r`.`r_regionkey` LIMIT 1",
+        allowed_path_roots=[],
+    )
+    assert df.collect()[0][0] is not None
+
+
 def test_path_guard_allows_inside_root_and_resolves_traversal(spark, sf_dir):
     p = f"{sf_dir}/region.parquet"
     df = sql_surface.run_user_sql(

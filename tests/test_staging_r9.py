@@ -163,11 +163,20 @@ def adversarial_emb_lake(tmp_path_factory):
         (10, [-1.0] * dim, 0),
         (15, [0.25] * dim, 0),
         (20, [2e-8] * dim, 0),
+        (30, [], 0),  # EMPTY row inside the OVERSIZED cell: the split
+        # projection must yield NULL->'_lo' via try_element_at, not an
+        # ANSI INVALID_ARRAY_INDEX abort (review r8)
         (4, [3.0] * dim, 1),
         (6, [7.0] * dim, 2),
         (11, [7.0] * dim, 2),
         (3, None, 2),
         (14, [], 1),
+        # cell 3 is PARTIALLY ragged: the build-snapshot vector (25)
+        # is shorter than the insert (9), so dims 5-6 have zero build
+        # members — m_then NULL on SOME dims only; the drift fold must
+        # skip them like DuckDB's list_sum, not NULL-poison (review r8)
+        (25, [1.0, 2.0, 3.0, 4.0], 3),
+        (9, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], 3),
     ]
     tmp = str(tmp_path_factory.mktemp("ivf_emb"))
     pq.write_table(
