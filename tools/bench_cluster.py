@@ -126,7 +126,17 @@ def main() -> None:
         elif "sf_dir" in prior:  # migrate single-run format
             merged["lakes"][os.path.basename(prior["sf_dir"].rstrip("/"))] = prior
     key = os.path.basename(args.sf_dir.rstrip("/"))
-    merged["lakes"][key] = out
+    prior_lake = merged["lakes"].get(key)
+    if prior_lake and prior_lake.get("configs") == out["configs"]:
+        # same config matrix: extend per-query instead of clobbering
+        # the lake record (a --queries subset run must not erase the
+        # other queries' evidence)
+        for label, t in out["timings_sec"].items():
+            prior_lake["timings_sec"].setdefault(label, {}).update(t)
+        for label, rr in out["ratio_vs_local32_s32"].items():
+            prior_lake["ratio_vs_local32_s32"].setdefault(label, {}).update(rr)
+    else:
+        merged["lakes"][key] = out
     with open(path, "w") as fh:
         json.dump(merged, fh, indent=2)
     print(json.dumps(out))
