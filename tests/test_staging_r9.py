@@ -281,3 +281,98 @@ def test_gopher_rules_not_degenerate(spark, sf_dir):
         if any(getattr(r, c) == 0 for r in rows)
     ]
     assert len(rejecting) >= 2
+
+
+# --- differential fuzz (random lakes x gate compare) -------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", categories=("L", "N", "P", "Z", "S")
+                ),
+                max_size=60,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_gopher_differential_fuzz(spark, tmp_path_factory, texts):
+    """Random-unicode lakes (NULLs included) must hash-match the
+    oracle for ANY text content — catches tokenization / char-class /
+    NULL-semantics drift the fixed fixture can't."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = str(tmp_path_factory.mktemp("gopher_fuzz"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["xx"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([0] * len(texts), pa.int64()),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+    _gate_compare(spark, tmp, "docs_gopher_rule_filter", ["documents"])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.floats(
+                        min_value=-10, max_value=10,
+                        allow_nan=False, allow_infinity=False, width=32,
+                    ),
+                    min_size=0,
+                    max_size=6,
+                ),
+            ),
+            st.integers(min_value=0, max_value=3),  # cell label
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_ivf_trio_differential_fuzz(spark, tmp_path_factory, vecs):
+    """Random ragged/NULL/zero embedding lakes with random skewed
+    cell sizes must hash-match all three maintenance oracles — the
+    oversize threshold, widest-dim tie-breaks, try_element_at NULLs,
+    and the NULL-skip drift fold under arbitrary shapes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = str(tmp_path_factory.mktemp("ivf_fuzz"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [v[0] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([v[1] for v in vecs], pa.int32()),
+            }
+        ),
+        f"{tmp}/embeddings.parquet",
+    )
+    for name in (
+        "ivf_centroid_drift_report",
+        "ivf_cell_rebalance",
+        "ivf_retrain_centroids",
+    ):
+        _gate_compare(spark, tmp, name, ["embeddings"])
