@@ -42,8 +42,102 @@ def _strip_comments(sql: str) -> str:
 # structural rules in validate_select_only below.
 _PATH_TABLE_FORMATS = r"parquet|json|csv|text|orc|avro|binaryfile|delta|textfile|xml"
 
-# one dotted-identifier step: backquoted or bare
-_IDENT_PART = r"(?:`[^`]+`|[\w$]+)"
+
+# Tokens that open a relation position; a chain scanned right after
+# one of these is a table reference, which Spark will happily resolve
+# as <datasource>.`path` whenever it has two parts and the head looks
+# like a datasource (ResolveSQLOnFile fires on ANY 2-part relation).
+_RELATION_STARTERS = {"from", "join", "table"}
+_SUBQUERY_STARTERS = {"select", "with", "values", "table"}
+# Keywords that end a FROM clause's relation list, after which a
+# top-level comma no longer introduces another relation.
+_FROM_CLAUSE_ENDERS = {
+    "where", "group", "order", "having", "limit", "union", "intersect",
+    "except", "window", "qualify", "distribute", "cluster", "sort",
+}
+
+
+def _relation_chains(sql: str) -> list[list[str]]:
+    """Every identifier chain appearing in RELATION position: after
+    FROM/JOIN/TABLE, after a comma inside a FROM relation list
+    (comma-join), and inside parenthesized relations — the three
+    spots a keyword-anchored regex misses (r8 ADVICE: ``FROM region,
+    `parquet`.`secrets``` and ``FROM (`text`.`secrets`)`` dodged the
+    FROM/JOIN anchor). String literals must be masked by the caller.
+
+    Token-level state machine, not a parser: commas re-open relation
+    position only at the depth their FROM list opened at (so a
+    subquery's SELECT-list commas don't flag qualified columns), and
+    each paren pushes/restores that state (a ``(`` followed by a
+    subquery starter begins a fresh scope; any other ``(`` in
+    relation position is a parenthesized relation)."""
+    import re
+
+    toks = re.findall(r"`[^`]*`|[A-Za-z_][\w$]*|\d+(?:\.\d+)?|\S", sql)
+
+    def word(t: str) -> str | None:
+        return t.lower() if re.fullmatch(r"[A-Za-z_][\w$]*", t) else None
+
+    chains: list[list[str]] = []
+    expecting = False   # next identifier chain is a relation
+    in_from_list = False
+    from_depth = 0      # paren depth where the current FROM list opened
+    depth = 0
+    stack: list[tuple[bool, bool, int]] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        w = word(t)
+        if t == "(":
+            nxt = word(toks[i + 1]) if i + 1 < len(toks) else None
+            stack.append((expecting, in_from_list, from_depth))
+            depth += 1
+            if expecting and nxt not in _SUBQUERY_STARTERS:
+                from_depth = depth  # parenthesized relation (list)
+                in_from_list = True
+            else:
+                expecting = False
+                in_from_list = False
+            i += 1
+            continue
+        if t == ")":
+            depth -= 1
+            if stack:
+                expecting, in_from_list, from_depth = stack.pop()
+            expecting = False
+            i += 1
+            continue
+        if w in _RELATION_STARTERS:
+            expecting = True
+            if w == "from":
+                in_from_list = True
+                from_depth = depth
+            i += 1
+            continue
+        if t == "," and in_from_list and depth == from_depth:
+            expecting = True  # comma-join: next chain is a relation
+            i += 1
+            continue
+        if w in _FROM_CLAUSE_ENDERS:
+            in_from_list = False
+            expecting = False
+            i += 1
+            continue
+        if expecting and (t.startswith("`") or w is not None):
+            chain = [t]
+            i += 1
+            while (
+                i + 1 < len(toks)
+                and toks[i] == "."
+                and (toks[i + 1].startswith("`") or word(toks[i + 1]) is not None)
+            ):
+                chain.append(toks[i + 1])
+                i += 2
+            chains.append(chain)
+            expecting = False
+            continue
+        i += 1
+    return chains
 
 
 def _path_allowed(path: str, roots: list[str]) -> bool:
@@ -98,29 +192,35 @@ def validate_select_only(sql: str, allowed_path_roots: list[str] | None = None) 
                     "allowed directories; query the registered views instead"
                 )
 
+        # Literals are masked first so a quoted string containing
+        # 'FROM x.y' can neither trip the rules nor confuse the
+        # relation scanner's comma/keyword tracking.
+        masked, _lits = _mask_literals(cleaned)
         # Rule A: a known format short name qualifying a backquoted
         # path, anywhere in the statement.
         for m in re.finditer(
-            rf"(?i)\b({_PATH_TABLE_FORMATS})\s*\.\s*`([^`]*)`", cleaned
+            rf"(?i)\b({_PATH_TABLE_FORMATS})\s*\.\s*`([^`]*)`", masked
         ):
             _reject_if_outside(m.group(2), f"{m.group(1)}.`{m.group(2)}`")
-        # Rule B: in RELATION position (after FROM/JOIN/TABLE), any
-        # dotted chain whose last part is backquoted is treated as
-        # <datasource>.`path` — Spark resolves arbitrary qualifiers
-        # (including fully-qualified class names) there, so the
-        # qualifier spelling cannot be trusted. Conservative by
-        # design: `global_temp`.`v`-style view references are also
-        # rejected on this surface (use the bare view name).
-        for m in re.finditer(
-            rf"(?i)\b(?:from|join|table)\s+((?:{_IDENT_PART}\s*\.\s*)+)`([^`]*)`",
-            cleaned,
-        ):
-            _reject_if_outside(m.group(2), f"{m.group(1)}`{m.group(2)}`")
+        # Rule B: ANY multi-part identifier chain in RELATION position
+        # is treated as <datasource>.`path` — Spark's ResolveSQLOnFile
+        # fires on any 2-part relation whose head resolves as a
+        # datasource (short names AND fully-qualified class names), so
+        # the qualifier spelling cannot be trusted. The token scanner
+        # covers the positions a FROM/JOIN-anchored regex missed
+        # (comma-joins, parenthesized relations, bare
+        # ``FROM parquet.somefile`` — r8 ADVICE bypasses). Conservative
+        # by design: `global_temp`.`v`-style and db-qualified view
+        # references are rejected on this surface (use the bare view
+        # name); backquoted table.column refs in EXPRESSION position
+        # are untouched.
+        for chain in _relation_chains(masked):
+            if len(chain) >= 2:
+                _reject_if_outside(chain[-1].strip("`"), ".".join(chain))
         # Rule C: any dot-qualified backquoted segment containing a
-        # path separator, wherever it appears (subqueries reached via
-        # comma-separated FROM lists and other spots Rule B's keyword
-        # anchor can miss).
-        for m in re.finditer(r"\.\s*`([^`]*[/\\][^`]*)`", cleaned):
+        # path separator, wherever it appears (expression-position
+        # spots the relation scanner does not cover).
+        for m in re.finditer(r"\.\s*`([^`]*[/\\][^`]*)`", masked):
             _reject_if_outside(m.group(1), f"`{m.group(1)}`")
 
 
@@ -144,6 +244,18 @@ def run_user_sql(
     if dialect == "duckdb":
         sql = translate_duckdb(sql, spark, allowed_path_roots=allowed_path_roots)
     validate_select_only(sql, allowed_path_roots=allowed_path_roots)
+    if allowed_path_roots == []:
+        # Views-only surface: defense in depth behind the textual
+        # guard. With runSQLOnFiles off, Spark's analyzer (eager in
+        # spark.sql) cannot resolve ANY <datasource>.`path` relation,
+        # whatever spelling dodged the rules above. Restored in
+        # finally — analysis has already happened by then.
+        prev = spark.conf.get("spark.sql.runSQLOnFiles", "true")
+        spark.conf.set("spark.sql.runSQLOnFiles", "false")
+        try:
+            return spark.sql(sql)
+        finally:
+            spark.conf.set("spark.sql.runSQLOnFiles", prev)
     return spark.sql(sql)
 
 

@@ -429,6 +429,59 @@ def test_path_guard_rejects_class_name_and_quoted_qualifiers(
         sql_surface.run_user_sql(spark, q, allowed_path_roots=[])
 
 
+@pytest.mark.parametrize(
+    "template",
+    [
+        # r9 (ADVICE): relation in a comma-join list — Rule B's old
+        # FROM/JOIN anchor never saw it
+        "SELECT * FROM region, `parquet`.`{p}`",
+        "SELECT * FROM region, `text`.`secrets`",
+        # r9 (ADVICE): parenthesized relation
+        "SELECT * FROM (`text`.`secrets`)",
+        "SELECT * FROM ((`csv`.`secrets`))",
+        # r9 (ADVICE): bare <format>.identifier — no backquotes at all,
+        # reads ./somefile relative to the server cwd via runSQLOnFiles
+        "SELECT * FROM parquet.somefile",
+        "SELECT * FROM text.secrets",
+        # bare-file with a class-name qualifier
+        "SELECT * FROM `org.apache.spark.sql.execution.datasources."
+        "parquet.ParquetFileFormat`.secrets",
+        # comma-join after an explicit JOIN ... ON expression
+        "SELECT * FROM region r JOIN nation n "
+        "ON r.r_regionkey = n.n_regionkey, `text`.`secrets`",
+    ],
+)
+def test_path_guard_rejects_relation_position_bypasses(sf_dir, template):
+    """The r8 ADVICE bypass shapes: every relation-position spelling of
+    a file-backed table must be rejected on the restricted surface,
+    with or without backquotes, wherever the relation appears."""
+    q = template.format(p=f"{sf_dir}/region.parquet")
+    with pytest.raises(sql_surface.SqlGuardError, match="allowed directories"):
+        sql_surface.validate_select_only(q, allowed_path_roots=[])
+
+
+def test_path_guard_restores_run_sql_on_files(spark):
+    """run_user_sql flips runSQLOnFiles off for the views-only surface
+    (defense in depth behind the textual guard) and restores it."""
+    prev = spark.conf.get("spark.sql.runSQLOnFiles", "true")
+    out = sql_surface.run_user_sql(
+        spark, "SELECT COUNT(*) AS n FROM region", allowed_path_roots=[]
+    )
+    assert out.collect()[0].n == 5
+    assert spark.conf.get("spark.sql.runSQLOnFiles") == prev
+
+
+def test_path_guard_literal_containing_from_not_confused(spark):
+    """A string literal containing 'FROM x.y' is data, not a relation
+    — masked before the scanner runs."""
+    df = sql_surface.run_user_sql(
+        spark,
+        "SELECT 'FROM parquet.somefile' AS s FROM region LIMIT 1",
+        allowed_path_roots=[],
+    )
+    assert df.collect()[0].s == "FROM parquet.somefile"
+
+
 def test_path_guard_leaves_qualified_columns_alone(spark, sf_dir):
     """Backquoted table.column references in EXPRESSION position are
     not path references and must keep working under the restricted
