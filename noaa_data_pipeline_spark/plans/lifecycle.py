@@ -600,6 +600,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_NEW_PCT = 90  # vectors with hash-pct >= 90 play the "new batch"
 IVF_TOP_K = 5
 
+# Persisted frames of the LAST sim_incremental_ivf_insert invocation,
+# unpersisted on the next call (r8 ADVICE: gate sweeps accumulated
+# cached partitions across repeated invocations).
+_IVF_INSERT_PERSISTED: list[DataFrame] = []
+
 _SQL_VEC_PCT = (
     "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
 )
@@ -688,12 +693,36 @@ def sim_incremental_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     index grows) and measured 7x DuckDB at x20; this form is 100x
     cheaper per candidate-pair and the exact stage is output-sized.
     The centroid recompute here stands in for reading the stored
-    centroid table an index service maintains."""
+    centroid table an index service maintains.
+
+    Cache lifecycle (r8 ADVICE): the persisted idx/assigned frames of
+    the PREVIOUS invocation are unpersisted on entry, so a gate sweep
+    that calls this entry repeatedly holds at most one invocation's
+    cached partitions instead of accumulating forever; the current
+    invocation's frames stay cached because the returned plan is
+    lazy. The batch-sized broadcasts (assigned carries q_emb, cands
+    is batch x ~k pairs) are size-gated on the embeddings table: past
+    the cap the joins fall back to shuffle hash joins (AQE may still
+    re-broadcast from runtime stats), because a 100 TB lake's daily
+    batch does not fit a driver broadcast."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
+    from .common import BROADCAST_FILE_CAP, table_bytes
     from .similarity import _centroid_vectors, _dot, _embeddings, _sqdist
+
+    while _IVF_INSERT_PERSISTED:
+        try:
+            _IVF_INSERT_PERSISTED.pop().unpersist()
+        except Exception:
+            pass  # frame from a stopped session
+    emb_bytes = table_bytes(sf_dir, "embeddings")
+    batch_small = (
+        emb_bytes is not None
+        and emb_bytes * (100 - IVF_NEW_PCT) // 100 < BROADCAST_FILE_CAP
+    )
+    maybe_broadcast = F.broadcast if batch_small else (lambda df: df)
 
     emb = _embeddings(spark, sf_dir)
     # persisted lazily: both the candidate cogroup and the exact
@@ -724,6 +753,7 @@ def sim_incremental_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # lazy: feeds the cogroup and the final select
     )
+    _IVF_INSERT_PERSISTED.extend([idx, assigned])
 
     def cell_topk_candidates(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         """left = one cell's index vectors, right = the new vectors
@@ -768,9 +798,9 @@ def sim_incremental_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both joins broadcast the small side and the decimal fold runs
     # only on survivors
     scored = (
-        idx.join(F.broadcast(cands), idx["vec_id"] == cands["neighbor_id"])
+        idx.join(maybe_broadcast(cands), idx["vec_id"] == cands["neighbor_id"])
         .join(
-            F.broadcast(assigned.select("new_vec_id", "q_emb", "q_norm", "cell")),
+            maybe_broadcast(assigned.select("new_vec_id", "q_emb", "q_norm", "cell")),
             "new_vec_id",
         )
         .select(

@@ -1429,8 +1429,9 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = emb.select(
         "vec_id",
         F.concat(*[_sign_bit(p) for p in range(LSH_PLANES)]).alias("bucket"),
-    ).persist()
-    buckets.count()
+    ).persist()  # lazy (r9): the probe build and the corpus scan share
+    # the first job's cache fill; the old eager count() paid one extra
+    # job launch (same conversion as the r8 sim_ann_recall_eval)
     qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket")
     )

@@ -55,12 +55,62 @@ def _normalize_ts(raw: DataFrame) -> DataFrame:
     return raw
 
 
+def _needs_nanos_conf(sf_dir: str) -> bool:
+    """True iff any events file carries a nanosecond-typed ``ts`` —
+    the one encoding Spark's vectorized reader rejects without
+    ``spark.sql.legacy.parquet.nanosAsLong``. Probed from the parquet
+    footers directly (pyarrow, no Spark conf involved) so the
+    session-wide conf flip only happens when the lake actually
+    requires it (r8 ADVICE: plan construction mutated session conf
+    unconditionally). The conf cannot be restored after construction:
+    the scan consults it at execution time too. Footer reads are
+    per-file cheap; result cached by lake fingerprint."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    key = _lake_key(None, sf_dir)
+    cacheable = key[2] is not None  # fingerprint None = don't cache
+    if cacheable:
+        hit = _NANOS_CACHE.get(key)
+        if hit is not None:
+            return hit
+    needs = False
+    for p in sorted(glob.glob(os.path.join(sf_dir, "events*.parquet"))):
+        try:
+            schema = pq.read_schema(p)
+        except Exception:
+            needs = True  # unreadable footer: set the conf, do no harm
+            break
+        if "ts" in schema.names and "[ns" in str(schema.field("ts").type):
+            needs = True
+            break
+    if cacheable:
+        _NANOS_CACHE[key] = needs
+    return needs
+
+
+def _lake_key(app_id: str | None, sf_dir: str) -> tuple:
+    """Cache key scoping a probed lake fact to its content (stat
+    fingerprint, same invalidation contract as tables._TABLE_CACHE)
+    and, when session-dependent, the live application."""
+    from ..tables import _stat_fingerprint
+
+    src = os.path.abspath(sf_dir)
+    return (app_id, src, _stat_fingerprint(src))
+
+
+_NANOS_CACHE: dict[tuple, bool] = {}
+_SPAN_CACHE: dict[tuple, tuple] = {}
+
+
 def _events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch read of the same file set the stream source sees (lake
     dir + ``events*.parquet`` glob, so split-file lakes read
     identically in both paths), ts-normalized like
     ``tables.load_table``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if _needs_nanos_conf(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return _normalize_ts(
         spark.read.option("mergeSchema", "true")
         .option("pathGlobFilter", "events*.parquet")
@@ -77,7 +127,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``maxFilesPerTrigger``) — availableNow honors read limits, so
     setting it makes a replay run as MANY micro-batches, the shape
     the multi-batch correctness tests drive."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if _needs_nanos_conf(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = (
         spark.read.option("mergeSchema", "true")
         .option("pathGlobFilter", "events*.parquet")
@@ -113,10 +164,22 @@ def _replay_disorder_delay(spark: SparkSession, sf_dir: str) -> str:
     whose partner is still in an unread file. Derived from a
     column-pruned min/max probe of ``ts`` (footer-stats cheap on a
     real lake) plus the join horizon as slack; empty lake falls back
-    to the live default."""
-    lo, hi = _events_batch(spark, sf_dir).agg(
-        F.min("ts"), F.max("ts")
-    ).first()
+    to the live default. The probe is one eager job — cached per
+    (applicationId, lake fingerprint) like the other lakeside caches
+    (r8 ADVICE), so repeated plan constructions over the same lake
+    pay it once."""
+    key = _lake_key(spark.sparkContext.applicationId, sf_dir)
+    cacheable = key[2] is not None  # fingerprint None = don't cache
+    if cacheable and key in _SPAN_CACHE:
+        lo, hi = _SPAN_CACHE[key]
+    else:
+        lo, hi = _events_batch(spark, sf_dir).agg(
+            F.min("ts"), F.max("ts")
+        ).first()
+        if cacheable:
+            for k in [k for k in _SPAN_CACHE if k[0] != key[0]]:
+                del _SPAN_CACHE[k]
+            _SPAN_CACHE[key] = (lo, hi)
     if lo is None or hi is None:
         return "10 minutes"
     span_s = int((hi - lo).total_seconds()) + JOIN_HORIZON_MIN * 60 + 3600
@@ -262,6 +325,22 @@ def _sessionize(
         open_start = pd.Timestamp(start_us, unit="us")
         open_end = pd.Timestamp(end_us, unit="us")
         first_start = pd.Timestamp(out.loc[0, "session_start"])
+        if first_start < open_start:
+            # An event older than the stored open session's START
+            # arrived: under ordered pickup it would have begun or
+            # predated that session, so the state (and any already-
+            # emitted session) is wrong. Previously only the docstring
+            # guarded this (r8 ADVICE) — now the violation raises
+            # instead of silently emitting bad sessions.
+            raise ValueError(
+                "stream_sessionize_state: out-of-order replay detected "
+                f"(batch min ts {first_start} predates the open session "
+                f"start {open_start}); this operator requires per-user "
+                "event-time-ordered file pickup across micro-batches — "
+                "replay in one availableNow batch or use the "
+                "watermarked native session_window "
+                "(events_session_window_native) for disordered lakes"
+            )
         if (first_start - open_end).total_seconds() <= SESSION_GAP_MIN * 60:
             # batch continues the open session: same start key, so the
             # collapse replaces last batch's version with this one
@@ -320,9 +399,12 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     a growing session, so the plan collapses them by the stable
     (user_id, session_start) key, taking the latest = max end/count).
     Requires per-user event-time-ordered arrival across micro-batches
-    — the shape a time-partitioned ingest lake delivers; for
-    arbitrarily disordered replays use the watermarked native
-    session_window instead. Scale: state is one open session per
+    — the shape a time-partitioned ingest lake delivers; a violating
+    replay RAISES inside the stateful operator (batch min ts earlier
+    than the stored open-session start) instead of silently emitting
+    wrong sessions — for arbitrarily disordered replays use the
+    watermarked native session_window. Scale: state is one open
+    session per
     user, Arrow-batched; a processing-time timeout would evict idle
     users on an unbounded stream."""
     ev = _events_stream(spark, sf_dir)

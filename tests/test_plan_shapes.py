@@ -444,3 +444,18 @@ def test_q9_routes_to_bucketed_when_warehouse(spark, sf_dir, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_BUCKETED")
     plan = plan_of(spark, sf_dir, "q9_product_type_profit")
     assert "bkt_lineitem" not in plan
+
+
+def test_multiprobe_plan_construction_is_lazy(spark, sf_dir):
+    """sim_ann_lsh_multiprobe's bucket persist is lazy (r9: the last
+    eager persist+count barrier converted) — constructing the plan
+    launches ZERO jobs; the cache fills on the first consumer."""
+    fn = entrymod.queries()["sim_ann_lsh_multiprobe"]
+    fn(spark, sf_dir)  # warm table/schema caches (a cold mergeSchema
+    # read runs a footer-merge job unrelated to the persist barrier)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or ())
+    df = fn(spark, sf_dir)
+    after = set(tracker.getJobIdsForGroup(None) or ())
+    assert after == before, "plan construction launched a Spark job"
+    assert df.count() > 0  # and the plan still executes

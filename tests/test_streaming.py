@@ -3,6 +3,8 @@ driver's gate only row-counts it)."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 
@@ -203,6 +205,32 @@ def test_stream_dedup_within_watermark_multi_micro_batch(
     finally:
         con.close()
     assert got == expected
+
+
+def test_stream_sessionize_disordered_replay_raises(
+    spark, tmp_path_factory, monkeypatch
+):
+    """An unordered multi-file replay (every file spans the full time
+    range) violates the sessionizer's ordered-pickup contract; r8
+    ADVICE: it used to emit wrong sessions guarded only by a
+    docstring — now the stateful operator detects the violation
+    (batch min ts predates the stored open-session start) and the
+    query fails instead."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from noaa_data_pipeline_spark import plans
+
+    lake = _split_events_lake(
+        str(tmp_path_factory.mktemp("sess_disord")),
+        "/root/testdata/sf0.01",
+        ordered=False,
+    )
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES", "1")
+    q = plans.load_all()["stream_sessionize_state"]
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as exc:
+        q.fn(spark, lake)
+    assert "out-of-order replay detected" in str(exc.value)
 
 
 def test_stream_sessionize_multi_micro_batch_ordered(

@@ -58,7 +58,10 @@ DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
 # entries whose BENCH_SCALE row should also report input-throughput
 # (entry -> (table, byte-count column)); bpe_encode_docs is the
 # measured tokenization-cost point for the 100 TB story
-THROUGHPUT_BYTES = {"bpe_encode_docs": ("documents", "n_chars")}
+# name -> (table, bytes expression). encode()'s octet count, not the
+# character count (r8 ADVICE: n_chars understates bytes on multi-byte
+# corpora, mislabeling the bytes/sec feeding the 100 TB extrapolation)
+THROUGHPUT_BYTES = {"bpe_encode_docs": ("documents", "octet_length(encode(text))")}
 
 
 def build_scaled_lake(replicas: int) -> str:
