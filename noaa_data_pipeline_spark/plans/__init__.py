@@ -30,54 +30,55 @@ PLAN_MODULES = [
     "text",
     "analytics",
     "lifecycle",
+    "maintenance",
 ]
 
 # The driver gate records exactly the first 50 registry entries, so
 # iteration order decides which entries get fresh driver evidence
-# each round. Round 8 window (the rotation drafted in GATE_LOG
-# "Round-8 rotation plan"): the 40 entries whose last driver evidence
-# is round 5 (at the edge of the 3-round freshness window the
-# meta-test in tests/test_registry_oracle.py enforces), plus the six
-# round-7-staged operators promoted into the registry this round
-# (plans/lifecycle.py — each already oracle-proven at three SFs and
-# three engine configs before promotion), plus the 4 entries whose
-# plans changed in round 8 (bucketed-routing opt-in fix, lazy-persist
-# conversions).
+# each round. Round 9 window (the rotation drafted in GATE_LOG
+# "Round-9 rotation plan"): the 41 entries whose last driver evidence
+# is round 6 (at the edge of the 3-round freshness window the
+# meta-test in tests/test_registry_oracle.py enforces), plus the four
+# round-8-staged operators promoted into the registry this round
+# (plans/maintenance.py — each oracle-proven at three SFs and three
+# engine configs before promotion), plus the entries whose plans
+# changed in round 9 (sessionize disorder detection, replay-span
+# caching, IVF insert persist lifecycle + size-gated broadcasts).
 # NOTE (process): rotation only picks what the DRIVER re-checks;
 # every round must still pass the full-registry local gate
 # (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
 GATE_PRIORITY = [
-    # --- last driver evidence is round 5 (stalest 40)
-    "cube_orders_priority_status", "dedup_clusters_cc",
-    "docs_pack_sequences", "events_anomaly_zscore",
-    "events_column_profile", "events_distinct_users_hll",
-    "events_funnel_ordered", "events_grouping_sets_marginals",
-    "events_interval_overlap_join", "events_linear_interpolate",
-    "events_percentiles_approx_sketch", "events_retention_cohorts",
-    "events_session_window_native", "events_sessionize_batch",
-    "events_sliding_24h_range_window", "kmeans_embeddings",
-    "orders_scd2_status_intervals", "orders_status_transitions",
-    "q6_forecast_revenue_delta", "q7_volume_shipping",
-    "q10_returned_items_customers", "q13_customer_order_distribution",
-    "q16_supplier_part_relationships", "q17_small_quantity_revenue",
-    "q20_excess_stock_suppliers", "q22_global_sales_opportunity",
-    "sample_stratified_hash", "sim_ann_recall_eval",
-    "source_curation_report", "split_train_val_hash",
-    "stream_dedup_keys", "stream_dedup_within_watermark",
-    "stream_sessionize_state", "stream_windowed_counts",
-    "text_bigram_topk", "text_fingerprint_winnow", "text_mask_numbers",
-    "text_repetition_ratio", "text_tfidf_topk", "text_token_rarity",
-    # --- round-8 promotions (new registry entries need first driver
-    #     evidence; staged + oracle-proven in round 7)
-    "dedup_semantic_clusters", "dedup_semantic_purge",
-    "dedup_incremental_minhash", "text_perplexity_proxy",
-    "stream_compaction_report", "sim_incremental_ivf_insert",
-    # --- plans edited in round 8 (re-prove under the current tree):
-    #     q9/q21 route to the bucketed layout only on the explicit
-    #     SPARK_GRAFT_BUCKETED=1 opt-in now (ADVICE fix); the two
-    #     remaining eager persist+count barriers converted to lazy
-    "q9_product_type_profit", "q21_waiting_suppliers",
-    "dedup_minhash_estimator_quality", "sim_mmr_rerank",
+    # --- last driver evidence is round 6 (stalest 41)
+    "bpe_encode_docs", "bpe_train_merges", "dedup_purge_report",
+    "docs_chunk_overlap", "docs_curation_pipeline_e2e",
+    "docs_domain_mixture_resample", "docs_embed_hash", "emb_pq_codes",
+    "events_dq_report", "events_heavy_hitters_cms",
+    "events_incremental_rollup_merge", "events_user_sequences",
+    "graph_quality_smoothing", "lake_zorder_key", "mm_binary_metadata",
+    "mm_feature_extract_pandas", "mm_frame_sample", "mm_resize_dims",
+    "orders_customer_full_outer_recon", "orders_unpivot_measures",
+    "q11_important_stock_value", "q15_top_supplier",
+    "q1_pricing_summary", "q21_waiting_suppliers_bucketed",
+    "q3_shipping_priority", "q5_regional_revenue",
+    "q8_national_market_share", "q9_product_type_profit_bucketed",
+    "sim_ann_lsh_multiprobe", "sim_block_matmul_topk",
+    "sim_cosine_range_search", "sim_cosine_topk_brute",
+    "sim_ivf_multiprobe", "sim_ivf_probe1", "sim_pq_adc_topk",
+    "sim_pq_recall_eval", "split_leakage_safe", "sql_adhoc_guarded",
+    "stream_static_enrich", "stream_stream_interval_join",
+    "text_dup_span_ratio",
+    # --- round-9 promotions (new registry entries need first driver
+    #     evidence; staged + oracle-proven in round 8)
+    "ivf_centroid_drift_report", "ivf_cell_rebalance",
+    "ivf_retrain_centroids", "docs_gopher_rule_filter",
+    # --- plans edited in round 9 (re-prove under the current tree):
+    #     sessionize raises on disordered replays; the replay-span
+    #     probe is cached + the nanos conf flip is now conditional;
+    #     incremental IVF insert unpersists stale caches and
+    #     size-gates its broadcasts
+    "sim_incremental_ivf_insert", "stream_sessionize_state",
+    "stream_dedup_within_watermark", "stream_dedup_keys",
+    "stream_windowed_counts",
 ]
 
 

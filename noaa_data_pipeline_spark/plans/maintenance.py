@@ -1,17 +1,9 @@
-"""Round-9 candidate operators, staged OUTSIDE the driver registry.
+"""Index-maintenance and rule-based curation operators.
 
-The round-8 gate window is exactly full (50 = 40 stale re-proves + 6
-lifecycle promotions + 4 edited plans — see GATE_PRIORITY in
-``plans/__init__.py``), and the round-9 rotation already owes 41
-slots to the entries whose last driver evidence is round 6, leaving
-~9 free. These candidates are therefore built and oracle-proven here
-under pytest only (tests/test_staging_r9.py runs the exact
-driver-gate compare at three SFs), and round 9 promotes them by
-moving the ``stage`` decorators to ``register`` and adding the names
-to GATE_PRIORITY — the same staged-promotion path the round-7
-lifecycle operators took.
-
-Candidates (the r7 verdict's "registry growth" list):
+Staged in round 8 (as ``staging_r9.py``, oracle-proven under pytest
+at three SFs and three engine configs) and promoted into the driver
+registry in round 9 — the same staged-promotion path the round-7
+lifecycle operators took. The four entries:
 
 - ``ivf_centroid_drift_report`` — ANN index maintenance, step 1: how
   far has each IVF cell's TRUE mean moved from the centroid the
@@ -44,24 +36,8 @@ from pyspark.sql import functions as F
 
 from ..operators import textops
 from ..tables import load_table
-from . import Query
+from . import register
 from .similarity import _DEC, _SQL_DEC, _embeddings
-
-# --- staging registry (NOT the driver registry) -----------------------
-
-STAGED: dict[str, Query] = {}
-
-
-def stage(name: str, oracle: str | None = None, doc: str = ""):
-    """Mirror of ``plans.register`` writing to the staging dict, so
-    promotion in round 9 is a one-word decorator swap."""
-
-    def deco(fn):
-        STAGED[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
-        return fn
-
-    return deco
-
 
 # --- IVF index maintenance -------------------------------------------
 #
@@ -90,7 +66,7 @@ def _sql_mean(cond: str) -> str:
     )
 
 
-@stage(
+@register(
     "ivf_centroid_drift_report",
     oracle=f"""
     WITH comps AS (
@@ -147,7 +123,7 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     real lake's scan parallelism replaces); the corpus is never
     joined or collected, so the plan is identical at 100 TB. Scans
     only (label, vec_id, embedding) — the loader's unused norm
-    column is pruned (plan-asserted in tests/test_staging_r9.py)."""
+    column is pruned (plan-asserted in tests/test_maintenance_ops.py)."""
     emb = _embeddings(spark, sf_dir).select(
         F.col("label").alias("cell"),
         (F.col("vec_id") % BUILD_MOD < BUILD_MOD - 1).alias("in_build"),
@@ -329,7 +305,7 @@ def _rebalance_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@stage(
+@register(
     "ivf_cell_rebalance",
     oracle=_REBAL_SQL_CTES
     + "SELECT vec_id, old_cell, new_cell FROM assigned",
@@ -360,7 +336,7 @@ def ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@stage(
+@register(
     "ivf_retrain_centroids",
     oracle=_REBAL_SQL_CTES
     + f"""
@@ -429,7 +405,7 @@ def ivf_retrain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_STOPS = ("the", "a")
 
 
-@stage(
+@register(
     "docs_gopher_rule_filter",
     oracle=f"""
     WITH t AS (

@@ -1,56 +1,41 @@
-"""Round-9 staged candidates: driver-gate-equivalent checks.
+"""Maintenance operators: value-level and plan-shape checks.
 
-These entries live outside the driver registry this round (the r8
-gate window is full and r9 already owes 41 slots to round-6-proven
-entries — see plans/staging_r9.py docstring), so this file applies
-the same row-count + columns + order-insensitive value hash compare
-the driver gate uses, plus non-degeneracy assertions so a tuning
-regression can't quietly turn a rule or flag into a constant."""
+These four operators were staged in round 8 (staging_r9.py) and
+promoted into the driver registry in round 9 (plans/maintenance.py),
+so the per-entry DuckDB hash compare now runs in
+tests/test_registry_oracle.py with every other registry entry; this
+file keeps the checks the oracle gate cannot express — adversarial
+and differential-fuzz lakes, plan shapes, and non-degeneracy
+assertions so a tuning regression can't quietly turn a rule or flag
+into a constant."""
 
 from __future__ import annotations
 
 import pytest
 
 from noaa_data_pipeline_spark.plans import load_all
-from noaa_data_pipeline_spark.plans.staging_r9 import STAGED
 from tools.check_correctness import frame_digest
 
+# the promoted entries, fetched from the real registry so these tests
+# exercise exactly what the driver gate runs
+STAGED = {
+    n: q
+    for n, q in load_all().items()
+    if n
+    in {
+        "ivf_centroid_drift_report",
+        "ivf_cell_rebalance",
+        "ivf_retrain_centroids",
+        "docs_gopher_rule_filter",
+    }
+}
 
-def _staged_names():
-    return sorted(STAGED.keys())
 
-
-def test_staging_is_not_registered():
-    """The staging module must not leak into the driver registry:
-    the r8 window is full, so a leak would break the gate-rotation
-    freshness invariant mid-round."""
-    registered = set(load_all().keys())
-    assert not (set(STAGED) & registered)
-
-
-@pytest.mark.parametrize("name", _staged_names())
-def test_staged_matches_oracle(spark, duck, sf_dir, name):
-    q = STAGED[name]
-    sdf = q.fn(spark, sf_dir)
-    complex_cols = [
-        f.name
-        for f in sdf.schema.fields
-        if f.dataType.typeName() in ("array", "map", "struct")
-    ]
-    assert not complex_cols, f"top-level complex column(s) {complex_cols}"
-    srows = [tuple(r) for r in sdf.collect()]
-    assert q.oracle is not None, "staged entries must ship an oracle"
-    res = duck.execute(q.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    assert sorted(sdf.columns) == sorted(ocols)
-    assert len(srows) == len(orows)
-    sh, slines = frame_digest(sdf.columns, srows)
-    oh, olines = frame_digest(ocols, orows)
-    if sh != oh:
-        only_s = [x for x in slines if x not in set(olines)][:3]
-        only_o = [x for x in olines if x not in set(slines)][:3]
-        pytest.fail(f"value hash mismatch; spark-only={only_s} oracle-only={only_o}")
+def test_maintenance_entries_are_registered():
+    """Promotion landed: all four round-8-staged names are registry
+    entries with oracles (the r9 GATE_PRIORITY window covers them)."""
+    assert len(STAGED) == 4
+    assert all(q.oracle is not None for q in STAGED.values())
 
 
 def test_drift_flag_not_degenerate(spark, sf_dir):
