@@ -96,6 +96,37 @@ def shingles_df(docs: DataFrame, n: int = SHINGLE_N, partitions: int | None = No
     )
 
 
+def spans_df(docs: DataFrame, n: int, partitions: int | None = None) -> DataFrame:
+    """(doc_id, pos, span) — every POSITIONAL n-token span, stride 1,
+    NOT deduplicated: the occurrence inventory exact-substring dedup
+    needs (``shingles_df`` collapses to per-doc distinct shingles and
+    loses positions). concat propagates NULL so partial tail spans
+    drop out, matching the SQL ``||`` semantics."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = tokens_df(docs)
+    if partitions:
+        toks = toks.repartition(partitions, "doc_id")
+    parts: list[Column] = [F.col("tok")]
+    for i in range(1, n):
+        parts += [F.lit(" "), F.lead("tok", i).over(w)]
+    return toks.select("doc_id", "pos", F.concat(*parts).alias("span")).filter(
+        F.col("span").isNotNull()
+    )
+
+
+def sql_spans(table: str = "documents", n: int = SHINGLE_N) -> str:
+    concat = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
+    )
+    return f"""
+    SELECT doc_id, pos, span FROM (
+        SELECT doc_id, pos, {concat} AS span
+        FROM ({sql_tokens(table)}) toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) s WHERE span IS NOT NULL
+    """
+
+
 def sql_shingles(table: str = "documents", n: int = SHINGLE_N) -> str:
     concat = " || ' ' || ".join(
         ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]

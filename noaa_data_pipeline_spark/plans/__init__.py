@@ -71,14 +71,19 @@ GATE_PRIORITY = [
     #     evidence; staged + oracle-proven in round 8)
     "ivf_centroid_drift_report", "ivf_cell_rebalance",
     "ivf_retrain_centroids", "docs_gopher_rule_filter",
+    # --- registered new in round 9 (the exact-substring purge the r8
+    #     verdict's growth list asked for)
+    "docs_exact_substring_purge",
     # --- plans edited in round 9 (re-prove under the current tree):
     #     sessionize raises on disordered replays; the replay-span
     #     probe is cached + the nanos conf flip is now conditional;
     #     incremental IVF insert unpersists stale caches and
-    #     size-gates its broadcasts
+    #     size-gates its broadcasts. stream_windowed_counts shares
+    #     the conditional-conf edit but holds r8 evidence and its
+    #     plan is byte-identical on the gate lake — it yields its
+    #     slot to the new entry and re-proves locally.
     "sim_incremental_ivf_insert", "stream_sessionize_state",
     "stream_dedup_within_watermark", "stream_dedup_keys",
-    "stream_windowed_counts",
 ]
 
 

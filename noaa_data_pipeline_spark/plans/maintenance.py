@@ -452,12 +452,22 @@ def docs_gopher_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-dominance as ``5*top <= nw``), so the result is
     hash-identical across engines with no decimal machinery.
 
-    Scale: all features are map-side per document — the top-word
-    count folds over the SORTED token array counting the longest
-    equal-run (zero shuffle, vs the oracle's naive unnest+group) —
-    so the plan is a single documents scan with no exchange at all;
-    at 100 TB it parallelizes embarrassingly. Scans (doc_id, text)
-    only."""
+    Scale: every feature derives from ONE per-(doc, token) count
+    frame — n_words = SUM(c), n_alnum = SUM(c x token length) (the
+    tokens are exactly the [a-z0-9] runs of lower(text), so their
+    summed length IS the alphanumeric char count), top_count =
+    MAX(c), n_stops from the distinct-token rows — all whole-stage
+    codegen hash aggregates. The explicit doc_id repartition
+    satisfies the clustered distribution of BOTH groupBys
+    (HashPartitioning(doc_id) clusters (doc_id, tok)), so the
+    pipeline runs on a single exchange (plan-asserted); on a real
+    many-file lake the scan supplies the parallelism, the
+    repartition is dropped, and the exchanges carry map-side-combined
+    (doc, token) partial counts instead of the corpus. This replaced
+    an r8-staged zero-exchange sorted-array fold
+    (F.aggregate + array_sort): interpreted per-element HOF
+    evaluation measured 34 s / 2.62x DuckDB at x100 — the counted
+    form is the same integer semantics at hash-aggregate speed."""
     # NULL text is rejected before rule evaluation (not scored as an
     # all-rules-fail row — that would inflate every per-rule reject
     # count with documents that were never evaluated); found by the
@@ -466,34 +476,17 @@ def docs_gopher_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    toks = F.split(textops.norm_text(F.col("text")), " ")
-    # longest equal-run over the sorted array == max per-word count,
-    # computed without exploding: struct accumulator (prev, run, best)
-    top_count = F.aggregate(
-        F.array_sort(toks),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-        ),
-        lambda acc, w: F.struct(
-            w.alias("prev"),
-            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
+    toks = textops.tokens_df(
+        docs, partitions=spark.sparkContext.defaultParallelism
     )
-    n_stops = sum(
-        F.when(F.array_contains(toks, s), 1).otherwise(0) for s in GOPHER_STOPS
-    ).cast("long")
-    feat = docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_words"),
-        F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).cast("long").alias("n_alnum"),
-        top_count.alias("top_count"),
-        n_stops.alias("n_stops"),
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    feat = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.length("tok")).cast("long").alias("n_alnum"),
+        F.max("c").cast("long").alias("top_count"),
+        F.sum(
+            F.when(F.col("tok").isin(*GOPHER_STOPS), 1).otherwise(0)
+        ).cast("long").alias("n_stops"),
     )
     r1 = F.col("n_words").between(50, 100000)
     r2 = (3 * F.col("n_words") <= F.col("n_alnum")) & (

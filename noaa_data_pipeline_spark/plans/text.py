@@ -919,6 +919,130 @@ def text_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-substring purge span length. The published recipe (the
+# "dedup training data by repeated substrings" suffix-array method)
+# removes repeats >= 50 tokens; the synthetic docs run ~50-60 tokens
+# over a 31-word vocabulary, so the staged parameterization uses 8 —
+# long enough that ~95% of spans are unique at every SF (the rule
+# splits the corpus instead of purging everything), short enough the
+# purge path is exercised; production raises it to the published 50.
+PURGE_N = 8
+
+
+@register(
+    "docs_exact_substring_purge",
+    oracle=f"""
+    WITH spans AS ({textops.sql_spans('documents', n=PURGE_N)}),
+    occ AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY span) AS n_occ,
+               ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        FROM spans
+    ),
+    purged AS (SELECT doc_id, pos FROM occ WHERE n_occ > 1 AND rn > 1),
+    cov AS (
+        SELECT doc_id,
+               GREATEST(0, pos + {PURGE_N} - 1 - GREATEST(pos - 1,
+                   COALESCE(MAX(pos + {PURGE_N} - 1) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), -1000000))) AS newly
+        FROM purged
+    ),
+    cov_doc AS (
+        SELECT doc_id, SUM(newly) AS n_tokens_removed FROM cov GROUP BY doc_id
+    ),
+    acct AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_span_occ,
+               SUM(CASE WHEN n_occ > 1 AND rn > 1 THEN 1 ELSE 0 END) AS n_purged_spans
+        FROM occ GROUP BY doc_id
+    )
+    SELECT a.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup_span_occ AS BIGINT) AS n_dup_span_occ,
+           CAST(n_purged_spans AS BIGINT) AS n_purged_spans,
+           CAST(COALESCE(c.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed
+    FROM acct a LEFT JOIN cov_doc c USING (doc_id)
+    """,
+)
+def docs_exact_substring_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact-substring dedup with keep-first purge accounting:
+    every POSITIONAL {PURGE_N}-token span (stride 1, self-repeats
+    included) is matched corpus-wide; the earliest occurrence by
+    (doc_id, pos) is the canonical copy and every other occurrence is
+    purged — the span-granular form of the published suffix-array
+    "dedup exact substrings" recipe, completing the signal
+    ``text_dup_span_ratio`` computes with the purge decision itself.
+    Per document: total spans, duplicated-span occurrences, purged
+    occurrences, and the number of TOKENS a trim would remove —
+    the exact length of the union of the purged spans' (overlapping)
+    intervals, computed as a running-max coverage window, so the
+    figure is what an actual trimming pass would delete.
+
+    Exactness: all-integer accounting (counts, interval arithmetic —
+    shift-invariant, so Spark's 0-based and DuckDB's 1-based token
+    positions agree); keep-first is the min (doc_id, pos) struct on
+    both engines.
+
+    Scale: the occurrence inventory is one doc_id-clustered window;
+    per-span stats aggregate with map-side combine (a span repeated a
+    billion times arrives at its reducer as one partial per
+    partition) and join back on the span key — the only span-wide
+    exchange, sized by span count, never corpus x corpus; a
+    boilerplate hot span skews exactly one join key whose build side
+    is a single row, the AQE-skew-split-friendly shape. The coverage
+    window and both per-doc aggregates re-cluster on doc_id. A
+    production deployment shuffles a 128-bit span digest instead of
+    the span text (same plan, narrower rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    spans = textops.spans_df(docs, n=PURGE_N, partitions=n_part)
+    per_span = spans.groupBy("span").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    occ = spans.join(per_span, "span").select(
+        "doc_id",
+        "pos",
+        "n_occ",
+        (
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        ).alias("is_purged"),
+    )
+    acct = occ.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum((F.col("n_occ") > 1).cast("int")).alias("n_dup_span_occ"),
+        F.sum(F.col("is_purged").cast("int")).alias("n_purged_spans"),
+    )
+    end = F.col("pos") + (PURGE_N - 1)
+    w_cov = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = occ.filter("is_purged").select(
+        "doc_id",
+        F.greatest(
+            F.lit(0),
+            end - F.greatest(F.col("pos") - 1, F.coalesce(F.max(end).over(w_cov), F.lit(-1000000))),
+        ).alias("newly"),
+    )
+    cov_doc = cov.groupBy("doc_id").agg(
+        F.sum("newly").cast("long").alias("n_tokens_removed")
+    )
+    return acct.join(cov_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        "n_dup_span_occ",
+        "n_purged_spans",
+        F.coalesce("n_tokens_removed", F.lit(0)).cast("long").alias("n_tokens_removed"),
+    )
+
+
 # target mixture: boost these sources 2x relative to the rest
 MIX_BOOSTED = ["src0", "src1", "src2", "src3", "src4"]
 MIX_BOOST_W = 2

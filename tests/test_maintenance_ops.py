@@ -61,7 +61,7 @@ def _gate_compare(spark, lake, name, views):
     """The driver-gate compare against a hand-built adversarial lake."""
     import duckdb
 
-    q = STAGED[name]
+    q = load_all()[name]
     con = duckdb.connect()
     for t in views:
         con.execute(
@@ -198,10 +198,15 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_gopher_plan_is_exchange_free(spark, sf_dir):
-    """All four rules are per-document map-side features: any
-    exchange in this plan is a scale bug."""
-    assert "Exchange" not in _plan(spark, sf_dir, "docs_gopher_rule_filter")
+def test_gopher_plan_is_single_exchange(spark, sf_dir):
+    """The explicit doc_id repartition satisfies the clustered
+    distribution of BOTH groupBys ((doc_id, tok) counts, then the
+    per-doc feature fold), so the whole pipeline runs on exactly one
+    exchange, with map-side partial aggregation and no join."""
+    plan = _plan(spark, sf_dir, "docs_gopher_rule_filter")
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+    assert "Join" not in plan
 
 
 def test_drift_plan_shuffles_components_once(spark, sf_dir):
@@ -361,3 +366,77 @@ def test_ivf_trio_differential_fuzz(spark, tmp_path_factory, vecs):
         "ivf_retrain_centroids",
     ):
         _gate_compare(spark, tmp, name, ["embeddings"])
+
+
+# --- docs_exact_substring_purge (registered r9) -----------------------
+
+
+def test_substring_purge_accounting_consistent(spark, sf_dir):
+    """Purge accounting invariants: purged <= dup occurrences <=
+    spans; keep-first really keeps one occurrence of every duplicated
+    span (global purged = dup_occ - distinct dup spans); trimmed
+    tokens are positive iff something was purged and never exceed
+    PURGE_N x purged spans; and the corpus splits (some docs purged,
+    some clean) so the rule is not degenerate."""
+    q = load_all()["docs_exact_substring_purge"]
+    rows = q.fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_purged_spans <= r.n_dup_span_occ <= r.n_spans
+        if r.n_purged_spans == 0:
+            assert r.n_tokens_removed == 0
+        else:
+            assert 0 < r.n_tokens_removed <= r.n_purged_spans * 8
+    assert any(r.n_purged_spans > 0 for r in rows)
+    assert any(r.n_purged_spans == 0 for r in rows)
+
+
+def test_substring_purge_keep_first_semantics(spark, tmp_path_factory):
+    """Hand-built lake with a known repeated 8-token span: doc 1
+    (earliest) keeps its copy, docs 2 and 3 purge theirs; a doc with
+    two SELF-repeats of the span purges the later one; overlapping
+    purged spans trim their interval UNION, not the sum. Gate-compared
+    against the oracle on the same lake."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (1, f"{span} unique tail one"),
+        (2, f"other head {span}"),
+        (3, f"{span} and {span}"),  # cross-doc dup AND self-repeat
+        (4, "completely different words with no repeats at all"),
+    ]
+    tmp = str(tmp_path_factory.mktemp("purge_lake"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+                "source": pa.array(["s"] * len(docs), pa.string()),
+                "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+    rows = _gate_compare(spark, tmp, "docs_exact_substring_purge", ["documents"])
+    by_doc = {r[0]: r for r in rows}
+    # doc 1 holds the canonical copy: nothing purged
+    assert by_doc[1][3] == 0 and by_doc[1][4] == 0
+    # docs 2 and 3 purge their occurrences of the shared span
+    assert by_doc[2][3] >= 1 and by_doc[2][4] >= 8
+    assert by_doc[3][3] >= 2  # cross-doc copy + self-repeat
+    # doc 4 is clean
+    assert by_doc[4][3] == 0 and by_doc[4][4] == 0
+
+
+def test_substring_purge_plan_shape(spark, sf_dir):
+    """No corpus self-join: the span-stats join is an equi-join on
+    the span key (never cartesian/nested-loop), and per-span counts
+    partially aggregate map-side before the span exchange."""
+    df = load_all()["docs_exact_substring_purge"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine on span stats
