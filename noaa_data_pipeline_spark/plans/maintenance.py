@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from ..operators import textops
 from ..tables import load_table
 from . import register
-from .similarity import _DEC, _SQL_DEC, _embeddings
+from .common import SCALE
+from .similarity import _DEC, _SQL_DEC
 
 # --- IVF index maintenance -------------------------------------------
 #
@@ -46,8 +47,13 @@ from .similarity import _DEC, _SQL_DEC, _embeddings
 # with vec_id % 5 < 4 (an 80% prefix-stable sample — the same
 # size-independent hash-sampling idiom as split_train_val_hash); the
 # remaining 20% are the post-build inserts. Both aggregates share ONE
-# (label, dim) exchange; every mean goes decimal-sum -> VARCHAR ->
-# DOUBLE (see similarity._dot for why the string hop is load-bearing).
+# (label, dim) exchange; every mean is a scaled-long exact sum
+# (common.SCALE fixed point — see common.py's overflow envelope:
+# per-(cell, dim) sums stay under 2^63/1e6 up to ~1e10 members per
+# cell, far past any real IVF cell), so the hot path is plain long
+# addition inside whole-stage codegen instead of the similarity
+# stack's decimal machinery (measured: the decimal form paid ~1.3 s
+# more per query at x100 — GATE_LOG round 9).
 
 BUILD_MOD = 5  # vec_id % 5 < 4 -> in the index-build snapshot
 # needs_retrain when drift^2 * n_now > DRIFT_C: mean drift of a
@@ -59,10 +65,35 @@ BUILD_MOD = 5  # vec_id % 5 < 4 -> in the index-build snapshot
 DRIFT_C = 0.25
 
 
+def _emb_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, emb double[]) — the maintenance loader.
+
+    Deliberately NOT similarity._embeddings: that loader computes a
+    decimal-exact norm per row and repartitions the whole corpus by
+    vec_id (its consumers need both). The maintenance plans are pure
+    scan -> aggregate pipelines whose only exchanges carry k x dim
+    aggregate rows, so inheriting the loader's repartition made the
+    corpus shuffle itself the dominant cost — and the rebalance
+    family pays it once per broadcast-build subtree (sizes, spreads,
+    split plan, final projection all re-run the scan). Dropping it
+    cut ivf_cell_rebalance 2.2 s -> ~1 s at x100 (GATE_LOG round 9).
+    Scan parallelism comes from input splits, which is exactly what
+    a real many-file lake provides at 100 TB."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").alias("cell"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+
+
 def _sql_mean(cond: str) -> str:
+    # scaled-long exact mean, the common.sql_davg pattern with a
+    # conditional numerator/denominator; NULL (not 0/0) when no rows
+    # match the condition, same as the decimal form it replaced
     return (
-        f"CAST(CAST(SUM(CASE WHEN {cond} THEN CAST(val AS {_SQL_DEC}) END) "
-        f"AS VARCHAR) AS DOUBLE) / SUM(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+        f"(CAST(SUM(CASE WHEN {cond} THEN "
+        f"CAST(FLOOR(val * {SCALE}) AS BIGINT) END) AS DOUBLE) / {SCALE}.0)"
+        f" / SUM(CASE WHEN {cond} THEN 1 ELSE 0 END)"
     )
 
 
@@ -109,34 +140,37 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance report that completes the lifecycle
     ``sim_incremental_ivf_insert`` (plans/lifecycle.py) started.
 
-    Exactness: both means use the decimal-sum -> VARCHAR -> DOUBLE
-    hop; the dim-wise squared differences fold in DECIMAL so the
-    drift is bit-identical across engines; the retrain flag compares
-    the scale-invariant ``drift^2 * n_now`` statistic (drift of a
-    random insert stream shrinks ~ 1/sqrt(n), so a raw threshold
-    would saturate as the corpus grows) against a literal.
+    Exactness: both means are scaled-long exact sums (FLOOR(val *
+    1e6) summed as BIGINT — associative, so partitioning cannot
+    change the result, and plain long addition inside whole-stage
+    codegen instead of the similarity stack's interpreted decimal
+    aggregate); the dim-wise squared differences still fold in
+    DECIMAL with the VARCHAR hop (64 rows per cell — off the hot
+    path) so the drift is bit-identical across engines; the retrain
+    flag compares the scale-invariant ``drift^2 * n_now`` statistic
+    (drift of a random insert stream shrinks ~ 1/sqrt(n), so a raw
+    threshold would saturate as the corpus grows) against a literal.
 
-    Scale: ONE exchange on (cell, dim) — k x dim rows out of the
-    corpus scan with map-side partial aggregation — then a k-row
-    regroup (plus the shared _embeddings loader's compute-spreading
-    repartition, the documented single-small-file mitigation that a
-    real lake's scan parallelism replaces); the corpus is never
-    joined or collected, so the plan is identical at 100 TB. Scans
-    only (label, vec_id, embedding) — the loader's unused norm
-    column is pruned (plan-asserted in tests/test_maintenance_ops.py)."""
-    emb = _embeddings(spark, sf_dir).select(
-        F.col("label").alias("cell"),
+    Scale: ONE corpus-side exchange on (cell, dim) — k x dim rows out
+    of the corpus scan with map-side partial aggregation — then a
+    k-row regroup; the corpus is never joined, shuffled, or
+    collected, so the plan is identical at 100 TB (plan-asserted:
+    exactly two hash exchanges, both aggregate-sized). Scans only
+    (label, vec_id, embedding)."""
+    emb = _emb_cells(spark, sf_dir).select(
+        "cell",
         (F.col("vec_id") % BUILD_MOD < BUILD_MOD - 1).alias("in_build"),
         F.posexplode("emb").alias("dim0", "val"),
     )
-    dec_sum = lambda cond: (  # noqa: E731
-        F.sum(F.when(cond, F.col("val").cast(_DEC))).cast("string").cast("double")
+    scaled = F.floor(F.col("val") * SCALE).cast("long")
+    sc_mean = lambda cond, n: (  # noqa: E731
+        F.sum(F.when(cond, scaled)).cast("double") / SCALE / n
     )
     means = emb.groupBy("cell", "dim0").agg(
-        (dec_sum(F.lit(True)) / F.count("*")).alias("m_now"),
-        (
-            dec_sum(F.col("in_build"))
-            / F.sum(F.when(F.col("in_build"), 1).otherwise(0))
+        sc_mean(F.lit(True), F.count("*")).alias("m_now"),
+        sc_mean(
+            F.col("in_build"),
+            F.sum(F.when(F.col("in_build"), 1).otherwise(0)),
         ).alias("m_then"),
         F.sum(F.when(F.col("in_build"), 1).otherwise(0)).cast("long").alias("n_then_d"),
         F.count("*").cast("long").alias("n_now_d"),
@@ -255,9 +289,7 @@ _REBAL_SQL_CTES = f"""
 def _rebalance_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark twin of the ``assigned`` CTE: every vector with its
     (old_cell, new_cell) assignment and the embedding still attached."""
-    emb = _embeddings(spark, sf_dir).select(
-        "vec_id", F.col("label").alias("cell"), "emb"
-    )
+    emb = _emb_cells(spark, sf_dir)
     sizes = emb.groupBy("cell").agg(F.count("*").alias("n"))
     totals = sizes.agg(F.sum("n").alias("total_n"), F.count("*").alias("k"))
     oversized = sizes.join(
@@ -328,9 +360,11 @@ def ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_dim, mid) broadcasts back into the corpus scan, so the
     corpus itself is never shuffled — assignment is one map-side
     projection, the same no-corpus-shuffle contract as the IVF
-    search entries. Measured x5->x100: Spark wall flat (0.93-1.6 s,
-    pure fixed cost) while the DuckDB twin grows linearly — 22x ->
-    2.89x, crossover just past x100."""
+    search entries. Measured x20->x200 (round-9 rewrite: the loader
+    repartition that re-shuffled the corpus once per broadcast-build
+    subtree is gone): Spark wall flat 0.8-1.2 s (pure fixed cost)
+    while the DuckDB twin grows linearly — ratio falls 4.3x (x20) ->
+    1.87x (x100) -> 0.58x (x200)."""
     return _rebalance_assigned(spark, sf_dir).select(
         "vec_id", "old_cell", "new_cell"
     )
@@ -341,8 +375,8 @@ def ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_REBAL_SQL_CTES
     + f"""
     SELECT new_cell AS cell, dim,
-           CAST(CAST(SUM(CAST(val AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE)
-               / COUNT(*) AS centroid,
+           (CAST(SUM(CAST(FLOOR(val * {SCALE}) AS BIGINT)) AS DOUBLE)
+               / {SCALE}.0) / COUNT(*) AS centroid,
            COUNT(*) AS n_vectors
     FROM (
         SELECT new_cell, unnest(emb) AS val,
@@ -363,8 +397,9 @@ def ivf_retrain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces the centroid table the search entries
     (sim_ivf_probe1/multiprobe) consume.
 
-    Exactness: the same decimal-sum -> VARCHAR -> DOUBLE hop as the
-    drift report, so means are bit-identical across engines.
+    Exactness: the same scaled-long exact mean as the drift report
+    (associative long sums — partitioning cannot change the result),
+    so means are bit-identical across engines at long-add speed.
 
     Scale: ONE exchange — the corpus explodes to (new_cell, dim)
     components with map-side partial sums, and only k' x dim
@@ -378,7 +413,8 @@ def ivf_retrain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return comps.groupBy("cell", (F.col("dim0") + 1).alias("dim")).agg(
         (
-            F.sum(F.col("val").cast(_DEC)).cast("string").cast("double")
+            F.sum(F.floor(F.col("val") * SCALE).cast("long")).cast("double")
+            / SCALE
             / F.count("*")
         ).alias("centroid"),
         F.count("*").alias("n_vectors"),

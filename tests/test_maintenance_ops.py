@@ -210,15 +210,16 @@ def test_gopher_plan_is_single_exchange(spark, sf_dir):
 
 
 def test_drift_plan_shuffles_components_once(spark, sf_dir):
-    """One (cell, dim) exchange with map-side partials + the k-row
-    cell regroup + the shared _embeddings loader's compute-spreading
-    repartition (the documented single-small-file mitigation; a real
-    lake's scan parallelism replaces it). The corpus is never joined,
-    and the loader's unused norm column is pruned out of the scan."""
+    """Exactly one (cell, dim) exchange with map-side partials plus
+    the k-row cell regroup — and nothing else: the maintenance loader
+    (_emb_cells) carries no corpus repartition, so the corpus is
+    scanned once and never shuffled or joined (the round-9 rewrite;
+    the similarity loader's repartition was the dominant cost)."""
     plan = _plan(spark, sf_dir, "ivf_centroid_drift_report")
-    assert plan.count("Exchange hashpartitioning") == 3
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange") == 2  # no corpus repartition either
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert "SQRT" not in plan.split("Generate posexplode")[-1]  # norm pruned
+    assert "partial" in plan  # map-side combine before the exchange
 
 
 @pytest.mark.parametrize("name", ["ivf_cell_rebalance", "ivf_retrain_centroids"])
