@@ -131,6 +131,45 @@ def test_token_coverage_curve_monotone(spark, sf_dir):
     )
 
 
+# --- plan shapes --------------------------------------------------------
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = STAGED[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_coverage_plan_aggregate_exchanges_only(spark, sf_dir):
+    """The doc_id compute-spreading repartition + one (lang, tok)
+    count exchange + one lang exchange the window AND the final
+    aggregate both reuse; no join anywhere — the corpus is scanned
+    once and nothing bigger than the document rows shuffles."""
+    plan = _plan(spark, sf_dir, "corpus_token_coverage")
+    assert plan.count("Exchange") == 3
+    assert "Join" not in plan
+
+
+def test_knn_graph_plan_no_cartesian(spark, sf_dir):
+    """Candidates come from the bucket equi-join (size-adaptive:
+    broadcast at toy SF, shuffle at scale) — never a cartesian; the
+    per-vector top-k must be a WindowGroupLimit, not a full sort."""
+    plan = _plan(spark, sf_dir, "sim_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_matryoshka_plan_shares_one_scored_pass(spark, sf_dir):
+    """All four rankings (full + every prefix width) must read the
+    ONE persisted query-broadcast score pass — four InMemoryTableScan
+    references, not four recomputed corpus joins. The only
+    nested-loop join is the broadcast != pairing against the
+    {MRL_QUERIES}-row query frame (bounded at any corpus size)."""
+    plan = _plan(spark, sf_dir, "emb_matryoshka_truncate_eval")
+    assert plan.count("InMemoryTableScan") == 1 + len(MRL_DIMS)
+    assert "CartesianProduct" not in plan
+
+
 # --- differential fuzz (driver-gate compare on adversarial lakes) -----
 
 

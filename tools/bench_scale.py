@@ -131,9 +131,20 @@ def main() -> None:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # staged (pre-promotion) candidates are measurable too — the r8
+    # lesson: scale curves must exist BEFORE a promotion, and the
+    # staging dicts carry the same Query records the registry does
+    staged: dict = {}
+    try:
+        from noaa_data_pipeline_spark.plans.staging_r10 import STAGED as _s10
+
+        staged.update(_s10)
+    except ImportError:
+        pass
+
     results: dict[str, dict] = {}
     for name in args.queries or QUERIES:
-        q = registry[name]
+        q = registry.get(name) or staged[name]
 
         def run_spark():
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
