@@ -895,18 +895,28 @@ def text_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of exact-substring dedup (the public "dedup training data
     by repeated substrings" recipe), used to flag boilerplate-heavy
     docs that near-dup methods miss because the rest of the doc
-    differs. Scale: span inventory is one doc_id shuffle (reused
-    window + distinct); per-span doc counts combine map-side, so a
-    span repeated a billion times arrives at its reducer as one
-    partial count per partition, not a billion rows; the count joins
-    back on the SAME span key partitioning and the final per-doc agg
-    re-clusters on doc_id. Nothing joins the corpus to itself.
-    (A doc's own repeats don't count: spans are per-doc DISTINCT, so
-    n_docs > 1 requires a second document.)"""
+    differs. Scale: the distinct-span inventory is built ONCE — the
+    construction (doc_id window + per-doc distinct + md5 digest) sits
+    below an explicit digest repartition whose shuffle files both
+    consumers read back (ReusedExchange: the per-span doc counts and
+    the join probe — the docs_exact_substring_purge rewrite, r9), so
+    the window pass never re-evaluates and the count join is
+    co-partitioned shuffled-hash (no join-time exchange, no
+    corpus-sized sort); the final per-doc agg re-clusters on doc_id.
+    Nothing joins the corpus to itself. (A doc's own repeats don't
+    count: spans are per-doc DISTINCT, so n_docs > 1 requires a
+    second document. The digest is collision-safe to 2^64 distinct
+    spans; the oracle keys on raw span text.)"""
     docs = load_table(spark, sf_dir, "documents")
     n = spark.sparkContext.defaultParallelism
-    sh = textops.shingles_df(docs, n=SPAN_N, partitions=n)
-    cnt = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    sh = (
+        textops.shingles_df(docs, n=SPAN_N, partitions=n)
+        .select("doc_id", F.md5("shingle").alias("shingle"))
+        .repartition(n, "shingle")
+    )
+    cnt = sh.groupBy("shingle").agg(F.count("*").alias("n_docs")).hint(
+        "shuffle_hash"
+    )
     dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
     return (
         sh.join(cnt, "shingle")
