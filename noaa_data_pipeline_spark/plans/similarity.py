@@ -1090,10 +1090,16 @@ def _pq_codewords(sub: DataFrame) -> DataFrame:
 
 
 def _pq_best_codes(sub: DataFrame) -> DataFrame:
-    """(vec_id, s, code, d) — nearest codeword per (vector, subspace)
-    with its exact decimal distance; argmin tie-broken on code."""
+    """(vec_id, label, s, code, d) — nearest codeword per (vector,
+    subspace) with its exact decimal distance; argmin tie-broken on
+    code. ``label`` (the vector's IVF cell) rides along for the
+    combined IVF+PQ search."""
     dists = sub.join(F.broadcast(_pq_codewords(sub)), "s").select(
-        "vec_id", "s", "code", _sqdist(F.col("svec"), F.col("cw")).alias("d")
+        "vec_id",
+        "label",
+        "s",
+        "code",
+        _sqdist(F.col("svec"), F.col("cw")).alias("d"),
     )
     w = Window.partitionBy("vec_id", "s").orderBy("d", "code")
     return dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)

@@ -41,6 +41,37 @@ def test_staging_is_not_registered():
     assert not (set(STAGED) & registered)
 
 
+def test_ivfpq_search_restricts_to_probed_cells(spark, sf_dir):
+    """The combined IVF+PQ search must rank by the SAME ADC distances
+    as the full-corpus sim_pq_adc_topk, restricted to each query's
+    probed cells: every returned (query, neighbor) pair carries the
+    identical approx_dist_sq, every query appears with contiguous
+    ranks, and at least one query's top-k DIFFERS from the full-corpus
+    ADC list (the probe restriction must actually bite — if the lists
+    always match, nprobe covers the whole corpus and the entry is a
+    no-op twin)."""
+    ivfpq = STAGED["sim_ivf_pq_adc_search"].fn(spark, sf_dir).collect()
+    full = load_all()["sim_pq_adc_topk"].fn(spark, sf_dir).collect()
+    assert ivfpq
+    full_d = {(r.query_id, r.neighbor_id): r.approx_dist_sq for r in full}
+    full_sets = {}
+    for r in full:
+        full_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    by_q = {}
+    for r in ivfpq:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.neighbor_id) in full_d:
+            assert r.approx_dist_sq == full_d[(r.query_id, r.neighbor_id)]
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert any(
+        {r.neighbor_id for r in rows} != full_sets.get(q, set())
+        for q, rows in by_q.items()
+    )
+
+
 @pytest.mark.parametrize("name", _staged_names())
 def test_staged_matches_oracle(spark, duck, sf_dir, name):
     q = STAGED[name]
@@ -272,5 +303,9 @@ def test_embedding_evals_differential_fuzz(spark, tmp_path_factory, seed, n, n_z
         ),
         f"{tmp}/embeddings.parquet",
     )
-    for name in ("sim_knn_graph", "emb_matryoshka_truncate_eval"):
+    for name in (
+        "sim_knn_graph",
+        "emb_matryoshka_truncate_eval",
+        "sim_ivf_pq_adc_search",
+    ):
         _gate_compare(spark, tmp, name, ["embeddings"])
