@@ -31,59 +31,55 @@ PLAN_MODULES = [
     "analytics",
     "lifecycle",
     "maintenance",
+    "graph_eval",
 ]
 
 # The driver gate records exactly the first 50 registry entries, so
 # iteration order decides which entries get fresh driver evidence
-# each round. Round 9 window (the rotation drafted in GATE_LOG
-# "Round-9 rotation plan"): the 41 entries whose last driver evidence
-# is round 6 (at the edge of the 3-round freshness window the
-# meta-test in tests/test_registry_oracle.py enforces), plus the four
-# round-8-staged operators promoted into the registry this round
-# (plans/maintenance.py — each oracle-proven at three SFs and three
-# engine configs before promotion), plus the entries whose plans
-# changed in round 9 (sessionize disorder detection, replay-span
-# caching, IVF insert persist lifecycle + size-gated broadcasts).
+# each round. Round 10 window (the rotation drafted in GATE_LOG
+# "Round-10 rotation plan"): the 47 entries whose last driver
+# evidence is round 7 (at the edge of the 3-round freshness window
+# the meta-test in tests/test_registry_oracle.py enforces), plus the
+# three round-9-staged operators promoted into the registry this
+# round (plans/graph_eval.py — each oracle-proven at three SFs,
+# differentially fuzzed, and scale-curved before promotion).
 # NOTE (process): rotation only picks what the DRIVER re-checks;
 # every round must still pass the full-registry local gate
 # (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
+# Window-full exception (the r9 stream_windowed_counts precedent):
+# sim_ivf_multiprobe and sim_incremental_ivf_insert had their cell
+# RANKING expression switched to the string->double hop this round
+# (r10 ADVICE — output-identical on every gate lake, re-proven by the
+# full local gate); they hold fresh r9 driver evidence and ride the
+# drafted r11 window for driver re-proof.
 GATE_PRIORITY = [
-    # --- last driver evidence is round 6 (stalest 41)
-    "bpe_encode_docs", "bpe_train_merges", "dedup_purge_report",
-    "docs_chunk_overlap", "docs_curation_pipeline_e2e",
-    "docs_domain_mixture_resample", "docs_embed_hash", "emb_pq_codes",
-    "events_dq_report", "events_heavy_hitters_cms",
-    "events_incremental_rollup_merge", "events_user_sequences",
-    "graph_quality_smoothing", "lake_zorder_key", "mm_binary_metadata",
-    "mm_feature_extract_pandas", "mm_frame_sample", "mm_resize_dims",
-    "orders_customer_full_outer_recon", "orders_unpivot_measures",
-    "q11_important_stock_value", "q15_top_supplier",
-    "q1_pricing_summary", "q21_waiting_suppliers_bucketed",
-    "q3_shipping_priority", "q5_regional_revenue",
-    "q8_national_market_share", "q9_product_type_profit_bucketed",
-    "sim_ann_lsh_multiprobe", "sim_block_matmul_topk",
-    "sim_cosine_range_search", "sim_cosine_topk_brute",
-    "sim_ivf_multiprobe", "sim_ivf_probe1", "sim_pq_adc_topk",
-    "sim_pq_recall_eval", "split_leakage_safe", "sql_adhoc_guarded",
-    "stream_static_enrich", "stream_stream_interval_join",
-    "text_dup_span_ratio",
-    # --- round-9 promotions (new registry entries need first driver
-    #     evidence; staged + oracle-proven in round 8)
-    "ivf_centroid_drift_report", "ivf_cell_rebalance",
-    "ivf_retrain_centroids", "docs_gopher_rule_filter",
-    # --- registered new in round 9 (the exact-substring purge the r8
-    #     verdict's growth list asked for)
-    "docs_exact_substring_purge",
-    # --- plans edited in round 9 (re-prove under the current tree):
-    #     sessionize raises on disordered replays; the replay-span
-    #     probe is cached + the nanos conf flip is now conditional;
-    #     incremental IVF insert unpersists stale caches and
-    #     size-gates its broadcasts. stream_windowed_counts shares
-    #     the conditional-conf edit but holds r8 evidence and its
-    #     plan is byte-identical on the gate lake — it yields its
-    #     slot to the new entry and re-proves locally.
-    "sim_incremental_ivf_insert", "stream_sessionize_state",
-    "stream_dedup_within_watermark", "stream_dedup_keys",
+    # --- last driver evidence is round 7 (stalest 47)
+    "customer_order_counts", "customers_without_recent_orders",
+    "decontam_ngram_overlap", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "distinct_segment_nation", "emb_quantize_int8",
+    "events_asof_view_before_purchase", "events_daily_rollup_two_level",
+    "events_forward_fill", "events_json_extract",
+    "events_lag_lead_delta", "events_moving_avg_7",
+    "events_outcome_scoring", "events_rank_quartiles",
+    "events_time_grid_3h", "events_top3_winners",
+    "events_user_window_agg", "events_value_histogram",
+    "events_value_percentiles", "events_window_function_suite",
+    "lake_bucketed_copartition_join", "latest_events_limit",
+    "orders_date_arithmetic", "orders_pivot_status_by_priority",
+    "part_string_functions", "q12_linestatus_priority_split",
+    "q14_promo_revenue", "q18_large_volume_customers",
+    "q19_bracketed_revenue", "q1_pricing_summary_exact_agg",
+    "q2_cheapest_supplier_per_part", "q4_order_priority_check",
+    "rollup_revenue_by_nation_segment", "segments_intersect_except",
+    "sim_ann_lsh_hyperplane", "skew_salted_user_join",
+    "text_language_id", "text_norm_pandas_udf", "text_quality_score",
+    "text_token_counts", "top_orders_per_customer",
+    "union_by_name_schema_drift", "urgent_order_lines_semi",
+    # --- round-10 promotions (new registry entries need first driver
+    #     evidence; staged + oracle-proven in round 9)
+    "sim_knn_graph", "emb_matryoshka_truncate_eval",
+    "corpus_token_coverage",
 ]
 
 

@@ -1,18 +1,11 @@
-"""Round-10 candidate operators, staged OUTSIDE the driver registry.
+"""Graph-construction and evaluation-curve operators (round-10
+promotions of the round-9 staged surface).
 
-The round-9 gate window is exactly full (50 = 41 stale re-proves + 4
-maintenance promotions + docs_exact_substring_purge + 4 edited plans
-— see GATE_PRIORITY in ``plans/__init__.py``), and the round-10
-rotation already owes 47 slots to the entries whose last driver
-evidence is round 7, leaving ~3 free. These candidates are therefore
-built and oracle-proven here under pytest only
-(tests/test_staging_r10.py runs the exact driver-gate compare), and
-round 10 promotes them by moving the ``stage`` decorators to
-``register`` and adding the names to GATE_PRIORITY — the same
+Three entries, each oracle-proven at three SFs and differentially
+fuzzed while staged (tests/test_staging_r10.py, round 9) before the
+``stage`` decorators became ``register`` here — the same
 staged-promotion path the round-7 lifecycle and round-8 maintenance
-operators took.
-
-Candidates (training-data-pipeline gaps the registry doesn't cover):
+operators took:
 
 - ``sim_knn_graph`` — k-nearest-neighbor GRAPH construction over the
   embedding corpus: every vector ranks its LSH-bucket-mates by exact
@@ -33,16 +26,13 @@ Candidates (training-data-pipeline gaps the registry doesn't cover):
   occurrences do the V most frequent tokens cover? The
   vocabulary-sizing curve a tokenizer/corpus audit reads before
   committing to a vocab size; integer-exact so the hash gate applies.
-- ``sim_ivf_pq_adc_search`` — the production IVF+PQ combined search
-  (faiss IndexIVFPQ): probe the nprobe nearest cells, ADC-score only
-  within them. Composes the separately-proven halves
-  (sim_ivf_multiprobe x sim_pq_adc_topk) into the shape a
-  billion-vector deployment actually runs. NOTE: four candidates for
-  the ~3 free r10 window slots — the first three promote in r10 and
-  this one follows in r11 (or takes a displaced slot if an r9-window
-  entry comes back non-green).
 
-Reference anchors (spec, not code): all four extend SURVEY.md's
+Cache lifecycle (r10 ADVICE): the persisted intermediates of the
+PREVIOUS invocation are unpersisted on entry (the
+sim_incremental_ivf_insert pattern), so bench/gate sweeps that call
+an entry repeatedly hold at most one invocation's cached partitions.
+
+Reference anchors (spec, not code): all three extend SURVEY.md's
 LLM-pipeline families (similarity lifecycle, eval harnesses, text
 analysis) beyond the reference's own surface, like the round-5-9
 additions they follow.
@@ -55,45 +45,38 @@ from pyspark.sql import functions as F
 
 from ..operators import textops
 from ..tables import load_table
-from . import Query
+from . import register
 from .similarity import (
     LSH_PLANES,
-    NPROBE,
-    N_QUERIES,
-    TOP_K,
     _SQL_DEC,
     _SQL_EMB,
-    _SQL_PQ_PREFIX,
-    _SQL_SQDIST,
-    _centroid_vectors,
     _dot,
     _embeddings,
-    _pq_best_codes,
-    _pq_codewords,
-    _pq_subvectors,
     _sign_bit,
     _sql_dot,
     _sql_planes,
-    _sql_sqdist,
-    _sqdist,
 )
 
-# --- staging registry (NOT the driver registry) -----------------------
+# Persisted frames of the LAST invocation, per entry, unpersisted on
+# the next call (see module docstring).
+_KNN_PERSISTED: list[DataFrame] = []
+_MRL_PERSISTED: list[DataFrame] = []
 
-STAGED: dict[str, Query] = {}
 
-
-def stage(name: str, oracle: str | None = None, doc: str = ""):
-    """Mirror of ``plans.register`` writing to the staging dict, so
-    promotion in round 10 is a one-word decorator swap."""
-
-    def deco(fn):
-        STAGED[name] = Query(
-            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
-        )
-        return fn
-
-    return deco
+def _swap_persisted(slot: list[DataFrame], frame: DataFrame) -> DataFrame:
+    """Unpersist the previous invocation's frame, THEN persist the new
+    one — in that order: a repeat invocation builds the identical
+    logical plan, so persist-before-unpersist would hit the
+    CacheManager's already-cached entry (making the new persist a
+    no-op) and the old frame's unpersist would then drop the cache
+    entirely."""
+    while slot:
+        try:
+            slot.pop().unpersist()
+        except Exception:
+            pass  # frame from a stopped session
+    slot.append(frame.persist())
+    return frame
 
 
 # --- sim_knn_graph -----------------------------------------------------
@@ -101,7 +84,7 @@ def stage(name: str, oracle: str | None = None, doc: str = ""):
 KNN_K = 5  # neighbors kept per vector
 
 
-@stage(
+@register(
     "sim_knn_graph",
     oracle=f"""
     WITH emb AS ({_SQL_EMB}),
@@ -171,10 +154,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy persist: both sides of the self-join reuse the computed
     # sign bits; the frame is (vec_id, bucket) only — never the
     # embeddings
-    buckets = emb.select(
-        "vec_id",
-        F.concat(*[_sign_bit(p) for p in range(LSH_PLANES)]).alias("bucket"),
-    ).persist()
+    buckets = _swap_persisted(
+        _KNN_PERSISTED,
+        emb.select(
+            "vec_id",
+            F.concat(*[_sign_bit(p) for p in range(LSH_PLANES)]).alias("bucket"),
+        ),
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = a.join(
@@ -232,7 +218,7 @@ def _sql_trunc_cosine(d: int, q: str, c: str) -> str:
     )
 
 
-@stage(
+@register(
     "emb_matryoshka_truncate_eval",
     oracle=f"""
     WITH emb AS ({_SQL_EMB}),
@@ -307,15 +293,19 @@ def emb_matryoshka_truncate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias(f"cos_{d}")
 
-    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (
-            _dot(F.col("q_emb"), F.col("emb"))
-            / F.nullif(F.col("q_norm") * F.col("norm"), F.lit(0.0))
-        ).alias("cos_full"),
-        *[trunc_cos(d) for d in MRL_DIMS],
-    ).persist()  # lazy: the full ranking and every width ranking reuse it
+    # lazy persist: the full ranking and every width ranking reuse it
+    pairs = _swap_persisted(
+        _MRL_PERSISTED,
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("emb"))
+                / F.nullif(F.col("q_norm") * F.col("norm"), F.lit(0.0))
+            ).alias("cos_full"),
+            *[trunc_cos(d) for d in MRL_DIMS],
+        ),
+    )
 
     def topk(order_col: str):
         w = Window.partitionBy("query_id").orderBy(
@@ -355,7 +345,7 @@ def emb_matryoshka_truncate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 COVERAGE_VS = (5, 10, 25)
 
 
-@stage(
+@register(
     "corpus_token_coverage",
     oracle=f"""
     WITH toks AS (
@@ -448,142 +438,4 @@ def corpus_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.covered_occ").alias("covered_occ"),
         "total_occ",
         "n_distinct",
-    )
-
-
-# --- sim_ivf_pq_adc_search ----------------------------------------------
-
-
-@stage(
-    "sim_ivf_pq_adc_search",
-    oracle=f"""
-    WITH emb AS ({_SQL_EMB}),
-    {_SQL_PQ_PREFIX},
-    ccomps AS (
-        SELECT label, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
-        FROM emb
-    ),
-    centroids AS (
-        SELECT label, dim,
-               CAST(CAST(SUM(CAST(val AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE)
-                   / COUNT(*) AS cval
-        FROM ccomps GROUP BY label, dim
-    ),
-    cvecs AS (
-        SELECT label, list(cval ORDER BY dim) AS cvec FROM centroids GROUP BY label
-    ),
-    queries AS (
-        SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
-        FROM emb WHERE vec_id < {N_QUERIES}
-    ),
-    cellrank AS (
-        SELECT q.query_id, v.label AS cell,
-               ROW_NUMBER() OVER (
-                   PARTITION BY q.query_id
-                   ORDER BY {_SQL_SQDIST} ASC, v.label
-               ) AS crnk
-        FROM queries q CROSS JOIN cvecs v
-    ),
-    probes AS (SELECT query_id, cell FROM cellrank WHERE crnk <= {NPROBE}),
-    codes AS (
-        SELECT b.vec_id, e.label, b.s, b.code
-        FROM best b JOIN emb e ON e.vec_id = b.vec_id
-        WHERE b.rn = 1
-    ),
-    qdist AS (
-        SELECT v.vec_id AS query_id, v.s, c.code,
-               {_sql_sqdist('v.svec', 'c.cw')} AS qd
-        FROM sub v JOIN codewords c ON c.s = v.s
-        WHERE v.vec_id < {N_QUERIES}
-    ),
-    adc AS (
-        SELECT p.query_id, cd.vec_id AS neighbor_id, SUM(q.qd) AS approx_d
-        FROM codes cd
-        JOIN probes p ON p.cell = cd.label
-        JOIN qdist q ON q.query_id = p.query_id
-                    AND q.s = cd.s AND q.code = cd.code
-        WHERE cd.vec_id <> p.query_id
-        GROUP BY p.query_id, cd.vec_id
-    )
-    SELECT query_id, neighbor_id,
-           CAST(CAST(approx_d AS VARCHAR) AS DOUBLE) AS approx_dist_sq, rnk
-    FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY approx_d, neighbor_id
-        ) AS rnk
-        FROM adc
-    ) r WHERE rnk <= {TOP_K}
-    """,
-)
-def sim_ivf_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production IVF+PQ search (the faiss IndexIVFPQ shape):
-    each query probes its {NPROBE} nearest IVF cells by exact
-    centroid distance, and within the probed cells scores candidates
-    by ADC — the sum of precomputed per-subspace codeword distances —
-    instead of full-dimension dot products. Composes the two halves
-    the registry already proves separately: sim_ivf_multiprobe
-    (cell probing, full-precision scoring) and sim_pq_adc_topk
-    (ADC scoring, full-corpus scan); this entry is the shape a real
-    billion-vector deployment runs, where neither full-corpus ADC nor
-    full-precision cell scans are affordable.
-
-    Exactness: centroid ranking and the ADC lookup tables reuse the
-    decimal + VARCHAR-hop machinery (bit-identical ranking across
-    engines; ties break on cell / code / neighbor_id); the final
-    approx distance is a {2}-term sum of decimal-derived doubles.
-
-    Scale: the centroid table (k x dim) and the per-query artifacts
-    (probe list: queries x nprobe rows; ADC tables: queries x
-    subspaces x codes entries — kilobytes) all BROADCAST onto the
-    corpus-codes scan; the probed-cell restriction is a broadcast
-    semi-filter, per-(query, vector) sums combine map-side, and
-    per-query top-k is a WindowGroupLimit. The corpus never shuffles
-    and the scored volume drops from corpus x queries (sim_pq_adc_topk)
-    to corpus x queries x nprobe / k — the IVF contract applied to
-    the compressed domain."""
-    emb = _embeddings(spark, sf_dir)
-    sub = _pq_subvectors(emb)
-    codes = _pq_best_codes(sub).select("vec_id", "label", "s", "code")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-    )
-    cellrank = q.crossJoin(F.broadcast(_centroid_vectors(emb))).select(
-        "query_id",
-        F.col("label").alias("cell"),
-        _sqdist(F.col("q_emb"), F.col("cvec")).alias("d2"),
-    )
-    cw = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
-    probes = (
-        cellrank.withColumn("crnk", F.row_number().over(cw))
-        .filter(F.col("crnk") <= NPROBE)
-        .select("query_id", "cell")
-    )
-    qdist = (
-        sub.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(_pq_codewords(sub)), "s")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "s",
-            "code",
-            _sqdist(F.col("svec"), F.col("cw")).alias("qd"),
-        )
-    )
-    adc = (
-        codes.join(F.broadcast(probes), codes.label == F.col("cell"))
-        .join(F.broadcast(qdist), ["query_id", "s", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("qd").alias("approx_d"))
-    )
-    w = Window.partitionBy("query_id").orderBy("approx_d", "neighbor_id")
-    return (
-        adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("approx_d").cast("string").cast("double").alias("approx_dist_sq"),
-            "rnk",
-        )
     )

@@ -710,7 +710,7 @@ def sim_incremental_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from .common import BROADCAST_FILE_CAP, table_bytes
-    from .similarity import _centroid_vectors, _dot, _embeddings, _sqdist
+    from .similarity import _centroid_vectors, _dot, _embeddings, _sqdist_dbl
 
     while _IVF_INSERT_PERSISTED:
         try:
@@ -742,7 +742,10 @@ def sim_incremental_ivf_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         newb.select("vec_id", "emb", "norm")
         .crossJoin(F.broadcast(cent))
-        .withColumn("sqd", _sqdist(F.col("emb"), F.col("cvec")))
+        # ranked on the string->double hop, the DOUBLE the oracle's
+        # cell-assignment window orders by (r10 ADVICE, the
+        # sim_ivf_multiprobe fix applied here too)
+        .withColumn("sqd", _sqdist_dbl(F.col("emb"), F.col("cvec")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select(

@@ -14,9 +14,9 @@ lifecycle operators took. The four entries:
   classic quantizer-rebalance that keeps probe cost flat as inserts
   skew cell sizes.
 - ``ivf_retrain_centroids`` — ANN index maintenance, step 3: retrain
-  the coarse quantizer on the rebalanced assignment (decimal-exact
-  per-cell means), producing the centroid table the IVF search
-  entries consume — closes the lifecycle
+  the coarse quantizer on the rebalanced assignment (per-cell means,
+  exact at 1e-6 fixed-point resolution), producing the retrained
+  centroid table for the next index build — closes the lifecycle
   ``sim_incremental_ivf_insert`` started.
 - ``docs_gopher_rule_filter`` — rule-based document quality
   filtering in the style of the published Gopher/MassiveText rules
@@ -47,8 +47,13 @@ from .similarity import _DEC, _SQL_DEC
 # with vec_id % 5 < 4 (an 80% prefix-stable sample — the same
 # size-independent hash-sampling idiom as split_train_val_hash); the
 # remaining 20% are the post-build inserts. Both aggregates share ONE
-# (label, dim) exchange; every mean is a scaled-long exact sum
-# (common.SCALE fixed point — see common.py's overflow envelope:
+# (label, dim) exchange; every mean is a scaled-long sum, exact at
+# 1e-6 fixed-point resolution — each element quantizes DOWN by up to
+# 1e-6 before summing, so these means intentionally diverge from the
+# decimal-exact centroids the search entries derive via
+# similarity._centroid_vectors (r10 ADVICE; the fixed-point form is
+# the hot-path choice, see below). (common.SCALE fixed point — see
+# common.py's overflow envelope:
 # per-(cell, dim) sums stay under 2^63/1e6 up to ~1e10 members per
 # cell, far past any real IVF cell), so the hot path is plain long
 # addition inside whole-stage codegen instead of the similarity
@@ -140,11 +145,13 @@ def ivf_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance report that completes the lifecycle
     ``sim_incremental_ivf_insert`` (plans/lifecycle.py) started.
 
-    Exactness: both means are scaled-long exact sums (FLOOR(val *
-    1e6) summed as BIGINT — associative, so partitioning cannot
-    change the result, and plain long addition inside whole-stage
-    codegen instead of the similarity stack's interpreted decimal
-    aggregate); the dim-wise squared differences still fold in
+    Exactness: both means are scaled-long sums, exact at 1e-6
+    fixed-point resolution (FLOOR(val * 1e6) summed as BIGINT —
+    associative, so partitioning cannot change the result, and plain
+    long addition inside whole-stage codegen instead of the
+    similarity stack's interpreted decimal aggregate; each element
+    quantizes down by < 1e-6, identically in both engines); the
+    dim-wise squared differences still fold in
     DECIMAL with the VARCHAR hop (64 rows per cell — off the hot
     path) so the drift is bit-identical across engines; the retrain
     flag compares the scale-invariant ``drift^2 * n_now`` statistic
@@ -389,17 +396,23 @@ def ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_retrain_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index maintenance, final step: retrain the coarse
     quantizer on the rebalanced assignment — each (possibly split)
-    cell's new centroid is the decimal-exact mean of its members,
+    cell's new centroid is the fixed-point mean of its members,
     emitted as (cell, dim, centroid, n_vectors) rows. This closes the
     lifecycle the registry started: sim_incremental_ivf_insert adds
     vectors, ivf_centroid_drift_report decides WHEN to act,
     ivf_cell_rebalance splits the oversized cells, and this entry
-    produces the centroid table the search entries
-    (sim_ivf_probe1/multiprobe) consume.
+    produces the retrained centroid table for the next index build.
+    (The SEARCH entries' demo bindings — sim_ivf_probe1/multiprobe —
+    recompute decimal-exact centroids via similarity._centroid_vectors
+    so their oracles stay expressible; this entry's 1e-6 fixed-point
+    means intentionally diverge from those in the 15th decimal, r10
+    ADVICE. A production index consumes THIS table.)
 
-    Exactness: the same scaled-long exact mean as the drift report
-    (associative long sums — partitioning cannot change the result),
-    so means are bit-identical across engines at long-add speed.
+    Exactness: the same scaled-long mean as the drift report, exact
+    at 1e-6 fixed-point resolution (associative long sums —
+    partitioning cannot change the result; each element quantizes
+    down by < 1e-6, identically in both engines), so means are
+    bit-identical across engines at long-add speed.
 
     Scale: ONE exchange — the corpus explodes to (new_cell, dim)
     components with map-side partial sums, and only k' x dim

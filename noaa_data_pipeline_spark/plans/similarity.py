@@ -398,16 +398,17 @@ _SQL_SQDIST = (
 )
 
 
-def _sqdist(a: Column, b: Column) -> Column:
-    """Exact double squared-L2 distance via the same decimal
-    accumulation + string hop as :func:`_dot` (see its docstring for
-    why the VARCHAR hop is load-bearing)."""
-    diffs = F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast(_DEC))
-    return (
-        F.aggregate(diffs, F.lit(0).cast(_DEC), lambda acc, v: (acc + v).cast(_DEC))
-        .cast("string")
-        .cast("double")
-    )
+def _sqdist_dbl(a: Column, b: Column) -> Column:
+    """Double squared-L2 distance: the decimal fold of
+    :func:`_sqdist` crossed to double through the VARCHAR hop (see
+    :func:`_dot` for why the hop is load-bearing). Cell RANKING must
+    order on this, not the raw decimal, because the oracles'
+    _SQL_SQDIST ranks by the double — two cells whose decimal
+    distances differ but round to the same double must tie-break on
+    the label in BOTH engines (r10 ADVICE: a second, shadowed
+    decimal-ranking definition made Spark break such ties by the
+    exact decimal instead)."""
+    return _sqdist(a, b).cast("string").cast("double")
 
 
 @register(
@@ -474,7 +475,7 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cell"),
         "q_emb",
         "q_norm",
-        _sqdist(F.col("q_emb"), F.col("cvec")).alias("d2"),
+        _sqdist_dbl(F.col("q_emb"), F.col("cvec")).alias("d2"),
     )
     cw = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     probes = (

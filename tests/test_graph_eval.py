@@ -1,15 +1,12 @@
-"""Round-10 staged candidates: driver-gate-equivalent checks.
+"""Non-degeneracy, plan-shape, and differential-fuzz checks for the
+round-10 promoted graph/eval operators (plans/graph_eval.py).
 
-These entries live outside the driver registry this round (the r9
-gate window is full and r10 already owes 47 slots to
-round-7-proven entries — see plans/staging_r10.py docstring), so this
-file applies the same row-count + columns + order-insensitive value
-hash compare the driver gate uses, plus non-degeneracy assertions and
-differential fuzz so a tuning regression can't quietly turn a curve
-or ranking into a constant.
-
-Run with SPARK_GRAFT_TEST_SF_DIR at sf0.001 / sf0.01 / sf0.1 for the
-three-SF staging proof (the maintenance-op promotion protocol).
+The staged-vs-oracle hash compare these entries carried while staged
+(rounds 9, as tests/test_staging_r10.py) retired into the registry
+oracle gate (tests/test_registry_oracle.py) at promotion; what stays
+here is everything the hash gate can't see — shape invariants a
+tuning regression could silently violate, physical-plan scale
+contracts, and adversarial-lake fuzz.
 """
 
 from __future__ import annotations
@@ -19,82 +16,13 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from noaa_data_pipeline_spark.plans import load_all
-from noaa_data_pipeline_spark.plans.staging_r10 import (
+from noaa_data_pipeline_spark.plans.graph_eval import (
     COVERAGE_VS,
     KNN_K,
     MRL_DIMS,
     MRL_K,
-    STAGED,
 )
 from tools.check_correctness import frame_digest
-
-
-def _staged_names():
-    return sorted(STAGED.keys())
-
-
-def test_staging_is_not_registered():
-    """The staging module must not leak into the driver registry:
-    the r9 window is full, so a leak would break the gate-rotation
-    freshness invariant mid-round."""
-    registered = set(load_all().keys())
-    assert not (set(STAGED) & registered)
-
-
-def test_ivfpq_search_restricts_to_probed_cells(spark, sf_dir):
-    """The combined IVF+PQ search must rank by the SAME ADC distances
-    as the full-corpus sim_pq_adc_topk, restricted to each query's
-    probed cells: every returned (query, neighbor) pair carries the
-    identical approx_dist_sq, every query appears with contiguous
-    ranks, and at least one query's top-k DIFFERS from the full-corpus
-    ADC list (the probe restriction must actually bite — if the lists
-    always match, nprobe covers the whole corpus and the entry is a
-    no-op twin)."""
-    ivfpq = STAGED["sim_ivf_pq_adc_search"].fn(spark, sf_dir).collect()
-    full = load_all()["sim_pq_adc_topk"].fn(spark, sf_dir).collect()
-    assert ivfpq
-    full_d = {(r.query_id, r.neighbor_id): r.approx_dist_sq for r in full}
-    full_sets = {}
-    for r in full:
-        full_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
-    by_q = {}
-    for r in ivfpq:
-        assert r.query_id != r.neighbor_id
-        by_q.setdefault(r.query_id, []).append(r)
-        if (r.query_id, r.neighbor_id) in full_d:
-            assert r.approx_dist_sq == full_d[(r.query_id, r.neighbor_id)]
-    for q, rows in by_q.items():
-        rows.sort(key=lambda r: r.rnk)
-        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
-    assert any(
-        {r.neighbor_id for r in rows} != full_sets.get(q, set())
-        for q, rows in by_q.items()
-    )
-
-
-@pytest.mark.parametrize("name", _staged_names())
-def test_staged_matches_oracle(spark, duck, sf_dir, name):
-    q = STAGED[name]
-    sdf = q.fn(spark, sf_dir)
-    complex_cols = [
-        f.name
-        for f in sdf.schema.fields
-        if f.dataType.typeName() in ("array", "map", "struct")
-    ]
-    assert not complex_cols, f"top-level complex column(s) {complex_cols}"
-    srows = [tuple(r) for r in sdf.collect()]
-    assert q.oracle is not None, "staged entries must ship an oracle"
-    res = duck.execute(q.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    assert sorted(sdf.columns) == sorted(ocols)
-    assert len(srows) == len(orows)
-    sh, slines = frame_digest(sdf.columns, srows)
-    oh, olines = frame_digest(ocols, orows)
-    if sh != oh:
-        only_s = [x for x in slines if x not in set(olines)][:3]
-        only_o = [x for x in olines if x not in set(slines)][:3]
-        pytest.fail(f"value hash mismatch; spark-only={only_s} oracle-only={only_o}")
 
 
 # --- non-degeneracy ----------------------------------------------------
@@ -104,7 +32,7 @@ def test_knn_graph_shape(spark, sf_dir):
     """Every vector emits at most K contiguous ranks; at least one
     vector has a full neighbor list; edges never self-loop; cosines
     are non-increasing within a vector's list."""
-    rows = STAGED["sim_knn_graph"].fn(spark, sf_dir).collect()
+    rows = load_all()["sim_knn_graph"].fn(spark, sf_dir).collect()
     assert rows
     by_vec = {}
     for r in rows:
@@ -123,7 +51,7 @@ def test_matryoshka_wider_prefix_recovers_more(spark, sf_dir):
     every (query, width) pair, and be non-decreasing in the prefix
     width ON AVERAGE (the Matryoshka premise; per-query noise is
     allowed, a flat-zero or saturated curve is not)."""
-    rows = STAGED["emb_matryoshka_truncate_eval"].fn(spark, sf_dir).collect()
+    rows = load_all()["emb_matryoshka_truncate_eval"].fn(spark, sf_dir).collect()
     by_dim = {}
     queries = set()
     for r in rows:
@@ -141,7 +69,7 @@ def test_token_coverage_curve_monotone(spark, sf_dir):
     """Per language: covered_occ is strictly positive, non-decreasing
     in v, never exceeds total_occ, and equals total_occ once v >=
     n_distinct (the curve saturates exactly at the vocabulary)."""
-    rows = STAGED["corpus_token_coverage"].fn(spark, sf_dir).collect()
+    rows = load_all()["corpus_token_coverage"].fn(spark, sf_dir).collect()
     assert rows
     langs = {}
     for r in rows:
@@ -166,7 +94,7 @@ def test_token_coverage_curve_monotone(spark, sf_dir):
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    df = STAGED[name].fn(spark, sf_dir)
+    df = load_all()[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -195,10 +123,39 @@ def test_matryoshka_plan_shares_one_scored_pass(spark, sf_dir):
     ONE persisted query-broadcast score pass — four InMemoryTableScan
     references, not four recomputed corpus joins. The only
     nested-loop join is the broadcast != pairing against the
-    {MRL_QUERIES}-row query frame (bounded at any corpus size)."""
+    bounded query frame (8 rows at any corpus size)."""
     plan = _plan(spark, sf_dir, "emb_matryoshka_truncate_eval")
     assert plan.count("InMemoryTableScan") == 1 + len(MRL_DIMS)
     assert "CartesianProduct" not in plan
+
+
+def test_promoted_entries_swap_persisted_frames(spark, sf_dir):
+    """r10 ADVICE: repeated invocations must not accumulate cached
+    blocks — the second call unpersists the first call's frames, so
+    the JVM's persistent-RDD count is flat across invocations (at
+    most one invocation's worth stays registered per entry).
+    storageLevel can't prove this: a repeat invocation re-persists
+    the identical logical plan, so the OLD DataFrame object reports
+    the NEW cache entry."""
+    from noaa_data_pipeline_spark.plans import graph_eval as ge
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    reg = load_all()
+    for name, slot in (
+        ("sim_knn_graph", ge._KNN_PERSISTED),
+        ("emb_matryoshka_truncate_eval", ge._MRL_PERSISTED),
+    ):
+        reg[name].fn(spark, sf_dir).collect()
+        first = list(slot)
+        assert len(first) == 1
+        baseline = n_cached()
+        for _ in range(3):
+            reg[name].fn(spark, sf_dir).collect()
+            assert len(slot) == 1
+            assert slot[0] is not first[0]
+            assert n_cached() <= baseline
 
 
 # --- differential fuzz (driver-gate compare on adversarial lakes) -----
@@ -207,7 +164,7 @@ def test_matryoshka_plan_shares_one_scored_pass(spark, sf_dir):
 def _gate_compare(spark, lake, name, views):
     import duckdb
 
-    q = STAGED[name]
+    q = load_all()[name]
     con = duckdb.connect()
     for t in views:
         con.execute(
@@ -303,9 +260,5 @@ def test_embedding_evals_differential_fuzz(spark, tmp_path_factory, seed, n, n_z
         ),
         f"{tmp}/embeddings.parquet",
     )
-    for name in (
-        "sim_knn_graph",
-        "emb_matryoshka_truncate_eval",
-        "sim_ivf_pq_adc_search",
-    ):
+    for name in ("sim_knn_graph", "emb_matryoshka_truncate_eval"):
         _gate_compare(spark, tmp, name, ["embeddings"])

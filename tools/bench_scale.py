@@ -133,18 +133,28 @@ def main() -> None:
 
     # staged (pre-promotion) candidates are measurable too — the r8
     # lesson: scale curves must exist BEFORE a promotion, and the
-    # staging dicts carry the same Query records the registry does
+    # staging dicts carry the same Query records the registry does.
+    # NOTE: the staging import must NOT fail silently (r10 ADVICE —
+    # a typo'd name then raised a bare KeyError pointing at the
+    # staging dict even for registry-intended names).
     staged: dict = {}
     try:
-        from noaa_data_pipeline_spark.plans.staging_r10 import STAGED as _s10
+        from noaa_data_pipeline_spark.plans.staging_r11 import STAGED as _s11
 
-        staged.update(_s10)
-    except ImportError:
-        pass
+        staged.update(_s11)
+    except ImportError as exc:
+        print(f"warning: staging registry unavailable ({exc})", file=sys.stderr)
 
+    lookup = {**staged, **registry}  # registry wins a name collision
     results: dict[str, dict] = {}
     for name in args.queries or QUERIES:
-        q = registry.get(name) or staged[name]
+        q = lookup.get(name)
+        if q is None:
+            ap.error(
+                f"unknown query {name!r}: not in the registry "
+                f"({len(registry)} entries) or the staged set "
+                f"({sorted(staged) or 'empty'})"
+            )
 
         def run_spark():
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
