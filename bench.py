@@ -62,6 +62,57 @@ def _calibration(spark) -> None:
     )
 
 
+_SCAN_PROBE_ROWS = 1 << 22  # 4M rows; ~90 MB parquet with the payload
+
+
+def _scan_probe_path(spark) -> str:
+    """Deterministic fixed-size parquet probe table, built once under
+    .bench_cal/ (gitignored) and reused across runs: (k: 1M-group
+    key, v: long, payload: 32-char md5 string). Content is a pure
+    function of the row id, so a wiped directory rebuilds the
+    identical table."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(_REPO_ROOT, ".bench_cal", "scan_probe")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            spark.range(0, _SCAN_PROBE_ROWS, 1, 32)
+            .select(
+                (F.col("id") % (1 << 20)).alias("k"),
+                F.col("id").alias("v"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def _calibration_scan(spark, path: str) -> None:
+    """Second box probe (r9 verdict task 3): fixed-size parquet scan
+    -> wide exchange -> aggregate. BENCH_r09's raw total moved +26%
+    against a +3% move in the CPU-bound probe above — whatever
+    drifted lived in the IO/shuffle layer that probe never touches.
+    This one scans ~90 MB of parquet and shuffles ~4M partial rows
+    (1M groups x 32 map tasks leaves map-side combine nearly
+    ineffective, and every shuffled row carries the 32-char payload),
+    so scan + exchange drift moves it. Reported alongside the CPU
+    figure; the two bracket the drift modes (GATE_LOG r10: loaded-box
+    experiment)."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(path)
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.max("payload").alias("p"))
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.max("p").alias("p"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = sys.argv[1:] or None
@@ -118,18 +169,27 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
-    # Calibration: identical warm + best-of-3 protocol on the
-    # fixed-shape box probe, measured AFTER the queries so JIT state
-    # matches. value_calibrated = raw total / calibration — a
+    # Calibration: identical warm + best-of-3 protocol on the two
+    # fixed-shape box probes (CPU-bound aggregate; parquet-scan +
+    # wide-shuffle), measured AFTER the queries so JIT state matches.
+    # value_calibrated = raw total / cpu calibration — a
     # box-speed-normalized, dimensionless figure comparable across
-    # rounds even when the host drifts.
+    # rounds even when the host drifts; the scan probe's figure is
+    # reported beside it so IO/shuffle-layer drift (the r9 mode the
+    # CPU probe missed) is visible too.
+    probe_path = _scan_probe_path(spark)
     _calibration(spark)
-    cal = float("inf")
+    _calibration_scan(spark, probe_path)
+    cal = cal_scan = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         _calibration(spark)
         cal = min(cal, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _calibration_scan(spark, probe_path)
+        cal_scan = min(cal_scan, time.perf_counter() - t0)
     cal = round(cal, 3)
+    cal_scan = round(cal_scan, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -144,7 +204,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "calibration_sec": cal,
+        "calibration_scan_sec": cal_scan,
         "value_calibrated": round(total / cal, 2) if cal else None,
+        "value_calibrated_scan": round(total / cal_scan, 2) if cal_scan else None,
     }
     print(json.dumps(out))
 
