@@ -64,8 +64,24 @@ DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
 THROUGHPUT_BYTES = {"bpe_encode_docs": ("documents", "octet_length(encode(text))")}
 
 
-def build_scaled_lake(replicas: int) -> str:
-    out_dir = os.path.join(REPO, ".bench_scale", f"x{replicas}")
+# Per-replica duplicate rate of the MUTATING replicator (--mutate-dups):
+# a replicated document keeps its base text with this probability and
+# otherwise has every token suffixed with a replica marker (token-level
+# disjoint from the base vocabulary, so it shares no shingles /
+# k-grams / simhash features with any other replica). The plain
+# replicator's identical-text copies made every base doc an exact-dup
+# cluster of `replicas` members — candidate-pair volume grew as
+# replicas^2 on BOTH engines, which is a harness artifact, not a
+# property of a real 20x corpus (GATE_LOG r9 "Why the dedup family's
+# scale rows stop at x5"). At 8% the expected cluster size is
+# 1 + 0.08*(replicas-1) and candidate volume tracks the DUP RATE,
+# linear in replicas — the realistic web-crawl shape.
+MUTATE_DUP_PCT = 8
+
+
+def build_scaled_lake(replicas: int, mutate_dups: bool = False) -> str:
+    suffix = f"x{replicas}mut" if mutate_dups else f"x{replicas}"
+    out_dir = os.path.join(REPO, ".bench_scale", suffix)
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for table, key in FACTS.items():
@@ -78,10 +94,20 @@ def build_scaled_lake(replicas: int) -> str:
         mx = con.execute(
             f"SELECT MAX({key}) FROM read_parquet('{src}')"
         ).fetchone()[0]
+        replaces = f"{key} + r.i * {mx + 1} AS {key}"
+        if mutate_dups and table == "documents":
+            # deterministic per-(doc, replica) coin; replica 0 is the
+            # untouched base corpus
+            replaces += f""",
+                CASE WHEN r.i = 0
+                          OR hash({key} * 1000003 + r.i) % 100 < {MUTATE_DUP_PCT}
+                     THEN text
+                     ELSE regexp_replace(text, '(\\w+)', '\\1r' || r.i, 'g')
+                END AS text"""
         con.execute(
             f"""
             COPY (
-                SELECT * REPLACE ({key} + r.i * {mx + 1} AS {key})
+                SELECT * REPLACE ({replaces})
                 FROM read_parquet('{src}'),
                      (SELECT UNNEST(range({replicas})) AS i) r
             ) TO '{dst}' (FORMAT PARQUET)
@@ -108,9 +134,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=5)
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument(
+        "--mutate-dups",
+        action="store_true",
+        help="replicate documents with per-replica token-salted text "
+        f"(~{MUTATE_DUP_PCT}%% kept as true duplicates) so the "
+        "pair-verifying dedup entries see a realistic dup rate "
+        "instead of replicas^2 exact-dup clusters",
+    )
     args = ap.parse_args()
 
-    sf_dir = build_scaled_lake(args.replicas)
+    sf_dir = build_scaled_lake(args.replicas, mutate_dups=args.mutate_dups)
 
     # Warehouse profile (see bench.py): q9/q21 route to the bucketed
     # lake layout; the one-time layout build lands in the warmup pass.
@@ -183,9 +217,11 @@ def main() -> None:
             results[name]["corpus_bytes"] = int(n_bytes)
             results[name]["spark_bytes_per_sec"] = int(n_bytes / spark_s)
 
+    point_key = f"x{args.replicas}mut" if args.mutate_dups else f"x{args.replicas}"
     out = {
         "metric": "scale_bench_spark_vs_duckdb",
         "replicas": args.replicas,
+        "scale_point": point_key,
         "base_sf": os.path.basename(BASE.rstrip("/")),
         "queries": results,
     }
@@ -209,7 +245,7 @@ def main() -> None:
             "base_sf": out["base_sf"],
             "scale_points": {},
         }
-    merged["scale_points"].setdefault(f"x{args.replicas}", {}).update(results)
+    merged["scale_points"].setdefault(point_key, {}).update(results)
     with open(path, "w") as fh:
         json.dump(merged, fh, indent=2)
     print(json.dumps(out))
