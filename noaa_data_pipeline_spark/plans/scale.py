@@ -352,6 +352,7 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
     if cached is not None:
         return cached
     out: list[DataFrame] = []
+    one_file_per_bucket = True
     for name, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
         tbl = f"bkt_{name}_{tag}"
         path = os.path.join(_BUCKET_ROOT, tag, name)
@@ -365,7 +366,31 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
                 .mode("overwrite")
                 .saveAsTable(tbl)
             )
+        import glob as _glob
+
+        n_files = len(
+            [
+                p
+                for p in _glob.glob(os.path.join(path, "*.parquet"))
+                if os.path.isfile(p)
+            ]
+        )
+        one_file_per_bucket = one_file_per_bucket and n_files == n_buckets
         out.append(spark.table(tbl))
+    # Use the write-time sortBy at SCAN time: Spark 3+ ignores bucket
+    # sort metadata by default (with >1 file per bucket the claim
+    # would be wrong — each FILE is sorted, their concatenation is
+    # not, and a merge join on it would silently produce wrong rows),
+    # so the sorted-scan conf is set ONLY after verifying the layout
+    # this writer guarantees: exactly one file per bucket (the
+    # pre-write repartition). Elides both SMJ sorts in the q9/q21
+    # twins — measured 1.03 s -> 0.86 s at x100 (GATE_LOG r10). A
+    # multi-file layout (the at-scale shape the docstring above
+    # describes) keeps the conf false and pays the per-bucket sort.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true" if one_file_per_bucket else "false",
+    )
     for k in [k for k in _BUCKETED_CACHE if k[0] != cache_key[0]]:
         del _BUCKETED_CACHE[k]
     _BUCKETED_CACHE[cache_key] = (out[0], out[1])
@@ -565,8 +590,13 @@ def q9_product_type_profit_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     broadcast part/supplier joins PRESERVE the lineitem scan's
     bucket distribution, so the orders merge join needs no exchange
     on either side — the only exchange left is the few-hundred-row
-    (nation, year) rollup. Cost model identical to the un-bucketed
-    entry (0.6 x retail price stands in for ps_supplycost)."""
+    (nation, year) rollup. The merge join also pays no per-run Sort:
+    the layout writer verified one file per bucket and enabled the
+    sorted bucketed scan (bucketed_fact_tables, r10), so the
+    write-time sortBy feeds the join directly on both sides
+    (plan-asserted; 1.03 s -> 0.86 s at x100). Cost model identical
+    to the un-bucketed entry (0.6 x retail price stands in for
+    ps_supplycost)."""
     part = load_table(spark, sf_dir, "part")
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")

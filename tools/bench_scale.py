@@ -142,19 +142,52 @@ def main() -> None:
         "pair-verifying dedup entries see a realistic dup rate "
         "instead of replicas^2 exact-dup clusters",
     )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=3,
+        help="best-of-N timed passes per engine (default 3); raise "
+        "when the box's page cache is being contended — a best-of "
+        "only converges once at least one pass runs fully cached",
+    )
+    ap.add_argument(
+        "--unrouted",
+        action="store_true",
+        help="run with SPARK_GRAFT_BUCKETED=0 (a cold session that "
+        "never built the bucketed lake layout) and record rows under "
+        "<name>_unrouted — the fallback plan beside the routed "
+        "warehouse default",
+    )
     args = ap.parse_args()
 
     sf_dir = build_scaled_lake(args.replicas, mutate_dups=args.mutate_dups)
 
     # Warehouse profile (see bench.py): q9/q21 route to the bucketed
     # lake layout; the one-time layout build lands in the warmup pass.
-    os.environ.setdefault("SPARK_GRAFT_BUCKETED", "1")
+    # --unrouted opts out to time the cold-session fallback plans.
+    if args.unrouted:
+        os.environ["SPARK_GRAFT_BUCKETED"] = "0"
+    else:
+        os.environ.setdefault("SPARK_GRAFT_BUCKETED", "1")
 
     from noaa_data_pipeline_spark.plans import load_all
     from noaa_data_pipeline_spark.session import get_spark
 
     registry = load_all()
     spark = get_spark("bench_scale")
+
+    if os.environ.get("SPARK_GRAFT_BUCKETED") == "1":
+        # Build the bucketed layout BEFORE any timing and flush the
+        # page cache's dirty pages: the ~GB-scale layout write
+        # otherwise flushes asynchronously underneath the first timed
+        # block (measured: the first query after an in-process build
+        # read 1.5-3x its steady state; a 9.9 s outlier on a 3.0 s
+        # plan), which is a harness artifact — a warehouse pays the
+        # layout write at ingest, not at query time.
+        from noaa_data_pipeline_spark.plans.scale import bucketed_fact_tables
+
+        bucketed_fact_tables(spark, sf_dir)
+        os.sync()
 
     duck = duckdb.connect()
     from noaa_data_pipeline_spark.tables import TABLE_NAMES
@@ -201,9 +234,10 @@ def main() -> None:
         for _ in range(3):
             run_spark()
         run_duck()
-        spark_s = time_best_of(run_spark)
-        duck_s = time_best_of(run_duck)
-        results[name] = {
+        spark_s = time_best_of(run_spark, n=args.reps)
+        duck_s = time_best_of(run_duck, n=args.reps)
+        row_name = f"{name}_unrouted" if args.unrouted else name
+        results[row_name] = {
             "spark_sec": spark_s,
             "duckdb_sec": duck_s,
             "ratio": round(spark_s / duck_s, 2) if duck_s else None,
@@ -214,8 +248,8 @@ def main() -> None:
             # seconds themselves)
             table, col = THROUGHPUT_BYTES[name]
             n_bytes = duck.execute(f"SELECT SUM({col}) FROM {table}").fetchone()[0]
-            results[name]["corpus_bytes"] = int(n_bytes)
-            results[name]["spark_bytes_per_sec"] = int(n_bytes / spark_s)
+            results[row_name]["corpus_bytes"] = int(n_bytes)
+            results[row_name]["spark_bytes_per_sec"] = int(n_bytes / spark_s)
 
     point_key = f"x{args.replicas}mut" if args.mutate_dups else f"x{args.replicas}"
     out = {
