@@ -1,23 +1,31 @@
-"""Round-11 candidate operator, staged OUTSIDE the driver registry.
+"""Round-11 candidate operators, staged OUTSIDE the driver registry.
 
 The round-10 gate window is exactly full (50 = 47 stale re-proves +
 the 3 graph_eval promotions — see GATE_PRIORITY in
-``plans/__init__.py``), so the fourth round-9-staged candidate waits
-here, oracle-proven under pytest only (tests/test_staging_r11.py
-runs the exact driver-gate compare), and round 11 promotes it by
-moving the ``stage`` decorator to ``register`` and adding the name
-to GATE_PRIORITY — the same staged-promotion path every round-7..10
-operator took.
+``plans/__init__.py``), so these candidates wait here, oracle-proven
+under pytest only (tests/test_staging_r11.py runs the exact
+driver-gate compare), and round 11+ promotes them by moving the
+``stage`` decorators to ``register`` and adding the names to
+GATE_PRIORITY — the same staged-promotion path every round-7..10
+operator took. Promotion order (GATE_LOG r11 rotation plan):
+sim_ivf_pq_adc_search takes r11's one free slot; the KMV sketch
+follows in r12, by which point the registry-cap consolidation rule
+(GATE_LOG r10) will have freed the *_bucketed twin slots.
 
 - ``sim_ivf_pq_adc_search`` — the production IVF+PQ combined search
   (faiss IndexIVFPQ): probe the nprobe nearest cells, ADC-score only
   within them. Composes the separately-proven halves
   (sim_ivf_multiprobe x sim_pq_adc_topk) into the shape a
   billion-vector deployment actually runs.
+- ``events_kmv_theta_sketch_overlap`` — KMV/theta-sketch set
+  operations (union AND intersection estimates) across audience
+  segments: the DataSketches-style answer to audience overlap that
+  HLL cannot give, with the sketch fully SQL-expressible so the
+  cross-engine hash gate checks the actual estimates.
 
-Reference anchor (spec, not code): extends SURVEY.md's similarity
-lifecycle family beyond the reference's own surface, like the
-round-5-10 additions it follows.
+Reference anchors (spec, not code): extend SURVEY.md's similarity
+lifecycle and sketch families beyond the reference's own surface,
+like the round-5-10 additions they follow.
 """
 
 from __future__ import annotations
@@ -25,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..tables import load_table
 from . import Query
 from .similarity import (
     NPROBE,
@@ -201,5 +210,201 @@ def sim_ivf_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.col("approx_d").cast("string").cast("double").alias("approx_dist_sq"),
             "rnk",
+        )
+    )
+
+
+# --- events_kmv_theta_sketch_overlap -------------------------------------
+
+KMV_K = 32  # sketch size (k smallest hashes retained per segment)
+KMV_CUT = 150.0  # segment = users with a type-s event of value > CUT
+# 60-bit hash domain: first 15 hex digits of md5. 2^60 is a power of
+# two, so its DOUBLE literal is exact and the estimate arithmetic
+# (small-int * 2^60 / theta) is a single IEEE division on both
+# engines — bit-identical.
+KMV_CAP = 1 << 60
+
+_SQL_KMV_H = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@stage(
+    "events_kmv_theta_sketch_overlap",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT DISTINCT event_type, {_SQL_KMV_H} AS h
+        FROM events WHERE value > {KMV_CUT}
+    ),
+    sk AS (
+        SELECT event_type, h, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY h
+        ) AS rn
+        FROM hashes
+        QUALIFY rn <= {KMV_K}
+    ),
+    stats AS (
+        SELECT event_type,
+               CASE WHEN COUNT(*) = {KMV_K}
+                    THEN MAX(CASE WHEN rn = {KMV_K} THEN h END)
+                    ELSE {KMV_CAP} END AS theta,
+               COUNT(*) AS n_sk
+        FROM sk GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               LEAST(a.theta, b.theta) AS theta,
+               a.theta AS theta_a, b.theta AS theta_b,
+               a.n_sk AS n_a, b.n_sk AS n_b
+        FROM stats a JOIN stats b ON a.event_type < b.event_type
+    ),
+    ua AS (
+        SELECT p.type_a, p.type_b, s.h
+        FROM pairs p JOIN sk s ON s.event_type = p.type_a AND s.h < p.theta
+    ),
+    ub AS (
+        SELECT p.type_a, p.type_b, s.h
+        FROM pairs p JOIN sk s ON s.event_type = p.type_b AND s.h < p.theta
+    ),
+    uni AS (
+        SELECT type_a, type_b, COUNT(*) AS n_union FROM (
+            SELECT DISTINCT type_a, type_b, h FROM (
+                SELECT * FROM ua UNION ALL SELECT * FROM ub
+            )
+        ) GROUP BY type_a, type_b
+    ),
+    inter AS (
+        SELECT ua.type_a, ua.type_b, COUNT(*) AS n_inter
+        FROM ua JOIN ub ON ua.type_a = ub.type_a
+                       AND ua.type_b = ub.type_b AND ua.h = ub.h
+        GROUP BY ua.type_a, ua.type_b
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(CASE WHEN p.n_a = {KMV_K} THEN {KMV_K - 1} ELSE p.n_a END AS DOUBLE)
+               * {KMV_CAP}.0 / CAST(p.theta_a AS DOUBLE) AS est_a,
+           CAST(CASE WHEN p.n_b = {KMV_K} THEN {KMV_K - 1} ELSE p.n_b END AS DOUBLE)
+               * {KMV_CAP}.0 / CAST(p.theta_b AS DOUBLE) AS est_b,
+           CAST(u.n_union AS DOUBLE) * {KMV_CAP}.0 / CAST(p.theta AS DOUBLE)
+               AS est_union,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE) * {KMV_CAP}.0
+               / CAST(p.theta AS DOUBLE) AS est_intersect
+    FROM pairs p
+    JOIN uni u ON u.type_a = p.type_a AND u.type_b = p.type_b
+    LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+    """,
+)
+def events_kmv_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch SET OPERATIONS across audience segments: per
+    event type, the segment "users with a value > {KMV_CUT} event of
+    that type" is sketched as its {KMV_K} smallest 60-bit user hashes
+    (a bottom-k / KMV sketch), and every segment pair reports
+    estimated cardinalities for each side, the union, and the
+    intersection — the audience-overlap question (DataSketches-style
+    theta sketches) that the registry's other sketches (HLL distinct,
+    CMS heavy hitters, GK percentiles) cannot answer, because HLL
+    unions but never intersects.
+
+    Estimator: theta_s = the k-th smallest hash (or the 2^60 domain
+    cap when the segment has fewer than k members, making the sketch
+    exact); est = |{{h < theta}}| * 2^60 / theta. Pair operations use
+    theta = min(theta_a, theta_b); hashes below theta from both
+    sketches give union (distinct) and intersection (match) samples.
+    The same arithmetic runs on both engines over md5-derived hashes,
+    so — unlike the HLL entry, whose estimate is algorithm-opaque —
+    the actual ESTIMATES hash-match the oracle.
+
+    Scale: ONE corpus-side exchange — the (event_type, h) distinct
+    with map-side partial dedup — then a WindowGroupLimit keeps k
+    rows per segment; everything after operates on k x segments rows
+    (kilobytes at any corpus size: the sketch property) via broadcast
+    joins. At 100 TB the sketches are also mergeable across
+    ingest batches (bottom-k of a union = bottom-k of the per-batch
+    bottom-k's), the same associativity contract the scaled-long
+    aggregates rely on."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > KMV_CUT)
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    hashes = ev.select("event_type", h).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K)
+    stats = sk.groupBy("event_type").agg(
+        F.when(
+            F.count("*") == KMV_K,
+            F.max(F.when(F.col("rn") == KMV_K, F.col("h"))),
+        )
+        .otherwise(F.lit(KMV_CAP))
+        .alias("theta"),
+        F.count("*").alias("n_sk"),
+    )
+    a = stats.select(
+        F.col("event_type").alias("type_a"),
+        F.col("theta").alias("theta_a"),
+        F.col("n_sk").alias("n_a"),
+    )
+    b = stats.select(
+        F.col("event_type").alias("type_b"),
+        F.col("theta").alias("theta_b"),
+        F.col("n_sk").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .withColumn("theta", F.least("theta_a", "theta_b"))
+    )
+    ska = sk.select(F.col("event_type").alias("type_a"), "h")
+    skb = sk.select(F.col("event_type").alias("type_b"), F.col("h").alias("hb"))
+    ua = (
+        pairs.select("type_a", "type_b", "theta")
+        .join(F.broadcast(ska), "type_a")
+        .filter(F.col("h") < F.col("theta"))
+        .select("type_a", "type_b", "h")
+    )
+    ub = (
+        pairs.select("type_a", "type_b", "theta")
+        .join(F.broadcast(skb), "type_b")
+        .filter(F.col("hb") < F.col("theta"))
+        .select("type_a", "type_b", F.col("hb").alias("h"))
+    )
+    uni = (
+        ua.unionByName(ub)
+        .distinct()
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_union"))
+    )
+    inter = (
+        ua.join(ub.withColumnRenamed("h", "hb"), ["type_a", "type_b"])
+        .filter(F.col("h") == F.col("hb"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cap_d = F.lit(float(KMV_CAP))
+
+    def est(cnt, theta):
+        return cnt.cast("double") * cap_d / theta.cast("double")
+
+    return (
+        pairs.join(F.broadcast(uni), ["type_a", "type_b"])
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            est(
+                F.when(F.col("n_a") == KMV_K, F.lit(KMV_K - 1)).otherwise(
+                    F.col("n_a")
+                ),
+                F.col("theta_a"),
+            ).alias("est_a"),
+            est(
+                F.when(F.col("n_b") == KMV_K, F.lit(KMV_K - 1)).otherwise(
+                    F.col("n_b")
+                ),
+                F.col("theta_b"),
+            ).alias("est_b"),
+            est(F.col("n_union"), F.col("theta")).alias("est_union"),
+            est(F.coalesce(F.col("n_inter"), F.lit(0)), F.col("theta")).alias(
+                "est_intersect"
+            ),
         )
     )

@@ -150,3 +150,100 @@ def test_ivfpq_differential_fuzz(spark, tmp_path_factory, seed, n, n_zero):
         f"{tmp}/embeddings.parquet",
     )
     _gate_compare(spark, tmp, "sim_ivf_pq_adc_search", ["embeddings"])
+
+
+# --- events_kmv_theta_sketch_overlap ------------------------------------
+
+
+def test_kmv_overlap_estimates_track_exact(spark, duck, sf_dir):
+    """Per pair: estimates positive, intersection <= union at the
+    shared theta, the sample-level inclusion-exclusion identity
+    holds, and every estimate lands within the k=32 KMV error
+    envelope (|rel err| < 0.6 ~ 3 sigma) of the exact cardinality;
+    segments smaller than k must estimate EXACTLY (theta = cap)."""
+    from noaa_data_pipeline_spark.plans.staging_r11 import KMV_CUT, KMV_K
+
+    rows = STAGED["events_kmv_theta_sketch_overlap"].fn(spark, sf_dir).collect()
+    assert rows
+    types = duck.execute(
+        f"SELECT DISTINCT event_type FROM events WHERE value > {KMV_CUT}"
+    ).fetchall()
+    n_types = len(types)
+    assert len(rows) == n_types * (n_types - 1) // 2
+
+    def exact(t):
+        return duck.execute(
+            "SELECT COUNT(DISTINCT user_id) FROM events "
+            f"WHERE value > {KMV_CUT} AND event_type = ?",
+            [t],
+        ).fetchone()[0]
+
+    for r in rows:
+        assert r.est_a > 0 and r.est_b > 0
+        assert r.est_intersect <= r.est_union + 1e-9
+        ex_a, ex_b = exact(r.type_a), exact(r.type_b)
+        ex_u = duck.execute(
+            "SELECT COUNT(DISTINCT user_id) FROM events "
+            f"WHERE value > {KMV_CUT} AND event_type IN (?, ?)",
+            [r.type_a, r.type_b],
+        ).fetchone()[0]
+        ex_i = ex_a + ex_b - ex_u
+        for est, ex in ((r.est_a, ex_a), (r.est_b, ex_b), (r.est_union, ex_u)):
+            assert abs(est - ex) / ex < 0.6, (r.type_a, r.type_b, est, ex)
+            if ex <= KMV_K:  # sketch holds the whole segment: exact
+                assert est == ex
+        if ex_i:
+            assert abs(r.est_intersect - ex_i) / ex_i < 0.9  # smallest set, widest rel band
+
+
+def test_kmv_plan_one_corpus_exchange(spark, sf_dir):
+    """Scale contract: ONE corpus-sized exchange (the (event_type, h)
+    distinct with map-side partial dedup); the per-segment bottom-k is
+    a WindowGroupLimit; everything downstream is sketch-sized and the
+    pair assembly never produces a cartesian of anything
+    corpus-sized."""
+    df = STAGED["events_kmv_theta_sketch_overlap"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # the only hashpartitioning exchanges allowed: the distinct's
+    # (event_type, h) and sketch-sized regroups; none on user_id alone
+    assert "Exchange hashpartitioning(user_id" not in plan
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    n_users=st.integers(min_value=1, max_value=400),
+    n_types=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_kmv_differential_fuzz(spark, tmp_path_factory, seed, n_users, n_types):
+    """Random events lakes — skewed membership, segments straddling
+    the k boundary, single-type and single-user corners — must
+    hash-match the KMV oracle (bottom-k tie handling, theta
+    selection, the exact-below-k path, and the double arithmetic)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n_events = int(rng.integers(1, 2000))
+    types = [f"t{i}" for i in range(n_types)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n_events), pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(n_events)],
+                           pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.zipf(1.5, n_events) % n_users if n_users > 1
+                else np.zeros(n_events), pa.int64()),
+            "event_type": pa.array(
+                [types[i] for i in rng.integers(0, n_types, n_events)],
+                pa.string()),
+            "value": pa.array(rng.uniform(0, 400, n_events), pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n_events, pa.string()),
+        }
+    )
+    tmp = str(tmp_path_factory.mktemp("kmv_fuzz"))
+    pq.write_table(tbl, f"{tmp}/events.parquet")
+    _gate_compare(spark, tmp, "events_kmv_theta_sketch_overlap", ["events"])

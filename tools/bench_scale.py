@@ -42,18 +42,22 @@ QUERIES = [
     "decontam_ngram_overlap",
 ]
 
-# fact table -> key column remapped per replica (keeps each replica a
-# self-contained join island so semantics scale linearly); embeddings
-# replicates too so the ANN scale points search a genuinely larger
-# corpus (replicated vectors = exact-dup clusters, which only makes
-# the LSH bucket-skew path work harder)
+# fact table -> key column(s) remapped per replica (keeps each
+# replica a self-contained join island so semantics scale linearly);
+# embeddings replicates too so the ANN scale points search a genuinely
+# larger corpus (replicated vectors = exact-dup clusters, which only
+# makes the LSH bucket-skew path work harder); events replicates with
+# BOTH event_id and user_id remapped (r10: the KMV sketch scale point
+# needs the USER universe to grow, not just the row count — replicas
+# are disjoint user islands, the way a real event stream grows)
 FACTS = {
-    "lineitem": "l_orderkey",
-    "orders": "o_orderkey",
-    "documents": "doc_id",
-    "embeddings": "vec_id",
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id", "user_id"),
 }
-DIMS = ["region", "nation", "customer", "supplier", "part", "events"]
+DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 # entries whose BENCH_SCALE row should also report input-throughput
 # (entry -> (table, byte-count column)); bpe_encode_docs is the
@@ -84,18 +88,22 @@ def build_scaled_lake(replicas: int, mutate_dups: bool = False) -> str:
     out_dir = os.path.join(REPO, ".bench_scale", suffix)
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    for table, key in FACTS.items():
+    for table, keys in FACTS.items():
         dst = os.path.join(out_dir, f"{table}.parquet")
         if os.path.islink(dst):  # table reclassified dim -> fact
             os.unlink(dst)
         if os.path.exists(dst):
             continue
         src = os.path.join(BASE, f"{table}.parquet")
-        mx = con.execute(
-            f"SELECT MAX({key}) FROM read_parquet('{src}')"
-        ).fetchone()[0]
-        replaces = f"{key} + r.i * {mx + 1} AS {key}"
+        parts = []
+        for key in keys:
+            mx = con.execute(
+                f"SELECT MAX({key}) FROM read_parquet('{src}')"
+            ).fetchone()[0]
+            parts.append(f"{key} + r.i * {mx + 1} AS {key}")
+        replaces = ", ".join(parts)
         if mutate_dups and table == "documents":
+            key = keys[0]
             # deterministic per-(doc, replica) coin; replica 0 is the
             # untouched base corpus
             replaces += f""",
