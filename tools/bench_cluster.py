@@ -60,7 +60,16 @@ def run_config(label: str, master: str, shuffle: int, names: list[str], sf_dir: 
     try:
         from noaa_data_pipeline_spark.plans import load_all
 
-        registry = load_all()
+        registry = dict(load_all())
+        try:  # staged (pre-promotion) candidates are measurable too
+            from noaa_data_pipeline_spark.plans.staging_r11 import STAGED
+
+            registry = {**STAGED, **registry}
+        except ImportError as exc:
+            print(f"warning: staging registry unavailable ({exc})", file=sys.stderr)
+        unknown = [n for n in names if n not in registry]
+        if unknown:
+            raise SystemExit(f"unknown queries {unknown}: not in the registry or staged set")
         frames = {n: registry[n].fn(spark, sf_dir) for n in names}
 
         def run(n: str) -> None:
