@@ -219,6 +219,24 @@ def test_permutations_distributed(spark):
     assert (row.first, row.second, row.third) == (0, 1, 2)
 
 
+def test_permutations_distributed_general_k(spark):
+    """The distributed builder accepts any k (r9 VERDICT residue: it
+    raised for k != 3): counts match P(n, k), columns extend the
+    reference's top-3 naming, rows are valid permutations, and the
+    itertools path agrees exactly at a checkable size."""
+    for n, k in ((6, 1), (6, 2), (7, 4), (5, 5)):
+        df = outcomes.outcome_permutations_df(spark, n, k)
+        assert df.count() == outcomes.count_permutations(n, k)
+    df = outcomes.outcome_permutations_df(spark, 7, 4)
+    assert df.columns == ["first", "second", "third", "rank_3"]
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == set(outcomes.outcome_permutations(7, 4))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        outcomes.outcome_permutations_df(spark, 3, 4)
+
+
 def test_batch_etl_equals_per_event_on_event_fleet(spark, tmp_path_factory):
     """Equivalence on a FLEET: many events at different lifecycle
     stages (live / running / completed+signable, disjoint and
