@@ -7,10 +7,12 @@ under pytest only (tests/test_staging_r11.py runs the exact
 driver-gate compare), and round 11+ promotes them by moving the
 ``stage`` decorators to ``register`` and adding the names to
 GATE_PRIORITY — the same staged-promotion path every round-7..10
-operator took. Promotion order (GATE_LOG r11 rotation plan):
-sim_ivf_pq_adc_search takes r11's one free slot; the KMV sketch
-follows in r12, by which point the registry-cap consolidation rule
-(GATE_LOG r10) will have freed the *_bucketed twin slots.
+operator took. Promotion order (GATE_LOG r11 rotation plan): the r11
+window is 46 stale + sim_ivf_pq_adc_search (promotion) + the two
+r10-edited IVF entries = 49, leaving ~1 slot; the KMV sketch promotes
+in r11 if that slot survives, else in r12 — by which point the
+registry-cap consolidation rule (GATE_LOG r10) frees the *_bucketed
+twin slots.
 
 - ``sim_ivf_pq_adc_search`` — the production IVF+PQ combined search
   (faiss IndexIVFPQ): probe the nprobe nearest cells, ADC-score only
