@@ -466,3 +466,29 @@ def test_multiprobe_plan_construction_is_lazy(spark, sf_dir):
     after = set(tracker.getJobIdsForGroup(None) or ())
     assert after == before, "plan construction launched a Spark job"
     assert df.count() > 0  # and the plan still executes
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """Every registered entry's physical plan, in one sweep: no
+    CartesianProduct anywhere, and no row-at-a-time Python UDF
+    (BatchEvalPython) — the only sanctioned Python crossings are the
+    Arrow-batched ones (mapInPandas / applyInPandas / scalar
+    pandas_udf). BroadcastNestedLoopJoin is allowed: the r9/r10
+    audits verified every instance is a broadcast of a 1-row scalar
+    aggregate or a kilobyte centroid/query frame under a non-equi
+    condition (15 entries at sf0.01), which is the intended plan for
+    those shapes. A future edit that leaks a cartesian or a row-wise
+    UDF into ANY entry fails here without needing a dedicated test."""
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        flags = [
+            f
+            for f in ("CartesianProduct", "BatchEvalPython")
+            if f in plan
+        ]
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
