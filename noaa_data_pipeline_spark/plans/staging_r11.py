@@ -24,6 +24,12 @@ twin slots.
   segments: the DataSketches-style answer to audience overlap that
   HLL cannot give, with the sketch fully SQL-expressible so the
   cross-engine hash gate checks the actual estimates.
+- ``sim_ivf_pq_residual_search`` — RESIDUAL-encoded IVF+PQ (the
+  faithful faiss IndexIVFPQ): vectors quantize as x - centroid and
+  each query builds a per-probed-cell ADC table from its own
+  residual — the encoding that makes real IVFPQ indexes quantize
+  well, completing sim_ivf_pq_adc_search to the production
+  algorithm.
 
 Reference anchors (spec, not code): extend SURVEY.md's similarity
 lifecycle and sketch families beyond the reference's own surface,
@@ -39,9 +45,13 @@ from ..tables import load_table
 from . import Query
 from .graph_eval import _swap_persisted
 from .similarity import (
+    DIM,
     NPROBE,
     N_QUERIES,
+    PQ_SUBDIM,
     TOP_K,
+    _DEC,
+    _SQL_CENTROIDS,
     _SQL_DEC,
     _SQL_EMB,
     _SQL_PQ_PREFIX,
@@ -427,5 +437,235 @@ def events_kmv_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFra
             est(F.coalesce(F.col("n_inter"), F.lit(0)), F.col("theta")).alias(
                 "est_intersect"
             ),
+        )
+    )
+
+
+# --- sim_ivf_pq_residual_search ------------------------------------------
+
+# residual codebook size: codewords are keyed by vec_id % RESID_CODES
+# (the registry's deterministic stand-in for a k-means assignment —
+# the BUILD_MOD / label idiom), so training stays closed-form and the
+# oracle expressible. Residual codes must NOT key on the IVF cell:
+# within one cell the residual mean is ~0, which would collapse the
+# codebook to near-zero words.
+RESID_CODES = 4
+
+_SQL_RESID_SUBS = f"""
+    resid AS (
+        SELECT e.vec_id, e.label, e.vec_id % {RESID_CODES} AS ckey,
+               list_transform(list_zip(e.emb, v.cvec), x -> x[1] - x[2]) AS remb
+        FROM emb e JOIN cvecs v ON v.label = e.label
+    ),
+    rsub AS (
+        SELECT vec_id, label, ckey, s,
+               CASE s WHEN 0 THEN remb[1:{PQ_SUBDIM}]
+                      ELSE remb[{PQ_SUBDIM + 1}:{DIM}] END AS svec
+        FROM resid, (SELECT 0 AS s UNION ALL SELECT 1) subs
+    ),
+    rcomps AS (
+        SELECT s, ckey, unnest(svec) AS val,
+               generate_subscripts(svec, 1) AS dim
+        FROM rsub
+    ),
+    rcodebook AS (
+        SELECT s, ckey AS code, dim,
+               CAST(CAST(SUM(CAST(val AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS cval
+        FROM rcomps GROUP BY s, ckey, dim
+    ),
+    rcodewords AS (
+        SELECT s, code, list(cval ORDER BY dim) AS cw
+        FROM rcodebook GROUP BY s, code
+    ),
+    rdists AS (
+        SELECT v.vec_id, v.label, v.s, c.code,
+               {_sql_sqdist('v.svec', 'c.cw')} AS d
+        FROM rsub v JOIN rcodewords c ON c.s = v.s
+    ),
+    rbest AS (
+        SELECT vec_id, label, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM rdists
+    )"""
+
+
+@stage(
+    "sim_ivf_pq_residual_search",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    {_SQL_CENTROIDS},
+    cvecs AS (
+        SELECT label, list(cval ORDER BY dim) AS cvec FROM centroids GROUP BY label
+    ),
+    {_SQL_RESID_SUBS},
+    queries AS (
+        SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+        FROM emb WHERE vec_id < {N_QUERIES}
+    ),
+    cellrank AS (
+        SELECT q.query_id, v.label AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_SQL_SQDIST} ASC, v.label
+               ) AS crnk
+        FROM queries q CROSS JOIN cvecs v
+    ),
+    probes AS (SELECT query_id, cell FROM cellrank WHERE crnk <= {NPROBE}),
+    qresid AS (
+        SELECT p.query_id, p.cell,
+               list_transform(list_zip(q.q_emb, v.cvec), x -> x[1] - x[2]) AS remb
+        FROM probes p
+        JOIN queries q ON q.query_id = p.query_id
+        JOIN cvecs v ON v.label = p.cell
+    ),
+    qrsub AS (
+        SELECT query_id, cell, s,
+               CASE s WHEN 0 THEN remb[1:{PQ_SUBDIM}]
+                      ELSE remb[{PQ_SUBDIM + 1}:{DIM}] END AS svec
+        FROM qresid, (SELECT 0 AS s UNION ALL SELECT 1) subs
+    ),
+    qdist AS (
+        SELECT v.query_id, v.cell, v.s, c.code,
+               {_sql_sqdist('v.svec', 'c.cw')} AS qd
+        FROM qrsub v JOIN rcodewords c ON c.s = v.s
+    ),
+    adc AS (
+        SELECT q.query_id, cd.vec_id AS neighbor_id, SUM(q.qd) AS approx_d
+        FROM rbest cd
+        JOIN qdist q ON q.cell = cd.label
+                    AND q.s = cd.s AND q.code = cd.code
+        WHERE cd.rn = 1 AND cd.vec_id <> q.query_id
+        GROUP BY q.query_id, cd.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(CAST(approx_d AS VARCHAR) AS DOUBLE) AS approx_dist_sq, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY approx_d, neighbor_id
+        ) AS rnk
+        FROM adc
+    ) r WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_ivf_pq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded IVF+PQ search — the faithful faiss IndexIVFPQ:
+    vectors are PQ-encoded as the residual x - centroid(cell(x))
+    rather than the raw vector, and each query builds a SEPARATE ADC
+    lookup table per probed cell from ITS residual q - centroid(cell).
+    Residual encoding is why real IVFPQ indexes quantize well: within
+    a cell the residual distribution is centered, so a shared codebook
+    spends its codewords on the local geometry instead of the global
+    spread. Completes the staged sim_ivf_pq_adc_search (raw-vector
+    ADC) to the production algorithm.
+
+    Exactness: centroids, residual codebooks, code assignment, and
+    ADC tables all reuse the decimal + VARCHAR-hop machinery; cell
+    ranking orders on the string->double hop (the r10 ADVICE
+    convention); residuals themselves are single IEEE double
+    subtractions of decimal-derived values — bit-identical across
+    engines. Ties break on code / cell / neighbor_id everywhere.
+
+    Scale: same contract as the non-residual search — the centroid
+    table, residual codebooks (RESID_CODES x {2} x subdim), probe
+    lists, and the per-(query, cell) ADC tables (queries x nprobe x
+    subspaces x codes rows — kilobytes) all BROADCAST onto the
+    corpus-codes scan; per-(query, vector) sums combine map-side;
+    per-query top-k is a WindowGroupLimit; the corpus never shuffles.
+    The extra nprobe factor on the ADC tables is the documented
+    faiss trade: residual tables cannot be shared across cells."""
+    emb = _embeddings(spark, sf_dir)
+    cvecs = _centroid_vectors(emb)
+    resid = emb.join(F.broadcast(cvecs), "label").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % RESID_CODES).alias("ckey"),
+        F.zip_with("emb", "cvec", lambda x, c: x - c).alias("emb"),
+    )
+    rsub = _pq_subvectors(resid).withColumn(
+        "ckey", F.col("vec_id") % RESID_CODES
+    )
+    # closed-form residual codebook: per (s, ckey) subvector means
+    rcomps = rsub.select("s", "ckey", F.posexplode("svec").alias("dim", "val"))
+    rcodebook = rcomps.groupBy("s", F.col("ckey").alias("code"), "dim").agg(
+        (
+            F.sum(F.col("val").cast(_DEC)).cast("string").cast("double")
+            / F.count("*")
+        ).alias("cval")
+    )
+    rcodewords = rcodebook.groupBy("s", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda st: st["cval"],
+        ).alias("cw")
+    )
+    rdists = rsub.join(F.broadcast(rcodewords), "s").select(
+        "vec_id",
+        "label",
+        "s",
+        "code",
+        _sqdist(F.col("svec"), F.col("cw")).alias("d"),
+    )
+    rw = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    codes = (
+        rdists.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "s", "code")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+    )
+    cellrank = q.crossJoin(F.broadcast(cvecs)).select(
+        "query_id",
+        F.col("label").alias("cell"),
+        "q_emb",
+        _sqdist_dbl(F.col("q_emb"), F.col("cvec")).alias("d2"),
+    )
+    cw = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        cellrank.withColumn("crnk", F.row_number().over(cw))
+        .filter(F.col("crnk") <= NPROBE)
+        .select("query_id", "cell", "q_emb")
+    )
+    qresid = probes.join(
+        F.broadcast(cvecs.select(F.col("label").alias("cell"), "cvec")), "cell"
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("cell").alias("label"),  # rides through _pq_subvectors
+        F.zip_with("q_emb", "cvec", lambda x, c: x - c).alias("emb"),
+    )
+    qrsub = _pq_subvectors(qresid).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        "s",
+        "svec",
+    )
+    qdist = qrsub.join(F.broadcast(rcodewords), "s").select(
+        "query_id",
+        "cell",
+        "s",
+        "code",
+        _sqdist(F.col("svec"), F.col("cw")).alias("qd"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qdist),
+            (codes.label == qdist.cell) & (codes.s == qdist.s) & (codes.code == qdist.code),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("approx_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("approx_d").cast("string").cast("double").alias("approx_dist_sq"),
+            "rnk",
         )
     )

@@ -126,9 +126,10 @@ def _gate_compare(spark, lake, name, views):
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 def test_ivfpq_differential_fuzz(spark, tmp_path_factory, seed, n, n_zero):
     """Random fixed-width embedding lakes (including all-zero vectors)
-    must hash-match the IVFPQ oracle — cell-ranking tie-breaks, the
-    double-hop cell distances, and the ADC sum under arbitrary
-    values."""
+    must hash-match BOTH IVFPQ oracles (raw-vector and residual
+    encoding) — cell-ranking tie-breaks, the double-hop cell
+    distances, residual subtraction, codebook training, and the ADC
+    sums under arbitrary values."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -149,7 +150,8 @@ def test_ivfpq_differential_fuzz(spark, tmp_path_factory, seed, n, n_zero):
         ),
         f"{tmp}/embeddings.parquet",
     )
-    _gate_compare(spark, tmp, "sim_ivf_pq_adc_search", ["embeddings"])
+    for name in ("sim_ivf_pq_adc_search", "sim_ivf_pq_residual_search"):
+        _gate_compare(spark, tmp, name, ["embeddings"])
 
 
 # --- events_kmv_theta_sketch_overlap ------------------------------------
@@ -247,3 +249,29 @@ def test_kmv_differential_fuzz(spark, tmp_path_factory, seed, n_users, n_types):
     tmp = str(tmp_path_factory.mktemp("kmv_fuzz"))
     pq.write_table(tbl, f"{tmp}/events.parquet")
     _gate_compare(spark, tmp, "events_kmv_theta_sketch_overlap", ["events"])
+
+
+def test_residual_encoding_changes_the_ranking(spark, sf_dir):
+    """The residual search must be a real re-encoding, not a twin:
+    structural invariants (no self-pairs, contiguous per-query ranks)
+    hold, every query from the raw-vector search also answers here,
+    and at least one query's top-k ORDER differs from the raw-vector
+    ADC search — centered residual codebooks quantize differently
+    from global-vector codebooks by construction."""
+    res = STAGED["sim_ivf_pq_residual_search"].fn(spark, sf_dir).collect()
+    raw = STAGED["sim_ivf_pq_adc_search"].fn(spark, sf_dir).collect()
+    assert res
+    by_q_res, by_q_raw = {}, {}
+    for r in res:
+        assert r.query_id != r.neighbor_id
+        by_q_res.setdefault(r.query_id, []).append(r)
+    for r in raw:
+        by_q_raw.setdefault(r.query_id, []).append(r)
+    assert set(by_q_res) == set(by_q_raw)
+    for q, rows in by_q_res.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    def order(d):
+        return {q: [r.neighbor_id for r in sorted(rows, key=lambda r: r.rnk)]
+                for q, rows in d.items()}
+    assert order(by_q_res) != order(by_q_raw)
