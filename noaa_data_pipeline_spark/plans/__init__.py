@@ -32,54 +32,60 @@ PLAN_MODULES = [
     "lifecycle",
     "maintenance",
     "graph_eval",
+    "staging_r11",
 ]
 
 # The driver gate records exactly the first 50 registry entries, so
 # iteration order decides which entries get fresh driver evidence
-# each round. Round 10 window (the rotation drafted in GATE_LOG
-# "Round-10 rotation plan"): the 47 entries whose last driver
-# evidence is round 7 (at the edge of the 3-round freshness window
-# the meta-test in tests/test_registry_oracle.py enforces), plus the
-# three round-9-staged operators promoted into the registry this
-# round (plans/graph_eval.py — each oracle-proven at three SFs,
-# differentially fuzzed, and scale-curved before promotion).
+# each round. Round 11 window (the rotation drafted in GATE_LOG
+# "Round-11 rotation plan", amended per the r10 VERDICT tasks 1-2):
+# 44 of the 46 entries whose last driver evidence is round 8
+# (text_mask_numbers and text_bigram_topk defer to r12 — multi-round
+# green, source untouched since; the freshness meta-test forces them
+# into the r12 window when CORRECTNESS_r11 lands), plus six entries
+# whose PLAN changed recently and which therefore take driver
+# (re-)proof:
+# - sim_ivf_pq_adc_search: promoted this round (first evidence);
+# - sim_ivf_multiprobe, sim_incremental_ivf_insert: cell-ranking
+#   switched to _sqdist_dbl in r10 (they hold r9 evidence of the OLD
+#   plan only);
+# - q9/q21 *_bucketed twins: physical plan changed in r10 (sorted
+#   bucketed scan elision);
+# - lake_bucketed_copartition_join: the bucketed-lake builder moved
+#   to a stable root + layout manifest this round (r10 VERDICT task
+#   3), so its write/attach path is new.
 # NOTE (process): rotation only picks what the DRIVER re-checks;
 # every round must still pass the full-registry local gate
 # (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
-# Window-full exception (the r9 stream_windowed_counts precedent):
-# sim_ivf_multiprobe and sim_incremental_ivf_insert had their cell
-# RANKING expression switched to the string->double hop this round
-# (r10 ADVICE — output-identical on every gate lake, re-proven by the
-# full local gate); they hold fresh r9 driver evidence and ride the
-# drafted r11 window for driver re-proof.
 GATE_PRIORITY = [
-    # --- last driver evidence is round 7 (stalest 47)
-    "customer_order_counts", "customers_without_recent_orders",
-    "decontam_ngram_overlap", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "distinct_segment_nation", "emb_quantize_int8",
-    "events_asof_view_before_purchase", "events_daily_rollup_two_level",
-    "events_forward_fill", "events_json_extract",
-    "events_lag_lead_delta", "events_moving_avg_7",
-    "events_outcome_scoring", "events_rank_quartiles",
-    "events_time_grid_3h", "events_top3_winners",
-    "events_user_window_agg", "events_value_histogram",
-    "events_value_percentiles", "events_window_function_suite",
-    "lake_bucketed_copartition_join", "latest_events_limit",
-    "orders_date_arithmetic", "orders_pivot_status_by_priority",
-    "part_string_functions", "q12_linestatus_priority_split",
-    "q14_promo_revenue", "q18_large_volume_customers",
-    "q19_bracketed_revenue", "q1_pricing_summary_exact_agg",
-    "q2_cheapest_supplier_per_part", "q4_order_priority_check",
-    "rollup_revenue_by_nation_segment", "segments_intersect_except",
-    "sim_ann_lsh_hyperplane", "skew_salted_user_join",
-    "text_language_id", "text_norm_pandas_udf", "text_quality_score",
-    "text_token_counts", "top_orders_per_customer",
-    "union_by_name_schema_drift", "urgent_order_lines_semi",
-    # --- round-10 promotions (new registry entries need first driver
-    #     evidence; staged + oracle-proven in round 9)
-    "sim_knn_graph", "emb_matryoshka_truncate_eval",
-    "corpus_token_coverage",
+    # --- last driver evidence is round 8 (44 of the stale 46)
+    "cube_orders_priority_status", "dedup_clusters_cc",
+    "dedup_incremental_minhash", "dedup_minhash_estimator_quality",
+    "dedup_semantic_clusters", "dedup_semantic_purge",
+    "docs_pack_sequences", "events_anomaly_zscore",
+    "events_column_profile", "events_distinct_users_hll",
+    "events_funnel_ordered", "events_grouping_sets_marginals",
+    "events_interval_overlap_join", "events_linear_interpolate",
+    "events_percentiles_approx_sketch", "events_retention_cohorts",
+    "events_session_window_native", "events_sessionize_batch",
+    "events_sliding_24h_range_window", "kmeans_embeddings",
+    "orders_scd2_status_intervals", "orders_status_transitions",
+    "q10_returned_items_customers", "q13_customer_order_distribution",
+    "q16_supplier_part_relationships", "q17_small_quantity_revenue",
+    "q20_excess_stock_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "q6_forecast_revenue_delta",
+    "q7_volume_shipping", "q9_product_type_profit",
+    "sample_stratified_hash", "sim_ann_recall_eval", "sim_mmr_rerank",
+    "source_curation_report", "split_train_val_hash",
+    "stream_compaction_report", "stream_windowed_counts",
+    "text_fingerprint_winnow", "text_perplexity_proxy",
+    "text_repetition_ratio", "text_tfidf_topk", "text_token_rarity",
+    # --- round-11 promotion (first driver evidence)
+    "sim_ivf_pq_adc_search",
+    # --- r10-edited plans riding this window for driver re-proof
+    "sim_ivf_multiprobe", "sim_incremental_ivf_insert",
+    "q9_product_type_profit_bucketed", "q21_waiting_suppliers_bucketed",
+    "lake_bucketed_copartition_join",
 ]
 
 

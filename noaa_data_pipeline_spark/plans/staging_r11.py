@@ -1,18 +1,14 @@
-"""Round-11 candidate operators, staged OUTSIDE the driver registry.
+"""Round-11 candidates: one promoted, two staged for round 12.
 
-The round-10 gate window is exactly full (50 = 47 stale re-proves +
-the 3 graph_eval promotions — see GATE_PRIORITY in
-``plans/__init__.py``), so these candidates wait here, oracle-proven
-under pytest only (tests/test_staging_r11.py runs the exact
-driver-gate compare), and round 11+ promotes them by moving the
-``stage`` decorators to ``register`` and adding the names to
-GATE_PRIORITY — the same staged-promotion path every round-7..10
-operator took. Promotion order (GATE_LOG r11 rotation plan): the r11
-window is 46 stale + sim_ivf_pq_adc_search (promotion) + the two
-r10-edited IVF entries = 49, leaving ~1 slot; the KMV sketch promotes
-in r11 if that slot survives, else in r12 — by which point the
+``sim_ivf_pq_adc_search`` PROMOTED in round 11 (its decorator is now
+``register`` and the module sits in PLAN_MODULES): first driver
+evidence rides the r11 gate window per the GATE_LOG rotation plan.
+The other two candidates stay staged, oracle-proven under pytest
+only (tests/test_staging_r11.py runs the exact driver-gate compare),
+and promote in round 12 as window slots free — by which point the
 registry-cap consolidation rule (GATE_LOG r10) frees the *_bucketed
-twin slots.
+twin slots (the cap binds at 147; registry is 147 after this
+promotion).
 
 - ``sim_ivf_pq_adc_search`` — the production IVF+PQ combined search
   (faiss IndexIVFPQ): probe the nprobe nearest cells, ADC-score only
@@ -42,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from . import Query
+from . import Query, register
 from .graph_eval import _swap_persisted
 from .similarity import (
     DIM,
@@ -87,7 +83,7 @@ def stage(name: str, oracle: str | None = None, doc: str = ""):
 # --- sim_ivf_pq_adc_search ----------------------------------------------
 
 
-@stage(
+@register(
     "sim_ivf_pq_adc_search",
     oracle=f"""
     WITH emb AS ({_SQL_EMB}),
@@ -356,6 +352,10 @@ def events_kmv_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     # no persist 6.4 s, lazy persist 3.45 s, eager fill 1.34 s. The
     # count is a k x segments job (sketch-sized, not corpus-sized: it
     # reads the same exchange the cache fill needs anyway).
+    # r10 ADVICE: the construction-time job is the documented
+    # exemption in tests/test_staging_r11.py::CONSTRUCTION_LAZY_EXEMPT
+    # — that record must move with this entry when it promotes, and
+    # any future laziness meta-test must carry the same exemption.
     sk = _swap_persisted(
         _KMV_PERSISTED,
         hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K),

@@ -1,11 +1,14 @@
-"""Round-11 staged candidate: driver-gate-equivalent checks.
+"""Round-11 candidates: driver-gate-equivalent checks.
 
-``sim_ivf_pq_adc_search`` lives outside the driver registry this
-round (the r10 gate window is exactly full — 47 stale re-proves + 3
-graph_eval promotions; see plans/staging_r11.py docstring), so this
-file applies the same row-count + columns + order-insensitive value
-hash compare the driver gate uses, plus the restriction-consistency
-assertion and differential fuzz the r9 staging protocol established.
+``sim_ivf_pq_adc_search`` promoted to the driver registry in r11;
+its two siblings stay staged for r12 (see plans/staging_r11.py
+docstring). This file applies the same row-count + columns +
+order-insensitive value hash compare the driver gate uses, plus the
+restriction-consistency assertion and differential fuzz the r9
+staging protocol established — for the promoted entry too (the
+registry oracle test covers it as well; the fuzz and structural
+checks here are staging-protocol extras the registry suite doesn't
+run).
 
 Run with SPARK_GRAFT_TEST_SF_DIR at sf0.001 / sf0.01 / sf0.1 for the
 three-SF staging proof (the maintenance-op promotion protocol).
@@ -26,12 +29,22 @@ def _staged_names():
     return sorted(STAGED.keys())
 
 
+def _lookup(name):
+    """Find a candidate wherever it lives: sim_ivf_pq_adc_search
+    promoted to the registry in r11, its two siblings are still
+    staged."""
+    return STAGED.get(name) or load_all()[name]
+
+
 def test_staging_is_not_registered():
-    """The staging module must not leak into the driver registry:
-    the r10 window is full, so a leak would break the gate-rotation
-    freshness invariant mid-round."""
+    """The still-staged candidates must not leak into the driver
+    registry (a leak would break the gate-rotation freshness
+    invariant mid-round), and the r11 promotion must have LEFT the
+    staging dict."""
     registered = set(load_all().keys())
     assert not (set(STAGED) & registered)
+    assert "sim_ivf_pq_adc_search" in registered
+    assert "sim_ivf_pq_adc_search" not in STAGED
 
 
 def test_ivfpq_search_restricts_to_probed_cells(spark, sf_dir):
@@ -43,7 +56,7 @@ def test_ivfpq_search_restricts_to_probed_cells(spark, sf_dir):
     ADC list (the probe restriction must actually bite — if the lists
     always match, nprobe covers the whole corpus and the entry is a
     no-op twin)."""
-    ivfpq = STAGED["sim_ivf_pq_adc_search"].fn(spark, sf_dir).collect()
+    ivfpq = _lookup("sim_ivf_pq_adc_search").fn(spark, sf_dir).collect()
     full = load_all()["sim_pq_adc_topk"].fn(spark, sf_dir).collect()
     assert ivfpq
     full_d = {(r.query_id, r.neighbor_id): r.approx_dist_sq for r in full}
@@ -96,7 +109,7 @@ def test_staged_matches_oracle(spark, duck, sf_dir, name):
 def _gate_compare(spark, lake, name, views):
     import duckdb
 
-    q = STAGED[name]
+    q = _lookup(name)
     con = duckdb.connect()
     for t in views:
         con.execute(
@@ -258,8 +271,8 @@ def test_residual_encoding_changes_the_ranking(spark, sf_dir):
     and at least one query's top-k ORDER differs from the raw-vector
     ADC search — centered residual codebooks quantize differently
     from global-vector codebooks by construction."""
-    res = STAGED["sim_ivf_pq_residual_search"].fn(spark, sf_dir).collect()
-    raw = STAGED["sim_ivf_pq_adc_search"].fn(spark, sf_dir).collect()
+    res = _lookup("sim_ivf_pq_residual_search").fn(spark, sf_dir).collect()
+    raw = _lookup("sim_ivf_pq_adc_search").fn(spark, sf_dir).collect()
     assert res
     by_q_res, by_q_raw = {}, {}
     for r in res:
@@ -275,3 +288,47 @@ def test_residual_encoding_changes_the_ranking(spark, sf_dir):
         return {q: [r.neighbor_id for r in sorted(rows, key=lambda r: r.rnk)]
                 for q, rows in d.items()}
     assert order(by_q_res) != order(by_q_raw)
+
+
+# --- construction laziness (r10 ADVICE) --------------------------------
+
+# Candidates whose CONSTRUCTION may launch a Spark job, with the
+# reason on record BEFORE promotion (r10 ADVICE: laziness is the
+# registry convention test_multiprobe_plan_construction_is_lazy pins,
+# so any exception must be documented here, not discovered by a
+# harness later).
+CONSTRUCTION_LAZY_EXEMPT = {
+    # events_kmv_theta_sketch_overlap eagerly fills its sketch cache
+    # at construction: the sketch is referenced from five subtrees of
+    # ONE job, which otherwise serialize on the cold cache's block
+    # locks — measured at x200: no persist 6.4 s, lazy persist
+    # 3.45 s, eager fill 1.34 s. The fill job is sketch-sized (k x
+    # segments rows) and reads the same exchange the cache needs
+    # anyway. Harnesses that construct every frame up front pay that
+    # one job per construction — the accepted trade.
+    "events_kmv_theta_sketch_overlap",
+}
+
+CANDIDATES = [
+    "sim_ivf_pq_adc_search",
+    "events_kmv_theta_sketch_overlap",
+    "sim_ivf_pq_residual_search",
+]
+
+
+def test_candidate_construction_laziness(spark, sf_dir):
+    """Every r11 candidate constructs without launching a Spark job,
+    except the documented exemptions — whose eager fill must really
+    run (if it stops running, the exemption is stale and should be
+    deleted)."""
+    tracker = spark.sparkContext.statusTracker()
+    for name in CANDIDATES:
+        fn = _lookup(name).fn
+        fn(spark, sf_dir)  # warm table/footer caches
+        before = set(tracker.getJobIdsForGroup(None) or ())
+        fn(spark, sf_dir)
+        after = set(tracker.getJobIdsForGroup(None) or ())
+        if name in CONSTRUCTION_LAZY_EXEMPT:
+            assert after != before, f"{name}: documented eager fill vanished"
+        else:
+            assert after == before, f"{name} construction launched a job"
