@@ -5,7 +5,9 @@ two-phase exact aggregation — the patterns that keep plans healthy at
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -258,10 +260,50 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_BUCKETS = 8
-# Per-process root: two concurrent runs (parallel pytest + a gate
-# sweep) must never race mode('overwrite') writes against each
-# other's readers on a shared path (r6 ADVICE).
-_BUCKET_ROOT = f"/tmp/noaa_spark_bucketed_{os.getpid()}"
+# STABLE shared root (r11, r10 VERDICT task 3): a layout plus its
+# manifest survives the process that built it, so a COLD
+# default-configured session can route onto a previously-declared
+# warehouse layout (file presence, not hidden session state). The r6
+# concurrent-writer hazard that motivated the old per-pid root is
+# handled differently now: builders write into a per-pid staging dir
+# and PUBLISH with one atomic os.rename — a reader either sees no
+# layout (and builds its own) or a complete one, never a half-write.
+_BUCKET_ROOT = "/tmp/noaa_spark_bucketed"
+_FACTS = [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]
+
+
+def _manifest_path(tag: str) -> str:
+    return os.path.join(_BUCKET_ROOT, tag, "manifest.json")
+
+
+def _read_manifest(tag: str) -> dict | None:
+    """The layout manifest, or None unless it parses AND every data
+    file it lists is still on disk (a half-deleted /tmp cache must
+    read as absent, not as a routable warehouse)."""
+    try:
+        with open(_manifest_path(tag)) as fh:
+            m = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    files = m.get("files")
+    if not isinstance(files, dict) or set(files) != {n for n, _ in _FACTS}:
+        return None
+    for name, names in files.items():
+        d = os.path.join(_BUCKET_ROOT, tag, name)
+        if not names or not all(
+            os.path.isfile(os.path.join(d, f)) for f in names
+        ):
+            return None
+    return m
+
+
+def _write_manifest(dirpath: str, payload: dict) -> None:
+    """Atomic manifest (re)write: temp file + rename, so a concurrent
+    reader never parses a partial JSON."""
+    tmp = os.path.join(dirpath, f".manifest_{os.getpid()}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    os.replace(tmp, os.path.join(dirpath, "manifest.json"))
 
 
 def _bucket_tag(sf_dir: str) -> str:
@@ -300,22 +342,64 @@ def _bucket_tag(sf_dir: str) -> str:
     return f"{base}_{fp}"
 
 
-def bucketed_lake_available(spark: SparkSession, sf_dir: str) -> bool:
-    """Lake-layout router predicate (r6 VERDICT task 2): True iff
-    ``SPARK_GRAFT_BUCKETED=1`` declares the session a warehouse
-    profile (bench/scale runs), in which case the first consumer
-    builds/attaches the layout once via :func:`bucketed_fact_tables`.
+def _one_file_per_bucket(path: str) -> bool:
+    """True iff every parquet file under ``path`` carries a distinct
+    bucket ID (the ``_NNNNN`` filename suffix Spark's bucketed writer
+    emits and its scan planner parses back). Empty buckets are fine —
+    no file means no rows, so the per-bucket sorted-output claim
+    holds vacuously; what must never happen is two files sharing a
+    bucket ID, whose concatenation is unsorted."""
+    import glob as _glob
+    import re as _re
 
-    Routing is an EXPLICIT opt-in only (r7 ADVICE): the earlier
-    catalog-presence probe made q9/q21's physical plan depend on
-    hidden session state — anything that had built the bucketed
-    layout earlier in the same session (e.g. a plan-shape test in the
-    same pytest run) silently flipped every later call to the
-    bucketed plan, so the un-bucketed plans could lose oracle
-    evidence in the very gate meant to re-prove them. The driver's
-    correctness gate runs without the env var and therefore always
-    verifies the un-bucketed plans."""
-    return os.environ.get("SPARK_GRAFT_BUCKETED") == "1"
+    ids = []
+    for p in _glob.glob(os.path.join(path, "*.parquet")):
+        if not os.path.isfile(p):
+            continue
+        m = _re.search(r"_(\d{5})(?=\.)", os.path.basename(p))
+        if m is None:
+            return False  # unrecognizable layout: claim nothing
+        ids.append(int(m.group(1)))
+    return len(ids) > 0 and len(ids) == len(set(ids))
+
+
+def bucketed_lake_available(spark: SparkSession, sf_dir: str) -> bool:
+    """Lake-layout router predicate (r6 VERDICT task 2; manifest
+    routing r11, r10 VERDICT task 3). Decision ladder:
+
+    1. ``SPARK_GRAFT_BUCKETED=1`` — explicit warehouse profile
+       (bench/scale runs): route bucketed; the first consumer
+       builds/attaches the layout via :func:`bucketed_fact_tables`.
+    2. ``SPARK_GRAFT_BUCKETED=0`` — explicit pin to the un-bucketed
+       plans. The correctness gates set this (tools/
+       check_correctness.py) so oracle evidence always covers the
+       un-bucketed plans deterministically.
+    3. env unset — route bucketed iff a DECLARED warehouse manifest
+       for this exact lake fingerprint + bucket count exists on disk
+       (``warehouse: true``, written only by a build that ran under
+       env=1 or via :func:`declare_warehouse`). This is the r10
+       VERDICT task-3 self-serve path: once a warehouse run built
+       the layout at x100, a cold default session runs the routed
+       ≤1.86x plan instead of the 4x fallback.
+
+    Why a manifest and not session state (r7 ADVICE): the old
+    catalog-presence probe made q9/q21's physical plan depend on what
+    happened EARLIER IN THE SAME SESSION — e.g. a plan-shape test
+    building the layout silently flipped every later call, so the
+    un-bucketed plans could lose oracle evidence in the very gate
+    meant to re-prove them. The manifest is durable on-disk state,
+    keyed to the lake's content fingerprint, inspectable, and an
+    INCIDENTAL build (lake_bucketed_copartition_join running inside a
+    gate, env unset) records ``warehouse: false`` — it never flips
+    routing. tests/test_bucketed_routing.py pins all four rungs."""
+    env = os.environ.get("SPARK_GRAFT_BUCKETED")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    n_buckets = max(N_BUCKETS, spark.sparkContext.defaultParallelism)
+    m = _read_manifest(f"{_bucket_tag(sf_dir)}_b{n_buckets}")
+    return bool(m and m.get("warehouse"))
 
 
 # (applicationId, tag) -> (orders, lineitem): skips the per-call
@@ -344,19 +428,35 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
     plan wins (see q21_waiting_suppliers_bucketed). The pre-write
     repartition yields one file per bucket here (small SFs); at
     scale you keep multiple sorted files per bucket and Spark
-    sort-merges within the bucket, still shuffle-free."""
+    sort-merges within the bucket, still shuffle-free.
+
+    r11: the layout persists under a STABLE root with a manifest
+    (atomic staging-dir publish), and sessions ATTACH to published
+    files via external-table DDL instead of rewriting — a build under
+    SPARK_GRAFT_BUCKETED=1 (or declare_warehouse) durably declares
+    the warehouse profile that bucketed_lake_available's default
+    routing reads."""
     n_buckets = max(N_BUCKETS, spark.sparkContext.defaultParallelism)
     tag = f"{_bucket_tag(sf_dir)}_b{n_buckets}"
     cache_key = (spark.sparkContext.applicationId, tag)
     cached = _BUCKETED_CACHE.get(cache_key)
     if cached is not None:
         return cached
-    out: list[DataFrame] = []
-    one_file_per_bucket = True
-    for name, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
-        tbl = f"bkt_{name}_{tag}"
-        path = os.path.join(_BUCKET_ROOT, tag, name)
-        if not spark.catalog.tableExists(tbl):
+    final_dir = os.path.join(_BUCKET_ROOT, tag)
+    declared = os.environ.get("SPARK_GRAFT_BUCKETED") == "1"
+    manifest = _read_manifest(tag)
+    if manifest is None:
+        # Build into a per-pid staging dir and PUBLISH with one atomic
+        # rename — concurrent readers (parallel pytest + a gate sweep,
+        # the r6 ADVICE hazard) see either no layout or a complete one.
+        staging = os.path.join(_BUCKET_ROOT, f".build_{tag}_{os.getpid()}")
+        shutil.rmtree(staging, ignore_errors=True)
+        import glob as _glob
+
+        files: dict[str, list[str]] = {}
+        for name, key in _FACTS:
+            tmp_tbl = f"bkt_build_{name}_{tag}_{os.getpid()}"
+            path = os.path.join(staging, name)
             (
                 load_table(spark, sf_dir, name)
                 .repartition(n_buckets, key)
@@ -364,26 +464,73 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
                 .sortBy(key)
                 .option("path", path)
                 .mode("overwrite")
-                .saveAsTable(tbl)
+                .saveAsTable(tmp_tbl)
             )
-        import glob as _glob
-
-        n_files = len(
-            [
-                p
+            # external table (explicit path): DROP unregisters the
+            # build handle, the data files stay for the attach below
+            spark.sql(f"DROP TABLE {tmp_tbl}")
+            files[name] = sorted(
+                os.path.basename(p)
                 for p in _glob.glob(os.path.join(path, "*.parquet"))
-                if os.path.isfile(p)
-            ]
+            )
+        _write_manifest(
+            staging,
+            {
+                "n_buckets": n_buckets,
+                "keys": dict(_FACTS),
+                "files": files,
+                "warehouse": declared,
+            },
         )
-        one_file_per_bucket = one_file_per_bucket and n_files == n_buckets
+        try:
+            os.rename(staging, final_dir)
+        except OSError:
+            # lost a publish race, or a stale half-deleted final dir
+            # is in the way: keep a valid existing layout, else
+            # replace the debris with ours
+            if _read_manifest(tag) is None:
+                shutil.rmtree(final_dir, ignore_errors=True)
+                os.rename(staging, final_dir)
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
+        manifest = _read_manifest(tag)
+    if declared and manifest is not None and not manifest.get("warehouse"):
+        # an env=1 session upgrades an incidentally-built layout to a
+        # declared warehouse (durable: later cold sessions auto-route)
+        manifest["warehouse"] = True
+        _write_manifest(final_dir, manifest)
+    out: list[DataFrame] = []
+    one_file_per_bucket = True
+    for name, key in _FACTS:
+        tbl = f"bkt_{name}_{tag}"
+        path = os.path.join(final_dir, name)
+        if not spark.catalog.tableExists(tbl):
+            # ATTACH, never rewrite: an external bucketed table over
+            # the published files. The builder session takes the same
+            # path as a cold one, so the attach DDL is exercised on
+            # every route (not just the cross-session case).
+            ddl = spark.read.parquet(path)._jdf.schema().toDDL()
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+            )
+        one_file_per_bucket = one_file_per_bucket and _one_file_per_bucket(path)
         out.append(spark.table(tbl))
     # Use the write-time sortBy at SCAN time: Spark 3+ ignores bucket
     # sort metadata by default (with >1 file per bucket the claim
     # would be wrong — each FILE is sorted, their concatenation is
     # not, and a merge join on it would silently produce wrong rows),
     # so the sorted-scan conf is set ONLY after verifying the layout
-    # this writer guarantees: exactly one file per bucket (the
-    # pre-write repartition). Elides both SMJ sorts in the q9/q21
+    # this writer guarantees: at most one file per bucket ID, parsed
+    # from each filename's _NNNNN suffix (r10 ADVICE: a bare
+    # file-count == n_buckets check does not imply one file PER
+    # bucket — an empty bucket plus a two-file bucket also totals
+    # n_buckets). Spark independently re-verifies the same property
+    # at scan planning (FileSourceScanExec only trusts the legacy
+    # outputOrdering conf for single-file buckets), so this guard is
+    # about setting the conf honestly, not the last line of defense.
+    # Elides both SMJ sorts in the q9/q21
     # twins — measured 1.03 s -> 0.86 s at x100 (GATE_LOG r10). A
     # multi-file layout (the at-scale shape the docstring above
     # describes) keeps the conf false and pays the per-bucket sort.
@@ -395,6 +542,27 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
         del _BUCKETED_CACHE[k]
     _BUCKETED_CACHE[cache_key] = (out[0], out[1])
     return out[0], out[1]
+
+
+def declare_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Build (if absent) the bucketed layout for ``sf_dir`` and mark
+    its manifest ``warehouse: true`` — the explicit self-serve
+    declaration (r10 VERDICT task 3): after this one-time ingest
+    step, every later DEFAULT-configured session on this lake routes
+    q9/q21 to the bucketed plans, no env var needed. Returns the
+    layout directory. Equivalent to running any bucketed consumer
+    under ``SPARK_GRAFT_BUCKETED=1``; an explicit ``=0`` still pins
+    the un-bucketed plans (the gate profile)."""
+    bucketed_fact_tables(spark, sf_dir)
+    n_buckets = max(N_BUCKETS, spark.sparkContext.defaultParallelism)
+    tag = f"{_bucket_tag(sf_dir)}_b{n_buckets}"
+    manifest = _read_manifest(tag)
+    if manifest is None:  # pragma: no cover - build just published it
+        raise RuntimeError(f"bucketed layout missing after build: {tag}")
+    if not manifest.get("warehouse"):
+        manifest["warehouse"] = True
+        _write_manifest(os.path.join(_BUCKET_ROOT, tag), manifest)
+    return os.path.join(_BUCKET_ROOT, tag)
 
 
 @register(

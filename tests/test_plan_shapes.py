@@ -432,7 +432,14 @@ def test_decontam_two_shuffles_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
-def test_q9_routes_to_bucketed_when_warehouse(spark, sf_dir, monkeypatch):
+def test_q9_routes_to_bucketed_when_warehouse(spark, sf_dir, monkeypatch, tmp_path):
+    # isolated layout root: the env=1 build below durably declares a
+    # warehouse manifest (r11 semantics) and must not leak onto the
+    # shared root other tests / the real gate lake see
+    from noaa_data_pipeline_spark.plans import scale
+    from tests.test_bucketed_routing import isolate_layout_root
+
+    isolate_layout_root(spark, monkeypatch, str(tmp_path / "bkt"))
     monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "1")
     plan = plan_of(spark, sf_dir, "q9_product_type_profit")
     # routed to the bucketed twin: the orders merge join consumes the
@@ -441,16 +448,17 @@ def test_q9_routes_to_bucketed_when_warehouse(spark, sf_dir, monkeypatch):
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     monkeypatch.setenv("SPARK_GRAFT_BUCKETED", "0")
     plan = plan_of(spark, sf_dir, "q9_product_type_profit")
-    # and explicit opt-out really does serve the un-bucketed plan
+    # the explicit gate pin serves the un-bucketed plan even though
+    # the env=1 call above declared the warehouse manifest — this is
+    # the profile tools/check_correctness.py runs under
     assert "bkt_lineitem" not in plan
-    # DEFAULT (env unset) also serves the un-bucketed plan, even
-    # though this session's catalog has the bucketed tables from the
-    # env=1 call above — routing is an explicit opt-in only (r7
-    # ADVICE: the old catalog-presence probe made the gate's q9/q21
-    # evidence depend on what ran earlier in the same session)
+    # DEFAULT (env unset): the declared manifest now routes (r11,
+    # r10 VERDICT task 3 — durable file-presence state, not hidden
+    # session state; the incidental-build no-flip case is pinned in
+    # tests/test_bucketed_routing.py)
     monkeypatch.delenv("SPARK_GRAFT_BUCKETED")
     plan = plan_of(spark, sf_dir, "q9_product_type_profit")
-    assert "bkt_lineitem" not in plan
+    assert "bkt_lineitem" in plan
 
 
 def test_multiprobe_plan_construction_is_lazy(spark, sf_dir):

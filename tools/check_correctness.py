@@ -10,6 +10,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -63,6 +64,15 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from noaa_data_pipeline_spark.session import get_spark
+
+    # Gate profile (r11, r10 VERDICT task 3): pin the un-bucketed
+    # plans explicitly so oracle evidence always covers them, even on
+    # a box where a bench run has durably declared the warehouse
+    # manifest for this lake (plans/scale.bucketed_lake_available's
+    # default routing would otherwise flip q9/q21 to the bucketed
+    # twins' plans — output-identical, but then the un-bucketed
+    # physical plans would silently lose their oracle coverage).
+    os.environ["SPARK_GRAFT_BUCKETED"] = "0"
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
