@@ -40,6 +40,8 @@ additions they follow.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -69,12 +71,24 @@ def _swap_persisted(slot: list[DataFrame], frame: DataFrame) -> DataFrame:
     logical plan, so persist-before-unpersist would hit the
     CacheManager's already-cached entry (making the new persist a
     no-op) and the old frame's unpersist would then drop the cache
-    entirely."""
+    entirely.
+
+    The slot is deliberately ONE per entry, not per (entry, lake):
+    alternating invocations across two lakes in one session recompute
+    rather than hold both lakes' partitions — a perf-only trade that
+    bounds cache growth at one invocation per entry (r10 ADVICE
+    documents the cross-lake recompute as accepted behavior)."""
     while slot:
+        prev = slot.pop()
         try:
-            slot.pop().unpersist()
-        except Exception:
-            pass  # frame from a stopped session
+            prev.unpersist()
+        except Exception as exc:  # stopped-session py4j errors only
+            # r10 ADVICE: don't swallow silently — the expected case
+            # is a frame whose owning SparkSession was stopped by a
+            # test fixture; anything else should be visible in logs.
+            logging.getLogger(__name__).warning(
+                "unpersist of previous invocation's frame failed: %s", exc
+            )
     slot.append(frame.persist())
     return frame
 

@@ -132,30 +132,41 @@ def test_matryoshka_plan_shares_one_scored_pass(spark, sf_dir):
 def test_promoted_entries_swap_persisted_frames(spark, sf_dir):
     """r10 ADVICE: repeated invocations must not accumulate cached
     blocks — the second call unpersists the first call's frames, so
-    the JVM's persistent-RDD count is flat across invocations (at
-    most one invocation's worth stays registered per entry).
-    storageLevel can't prove this: a repeat invocation re-persists
-    the identical logical plan, so the OLD DataFrame object reports
-    the NEW cache entry."""
+    at most ONE invocation's worth of RDDs stays registered per
+    entry. storageLevel can't prove this: a repeat invocation
+    re-persists the identical logical plan, so the OLD DataFrame
+    object reports the NEW cache entry. CacheManager lookup can't
+    either, for the same plan-keyed reason. So the assertion is
+    scoped to the persistent-RDD IDs this entry's own calls ADD over
+    a pre-loop snapshot (r10 ADVICE: a global size() comparison is
+    order-dependent — any other fixture persisting in the shared
+    session would shift it)."""
     from noaa_data_pipeline_spark.plans import graph_eval as ge
 
-    def n_cached():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def cached_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
 
     reg = load_all()
     for name, slot in (
         ("sim_knn_graph", ge._KNN_PERSISTED),
         ("emb_matryoshka_truncate_eval", ge._MRL_PERSISTED),
     ):
+        before = cached_ids()
         reg[name].fn(spark, sf_dir).collect()
         first = list(slot)
         assert len(first) == 1
-        baseline = n_cached()
         for _ in range(3):
             reg[name].fn(spark, sf_dir).collect()
             assert len(slot) == 1
             assert slot[0] is not first[0]
-            assert n_cached() <= baseline
+            # only the LATEST invocation's frame may remain of
+            # everything this loop added to the cache registry
+            added = cached_ids() - before
+            assert len(added) <= 1, (
+                f"{name} accumulated cached RDDs across invocations: "
+                f"{sorted(added)}"
+            )
 
 
 # --- differential fuzz (driver-gate compare on adversarial lakes) -----
