@@ -342,34 +342,52 @@ SIMHASH_BANDS = 4  # 8-bit bands
 SIMHASH_MAX_HAMMING = 6
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH toks AS ({textops.sql_tokens('documents')}),
-    hashed AS (
+# Shared oracle CTE prefix ending in ``simhash_pairs(doc_a, doc_b,
+# hamming)`` — reused by the dedup_simhash entry and the composed
+# simhash -> CC -> purge pipeline (plans/composites.py). The hamming
+# verification sits INSIDE the distinct (r11): band collisions that
+# fail it never reach the dedup exchange, so the distinct's volume
+# drops from every chance band collision (~212M rows at x100mut,
+# each carrying two 64-bit sigs — the wall GATE_LOG r10 documents)
+# to the verified pairs only (narrower rows, and fewer: how many
+# fewer depends on the corpus's near-dup density — see the measured
+# x100mut rows in GATE_LOG r11).
+SQL_SIMHASH_VERIFIED_PAIRS = f"""
+    toks AS ({textops.sql_tokens('documents')}),
+    simhashed AS (
         SELECT doc_id,
                CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
         FROM toks
     ),
-    sigs AS (
+    simsigs AS (
         SELECT doc_id,
                {' + '.join(f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)" for j in range(32))} AS sig
-        FROM hashed GROUP BY doc_id
+        FROM simhashed GROUP BY doc_id
     ),
-    bands AS (
+    simbands AS (
         SELECT doc_id, sig, b.range AS band, (sig >> (b.range * 8)) & 255 AS bucket
-        FROM sigs, range({4}) b
+        FROM simsigs, range({4}) b
     ),
-    cand AS (
+    simhash_pairs AS MATERIALIZED (
+        -- MATERIALIZED: the composite's cc_edges CTE reads this
+        -- relation once per direction; without the hint DuckDB
+        -- inlines the whole band-join pipeline into each branch,
+        -- doubling the candidate-verification cost (the
+        -- iterative._cc_labels_cte rationale). Neutral for the
+        -- single-consumer dedup_simhash entry oracle.
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.sig AS sig_a, b.sig AS sig_b
-        FROM bands a JOIN bands b
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM simbands a JOIN simbands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+        WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
+    )"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {SQL_SIMHASH_VERIFIED_PAIRS}
+    SELECT doc_a, doc_b, hamming FROM simhash_pairs
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,7 +396,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, Hamming distance <= 6 verifies. Scale: the signature
     is one map-side-combined groupBy (32 conditional sums, no
     per-bit row explosion); the band join shuffles only (band,
-    bucket) keys; verification is an O(1) xor per candidate."""
+    bucket) keys; verification is an O(1) xor per candidate,
+    applied BEFORE the pair dedup (r11) so the distinct exchange
+    carries only verified pairs — at x100mut it previously carried
+    every chance band collision (~212M rows with two 64-bit sigs
+    each, the 41 s wall GATE_LOG r10 analyzes); the verified set is
+    smaller by the corpus's failure rate and the rows are narrower
+    (measured x100mut rows in GATE_LOG r11). Plan edited r11: holds
+    r10 driver evidence of the filter-after-distinct plan; rides the
+    r12 window for driver re-proof (the sim_ivf_multiprobe
+    precedent)."""
+    return simhash_pairs(spark, sf_dir)
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified SimHash near-dup pairs (doc_a, doc_b, hamming) — the
+    edge set the composed purge pipeline consumes."""
     docs = load_table(spark, sf_dir, "documents")
     toks = textops.tokens_df(
         docs, partitions=spark.sparkContext.defaultParallelism
@@ -416,7 +449,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -426,16 +460,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
+        # verify FIRST (a map-side xor on the join output), THEN
+        # dedup the survivors: the same (doc_a, doc_b) colliding in
+        # several bands has one deterministic hamming, so
+        # filter-then-distinct is output-identical to the old
+        # distinct-then-filter while shuffling only true near-dups
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

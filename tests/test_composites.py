@@ -1,0 +1,57 @@
+"""Composed-pipeline shapes (plans/composites.py): gate-equivalent
+oracle compare plus the structural claims the composition makes."""
+
+from __future__ import annotations
+
+import pytest
+
+from noaa_data_pipeline_spark.plans import load_all
+from noaa_data_pipeline_spark.plans.composites import COMPOSITES
+from tools.check_correctness import frame_digest
+
+
+def test_composites_do_not_collide_or_register():
+    """Composites are a measurement surface: never in the driver
+    registry, never shadowing a staged candidate (bench_scale's
+    lookup gives them lowest precedence, so a collision would
+    silently bench the wrong plan)."""
+    from noaa_data_pipeline_spark.plans.staging_r11 import STAGED
+
+    registered = set(load_all())
+    assert not (set(COMPOSITES) & registered)
+    assert not (set(COMPOSITES) & set(STAGED))
+
+
+@pytest.mark.parametrize("name", sorted(COMPOSITES))
+def test_composite_matches_oracle(spark, duck, sf_dir, name):
+    """The exact driver-gate compare (rows + columns + value hash)
+    on the composed shape — the scale rows BENCH_SCALE records for a
+    composite are only trustworthy if the two engines agree on what
+    the composition computes."""
+    q = COMPOSITES[name]
+    sdf = q.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert q.oracle is not None
+    res = duck.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    sh, slines = frame_digest(sdf.columns, srows)
+    oh, olines = frame_digest(ocols, orows)
+    if sh != oh:
+        only_s = [x for x in slines if x not in set(olines)][:3]
+        only_o = [x for x in olines if x not in set(slines)][:3]
+        pytest.fail(f"{name} hash mismatch; spark={only_s} oracle={only_o}")
+
+
+def test_simhash_purge_pipeline_consumes_pairs(spark, sf_dir):
+    """The composition's point: the verified pair list is consumed by
+    CC + the report, never emitted — the result is the per-source
+    accounting (one row per source), and the purge arithmetic is
+    internally consistent."""
+    rows = COMPOSITES["dedup_simhash_purge_pipeline"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.docs_before == r.docs_removed + r.docs_after
+        assert r.docs_removed >= 0

@@ -219,16 +219,25 @@ def main() -> None:
         staged.update(_s11)
     except ImportError as exc:
         print(f"warning: staging registry unavailable ({exc})", file=sys.stderr)
+    composites: dict = {}
+    try:
+        from noaa_data_pipeline_spark.plans.composites import COMPOSITES as _comp
 
-    lookup = {**staged, **registry}  # registry wins a name collision
+        composites.update(_comp)
+    except ImportError as exc:
+        print(f"warning: composites unavailable ({exc})", file=sys.stderr)
+
+    # registry wins a name collision, then staged, then composites
+    lookup = {**composites, **staged, **registry}
     results: dict[str, dict] = {}
     for name in args.queries or QUERIES:
         q = lookup.get(name)
         if q is None:
             ap.error(
                 f"unknown query {name!r}: not in the registry "
-                f"({len(registry)} entries) or the staged set "
-                f"({sorted(staged) or 'empty'})"
+                f"({len(registry)} entries), the staged set "
+                f"({sorted(staged) or 'empty'}), or the composites "
+                f"({sorted(composites) or 'empty'})"
             )
 
         def run_spark():
@@ -241,15 +250,29 @@ def main() -> None:
         # passes in a fresh JVM before the steady state appears
         for _ in range(3):
             run_spark()
-        run_duck()
+        # An oracle twin that cannot finish at this scale point is a
+        # RESULT, not a harness crash (r11: the CC-composite's
+        # recursive-closure twin OOMs at x100mut — quadratic in the
+        # giant component — while Spark's label propagation
+        # completes): record the engine-side failure and keep the
+        # Spark wall.
+        duck_err: str | None = None
+        try:
+            run_duck()
+        except duckdb.Error as exc:
+            duck_err = f"{type(exc).__name__}: {exc}"
+            print(f"warning: duckdb twin failed for {name}: {duck_err}",
+                  file=sys.stderr)
         spark_s = time_best_of(run_spark, n=args.reps)
-        duck_s = time_best_of(run_duck, n=args.reps)
+        duck_s = time_best_of(run_duck, n=args.reps) if duck_err is None else None
         row_name = f"{name}_unrouted" if args.unrouted else name
         results[row_name] = {
             "spark_sec": spark_s,
             "duckdb_sec": duck_s,
             "ratio": round(spark_s / duck_s, 2) if duck_s else None,
         }
+        if duck_err is not None:
+            results[row_name]["duckdb_error"] = duck_err
         if name in THROUGHPUT_BYTES:
             # tokenizer-cost point for the 100 TB story: corpus bytes
             # per second of the BEST timed pass (same protocol as the
