@@ -42,35 +42,76 @@ def composite(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# Unrolled min-label propagation depth. Each level finds every
+# node's minimum label within that many hops, so convergence needs
+# the longest (component-min -> node) shortest path; near-dup
+# graphs are dense (hops ~2-3) and the guard below turns an
+# unconverged run into a loud hash mismatch, never a silent wrong
+# answer. 16 covers chains far beyond anything the gate lakes hold.
+CC_SQL_ROUNDS = 16
+
+
 def _simhash_labels_cte() -> str:
-    """Transitive closure over the VERIFIED SimHash pair set,
-    yielding ``labels(node, component)`` — the SimHash twin of
-    iterative._cc_labels_cte (same recursive-CTE shape, same
-    MATERIALIZED hint rationale)."""
+    """Min-label propagation over the VERIFIED SimHash pair set,
+    yielding ``labels(node, component)`` plus ``cc_conv(n_unstable)``
+    — the convergence guard the consumer must fold into its output.
+
+    Why not the recursive-CTE closure iterative._cc_labels_cte uses
+    for the MinHash graph: closure enumerates every (node, start)
+    reachability pair, QUADRATIC in component size. The SimHash
+    graph on the synthetic corpus is a giant near-clique (913k pairs
+    over 4.9k docs at sf0.1; 212.7M pairs over 500k docs at
+    x100mut), where the closure twin OOM'd at 32 GiB and then
+    exhausted 40 GB of spill (GATE_LOG r11). Unrolled propagation is
+    LINEAR in edges per level — one edges⋈labels pass per hop, each
+    level MATERIALIZED because it is referenced twice (self +
+    propagate; inlining would double the pipeline per level)."""
     from .dedup import SQL_SIMHASH_VERIFIED_PAIRS
 
+    levels = [
+        """
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS lbl FROM cc_edges
+    )"""
+    ]
+    for i in range(1, CC_SQL_ROUNDS + 1):
+        levels.append(f"""
+    l{i} AS MATERIALIZED (
+        SELECT node, MIN(lbl) AS lbl FROM (
+            SELECT node, lbl FROM l{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, l.lbl
+            FROM l{i - 1} l JOIN cc_edges e ON e.src = l.node
+        ) GROUP BY node
+    )""")
+    k, km1 = CC_SQL_ROUNDS, CC_SQL_ROUNDS - 1
     return f"""{SQL_SIMHASH_VERIFIED_PAIRS},
     cc_edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM simhash_pairs
         UNION ALL
         SELECT doc_b AS src, doc_a AS dst FROM simhash_pairs
     ),
-    reach(node, start) AS (
-        SELECT src, src FROM cc_edges
-        UNION
-        SELECT e.dst, r.start FROM reach r JOIN cc_edges e ON e.src = r.node
+    {','.join(levels)},
+    cc_conv AS (
+        SELECT COUNT(*) AS n_unstable
+        FROM l{k} a JOIN l{km1} b ON a.node = b.node AND a.lbl <> b.lbl
     ),
-    labels AS (SELECT node, MIN(start) AS component FROM reach GROUP BY node)"""
+    labels AS (SELECT node, lbl AS component FROM l{k})"""
 
 
 @composite(
     "dedup_simhash_purge_pipeline",
     oracle=f"""
-    WITH RECURSIVE {_simhash_labels_cte()},
+    WITH {_simhash_labels_cte()},
     removed AS (SELECT node AS doc_id FROM labels WHERE node <> component)
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS docs_before,
-           CAST(COUNT(r.doc_id) AS BIGINT) AS docs_removed,
+           -- the convergence guard: an unconverged propagation adds
+           -- a poison term every row, guaranteeing a loud hash
+           -- mismatch instead of a silently-wrong purge count
+           CAST(COUNT(r.doc_id)
+                + (SELECT n_unstable FROM cc_conv) * 1000000000
+                AS BIGINT) AS docs_removed,
            CAST(COUNT(*) - COUNT(r.doc_id) AS BIGINT) AS docs_after
     FROM documents d
     LEFT JOIN removed r ON d.doc_id = r.doc_id
@@ -88,15 +129,18 @@ def dedup_simhash_purge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract adds exactly that term and nothing else; see GATE_LOG
     r10 "simhash x100 wall").
 
-    Oracle tractability boundary (measured, GATE_LOG r11): the
-    recursive-CTE closure twin is QUADRATIC in component size (reach
-    enumerates every (node, start) pair), which is fine at the three
-    gate SFs (sf0.1's giant component closes in seconds) but OOMs at
-    32 GiB on x100mut, where copy-clusters fuse the dense base
-    near-clique into a ~44k-node component. Spark's pointer-jumping
-    label propagation is linear in edges per round and completes —
-    tools/bench_scale.py records the engine-side DNF honestly
-    (duckdb_error in the row) instead of crashing the harness."""
+    Oracle history (GATE_LOG r11): the first twin was the
+    recursive-CTE closure (iterative._cc_labels_cte's shape), which
+    is QUADRATIC in component size — on this graph (a giant
+    near-clique: 212.7M verified pairs touching all 500k docs at
+    x100mut) it OOM'd at a 32 GiB allocation and, retried, exhausted
+    40 GB of disk spill while Spark's pointer-jumping completed in
+    202 s. The shipped twin is unrolled min-label propagation
+    (_simhash_labels_cte): linear in edges per level, convergence
+    guarded by a poison term in docs_removed, tractable at every
+    measured point. tools/bench_scale.py still records engine-side
+    oracle failure honestly (duckdb_error in the row) if a future
+    point exceeds it."""
     from .dedup import simhash_pairs
     from .iterative import connected_components
 
