@@ -60,11 +60,21 @@ _SQL_PAIR_JACCARD = f"""
 # interpreter exit.
 _SHINGLE_PATHS: dict[str, tuple[tuple, str]] = {}
 
+# Per-session DataFrame cache over the materialized paths: without
+# it every plan CONSTRUCTION re-runs spark.read.parquet, whose
+# footer/listing job breaks the registry's builder-is-lazy
+# convention. Keyed by (source, session) so a recreated session
+# re-reads instead of returning a frame bound to a stopped one; the
+# fingerprint is re-checked on every hit so a rewritten source still
+# invalidates.
+_SHINGLE_FRAMES: dict[tuple[str, int], tuple[tuple, DataFrame]] = {}
+
 
 def _cleanup_shingle_dirs() -> None:
     for _, path in _SHINGLE_PATHS.values():
         shutil.rmtree(path, ignore_errors=True)
     _SHINGLE_PATHS.clear()
+    _SHINGLE_FRAMES.clear()
 
 
 atexit.register(_cleanup_shingle_dirs)
@@ -99,7 +109,17 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = tempfile.mkdtemp(prefix="shingles_mat_")
         textops.shingles_df(docs, partitions=n).write.mode("overwrite").parquet(path)
         _SHINGLE_PATHS[src] = (fingerprint, path)
-    return spark.read.parquet(_SHINGLE_PATHS[src][1])
+    # applicationId (not id(spark)): stable across SparkSession
+    # wrappers of one context, distinct for a restarted context — a
+    # frame never outlives the JVM context it was planned against.
+    fkey = (src, spark.sparkContext.applicationId)
+    frame = _SHINGLE_FRAMES.get(fkey)
+    if frame is None or frame[0] != fingerprint:
+        _SHINGLE_FRAMES[fkey] = (
+            fingerprint,
+            spark.read.parquet(_SHINGLE_PATHS[src][1]),
+        )
+    return _SHINGLE_FRAMES[fkey][1]
 
 
 def _shingle_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,345 @@
+"""Round-12 candidates: staged, not registered.
+
+Two new curation/scale operators following the r9-r11 staging
+protocol (DuckDB oracle + driver-gate-equivalent pytest compare +
+differential fuzz + laziness + plan-shape + bench_scale rows) before
+any registry promotion:
+
+- ``dedup_containment_ngram`` — ASYMMETRIC near-dup detection: exact
+  shingle-set containment C(A,B) = |A∩B| / min(|A|,|B|). Jaccard
+  misses the quote/boilerplate-superset case (a small doc embedded
+  in a much larger one has low Jaccard but containment ~1); RefinedWeb
+  and Gopher-style curation pipelines run a containment pass for
+  exactly that reason. Pairs are classified ``near_dup`` (symmetric,
+  Jaccard also high) vs ``containment`` (asymmetric only), with the
+  contained side identified. The synthetic corpus only contains
+  symmetric duplicates, so the asymmetric branch is proven by the
+  planted-superset differential fuzz in tests/test_staging_r12.py.
+- ``lake_bloom_semijoin_prune`` — the runtime-filter scale technique:
+  build a deterministic Bloom filter (m bits, k md5-derived probes)
+  over a selective dimension segment, broadcast it as ONE sorted bit
+  array, and evaluate fact-side membership entirely map-side — the
+  shape Spark's own InjectRuntimeFilter/BloomFilterAggregate pair
+  produces for big joins, made explicit and cross-engine-checkable.
+  The report quantifies what the filter buys (rows pruned) and what
+  it costs (observed false positives vs the exact semi-join), with a
+  false-negative self-check column that must be identically zero.
+
+Reference anchors (spec, not code): extend SURVEY.md's dedup family
+and the lake/scale-technique family (skew_salted_user_join,
+lake_bucketed_copartition_join precedents) beyond the reference's
+own surface, like the round-5-11 additions they follow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import textops
+from ..tables import load_table
+from . import Query
+from .dedup import _shingles_cached
+
+# --- staging registry (NOT the driver registry) -----------------------
+
+STAGED: dict[str, Query] = {}
+
+
+def stage(name: str, oracle: str | None = None, doc: str = ""):
+    """Mirror of ``plans.register`` writing to the staging dict, so a
+    round-12 promotion is a one-word decorator swap (the
+    staging_r11 precedent)."""
+
+    def deco(fn):
+        STAGED[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+# --- dedup_containment_ngram ------------------------------------------
+
+# keep pairs whose smaller shingle set is >= 80% inside the overlap
+CONTAINMENT_PPM = 800_000
+# a pair this symmetric is an ordinary near-dup, not a containment
+NEAR_DUP_J_PPM = 800_000
+
+_SQL_CONTAINMENT_PAIRS = f"""
+    shingles AS ({textops.sql_shingles('documents')}),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM shingles GROUP BY doc_id
+    ),
+    overlap AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT o.doc_a, o.doc_b,
+               sa.n_sh AS n_a, sb.n_sh AS n_b, o.n_common,
+               (1000000 * o.n_common) // LEAST(sa.n_sh, sb.n_sh)
+                   AS containment_ppm,
+               (1000000 * o.n_common) // (sa.n_sh + sb.n_sh - o.n_common)
+                   AS jaccard_ppm
+        FROM overlap o
+        JOIN sizes sa ON o.doc_a = sa.doc_id
+        JOIN sizes sb ON o.doc_b = sb.doc_id
+    )
+"""
+
+
+@stage(
+    "dedup_containment_ngram",
+    oracle=f"""
+    WITH {_SQL_CONTAINMENT_PAIRS}
+    SELECT doc_a, doc_b, n_a, n_b, n_common, containment_ppm, jaccard_ppm,
+           CASE WHEN jaccard_ppm >= {NEAR_DUP_J_PPM} THEN 'near_dup'
+                ELSE 'containment' END AS relation,
+           CASE WHEN n_a < n_b THEN doc_a
+                WHEN n_b < n_a THEN doc_b
+                ELSE doc_a END AS contained_doc_id
+    FROM scored
+    WHERE containment_ppm >= {CONTAINMENT_PPM}
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs by exact 5-token-shingle overlap:
+    C = |A∩B| / min(|A|,|B|) >= 0.8, classified ``near_dup`` when the
+    Jaccard is also >= 0.8 (symmetric duplicate — dedup_minhash_lsh
+    territory) vs ``containment`` (the quote/superset case Jaccard
+    structurally under-scores: J <= C * min/max). The contained side
+    is the smaller shingle set (tie -> doc_a, which is always the
+    smaller id).
+
+    All arithmetic is integer (counts and ppm integer division), so
+    the cross-engine hash gate applies exactly — the house rule that
+    keeps float rounding out of comparison columns.
+
+    Scale: identical shape to dedup_ngram_jaccard — the shingle
+    equi-join is the only corpus-sized shuffle and its pair fan-out
+    is bounded by shared-shingle frequency (near-linear for natural
+    text); sizes join back on doc ids. At 100 TB the production
+    parameterization samples shingles by hash mod p on BOTH sides of
+    the ratio (containment stays estimable under DIVIDE-style
+    sampling because numerator and denominator sample identically);
+    the registered default keeps the exact semantics the oracle can
+    verify. The corpus is never pair-joined in full."""
+    sh = _shingles_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    scored = (
+        overlap.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+            "n_common",
+            F.expr("(1000000 * n_common) div least(sa.n_sh, sb.n_sh)").alias(
+                "containment_ppm"
+            ),
+            F.expr(
+                "(1000000 * n_common) div (sa.n_sh + sb.n_sh - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return scored.filter(F.col("containment_ppm") >= CONTAINMENT_PPM).select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        "containment_ppm",
+        "jaccard_ppm",
+        F.when(F.col("jaccard_ppm") >= NEAR_DUP_J_PPM, F.lit("near_dup"))
+        .otherwise(F.lit("containment"))
+        .alias("relation"),
+        F.when(F.col("n_a") < F.col("n_b"), F.col("doc_a"))
+        .when(F.col("n_b") < F.col("n_a"), F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("contained_doc_id"),
+    )
+
+
+# --- lake_bloom_semijoin_prune -----------------------------------------
+
+BLOOM_M = 16384  # filter bits (~5.4 bits/key at the sf0.01 build side)
+BLOOM_K = 3  # hash probes per key
+BLOOM_SEGMENT = "BUILDING"  # the selective build-side predicate
+
+
+def _bloom_pos(key: Column, j: int, m: int = BLOOM_M) -> Column:
+    """Probe j's bit position for ``key``: md5 of a seeded string,
+    first 8 hex chars as an int, mod m — the repo's portable-hash
+    idiom (identical in Java and DuckDB)."""
+    seeded = F.concat(F.lit(f"{j}|"), key.cast("string"))
+    return F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("long") % m
+
+
+def _sql_bloom_pos(key: str, j: int, m: int = BLOOM_M) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{j}|' || CAST({key} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {m}"
+    )
+
+
+@stage(
+    "lake_bloom_semijoin_prune",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT c_custkey AS k FROM customer
+        WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+    ),
+    hpos AS (
+        SELECT DISTINCT
+            CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 8))
+                 AS BIGINT) % {BLOOM_M} AS pos
+        FROM build CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j)
+    ),
+    flags AS (
+        SELECT
+            ({" AND ".join(f"({_sql_bloom_pos('o.o_custkey', j)}) IN (SELECT pos FROM hpos)" for j in range(BLOOM_K))})
+                AS pass_bloom,
+            o.o_custkey IN (SELECT k FROM build) AS is_member
+        FROM orders o
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build_keys,
+        CAST({BLOOM_M} AS BIGINT) AS m_bits,
+        CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM hpos) AS bits_set,
+        CAST(COUNT(*) AS BIGINT) AS n_probe,
+        CAST(SUM(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+        CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+        CAST(SUM(CASE WHEN pass_bloom AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+        CAST(SUM(CASE WHEN is_member AND NOT pass_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+        CASE WHEN COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END) > 0
+             THEN (1000000 * SUM(CASE WHEN pass_bloom AND NOT is_member THEN 1 ELSE 0 END))
+                  // (COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END))
+             ELSE 0 END AS fp_ppm
+    FROM flags
+    """,
+)
+def lake_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join prune report: build an
+    m=BLOOM_M-bit, k=BLOOM_K-probe Bloom filter over the
+    BLOOM_SEGMENT-segment customer keys, broadcast it as one sorted
+    bit-position array, test every order map-side, and compare
+    against the exact semi-join. Registered binding of
+    :func:`bloom_semijoin_report` at the oracle-expressible fixed
+    defaults; production tuning (m sized ~10 bits/key off the build
+    cardinality estimate, like Spark's own InjectRuntimeFilter
+    sizing) happens through the parameters.
+
+    This is the explicit form of the runtime filter every warehouse
+    injects into selective big joins (Spark: InjectRuntimeFilter /
+    BloomFilterAggregate; the reference's analogue is its semi-join
+    reduction of METAR rows to indexed stations,
+    crates/parser/src/lib.rs station filter) — made deterministic
+    (md5-derived positions, identical in both engines) so the FP/FN
+    accounting itself is hash-gate-checkable. ``n_false_neg`` is a
+    structural self-check: a Bloom filter can never produce false
+    negatives, so the column must be 0 on every lake (the fuzz test
+    asserts it across random lakes).
+
+    Scale: the build side aggregates to <= m distinct bit positions
+    (sketch-sized regardless of corpus scale) and crosses onto the
+    probe side as a 1-row broadcast (the audited 1-row
+    BroadcastNestedLoopJoin pattern); membership is a map-side
+    array_contains x k — the probe corpus NEVER shuffles, and the
+    only full-width pass is the final partial-then-global count
+    aggregation. The exact-truth comparison broadcasts the build key
+    set (dimension-sized). At 100 TB: m scales with the build-side
+    cardinality (m ~ 10n bits for ~1% FP at k=3), still broadcastable
+    at billions of build keys via int ranges; the report's fp_ppm is
+    the signal that says when m is undersized."""
+    return bloom_semijoin_report(spark, sf_dir)
+
+
+def bloom_semijoin_report(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = BLOOM_M,
+    k_hashes: int = BLOOM_K,
+    segment: str = BLOOM_SEGMENT,
+) -> DataFrame:
+    """Parameterized core of ``lake_bloom_semijoin_prune`` — see the
+    staged binding's docstring for semantics and scale notes."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = (
+        cust.filter(F.col("c_mktsegment") == segment)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    pos = build.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("k"), j, m) for j in range(k_hashes)])
+        ).alias("pos")
+    ).distinct()
+    bits_row = pos.agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+    bits_sz = pos.agg(F.count("*").cast("long").alias("bits_set"))
+    build_agg = build.agg(F.count("*").cast("long").alias("n_build_keys"))
+    member = build.withColumn("is_member", F.lit(True))
+    probe = orders.select("o_custkey")
+    pass_bloom = F.lit(True)
+    for j in range(k_hashes):  # map-side membership: ALL k positions set
+        pass_bloom = pass_bloom & F.array_contains(
+            F.col("bits"), _bloom_pos(F.col("o_custkey"), j, m)
+        )
+    flags = (
+        probe.crossJoin(F.broadcast(bits_row))
+        .withColumn("pass_bloom", pass_bloom)
+        .join(F.broadcast(member), F.col("o_custkey") == F.col("k"), "left")
+        .withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(False)))
+    )
+    report = flags.agg(
+        F.count("*").cast("long").alias("n_probe"),
+        F.sum(F.when(F.col("pass_bloom"), 1).otherwise(0)).cast("long").alias("n_pass_bloom"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("long").alias("n_true_match"),
+        F.sum(F.when(F.col("pass_bloom") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("is_member") & ~F.col("pass_bloom"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+    return (
+        report.crossJoin(F.broadcast(build_agg))
+        .crossJoin(F.broadcast(bits_sz))
+        .select(
+            "n_build_keys",
+            F.lit(m).cast("long").alias("m_bits"),
+            F.lit(k_hashes).cast("long").alias("k_hashes"),
+            "bits_set",
+            "n_probe",
+            "n_pass_bloom",
+            "n_true_match",
+            "n_false_pos",
+            "n_false_neg",
+            F.when(
+                (F.col("n_probe") - F.col("n_true_match")) > 0,
+                F.expr("(1000000 * n_false_pos) div (n_probe - n_true_match)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("fp_ppm"),
+        )
+    )

@@ -1,0 +1,298 @@
+"""Round-12 candidates: driver-gate-equivalent checks.
+
+Both candidates stay staged (see plans/staging_r12.py docstring) and
+get the full staging protocol here: the driver's row-count + columns
++ order-insensitive value-hash compare, semantic assertions the
+corpus can't express (the synthetic documents contain only SYMMETRIC
+duplicates, so the containment entry's asymmetric branch is proven on
+planted-superset lakes), Bloom structural invariants, differential
+fuzz over adversarial lakes, construction laziness, and plan-shape
+(scale-contract) assertions.
+
+Run with SPARK_GRAFT_TEST_SF_DIR at sf0.001 / sf0.01 / sf0.1 for the
+three-SF staging proof (the maintenance-op promotion protocol).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from noaa_data_pipeline_spark.plans import load_all
+from noaa_data_pipeline_spark.plans.staging_r12 import (
+    BLOOM_K,
+    BLOOM_M,
+    CONTAINMENT_PPM,
+    NEAR_DUP_J_PPM,
+    STAGED,
+)
+from tools.check_correctness import frame_digest
+
+
+def _staged_names():
+    return sorted(STAGED.keys())
+
+
+def test_staging_is_not_registered():
+    """Staged candidates must not leak into the driver registry (a
+    leak would break the gate-rotation freshness invariant
+    mid-round)."""
+    assert not (set(STAGED) & set(load_all().keys()))
+
+
+@pytest.mark.parametrize("name", _staged_names())
+def test_staged_matches_oracle(spark, duck, sf_dir, name):
+    q = STAGED[name]
+    sdf = q.fn(spark, sf_dir)
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, f"top-level complex column(s) {complex_cols}"
+    srows = [tuple(r) for r in sdf.collect()]
+    assert q.oracle is not None, "staged entries must ship an oracle"
+    res = duck.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    sh, slines = frame_digest(sdf.columns, srows)
+    oh, olines = frame_digest(ocols, orows)
+    if sh != oh:
+        only_s = [x for x in slines if x not in set(olines)][:3]
+        only_o = [x for x in olines if x not in set(slines)][:3]
+        pytest.fail(f"value hash mismatch; spark-only={only_s} oracle-only={only_o}")
+
+
+# --- shared gate compare on adversarial lakes --------------------------
+
+
+def _gate_compare(spark, lake, name, views):
+    import duckdb
+
+    q = STAGED[name]
+    con = duckdb.connect()
+    for t in views:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{lake}/{t}.parquet')"
+        )
+    sdf = q.fn(spark, lake)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    con.close()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    sh, slines = frame_digest(sdf.columns, srows)
+    oh, olines = frame_digest(ocols, orows)
+    if sh != oh:
+        only_s = [x for x in slines if x not in set(olines)][:3]
+        only_o = [x for x in olines if x not in set(slines)][:3]
+        pytest.fail(f"{name} hash mismatch; spark={only_s} oracle={only_o}")
+    return sdf.columns, srows
+
+
+# --- dedup_containment_ngram --------------------------------------------
+
+WORDS = [
+    "spark", "merge", "filter", "window", "batch", "join", "vector",
+    "table", "stream", "group", "sort", "value", "query", "hash",
+]
+
+
+def _write_docs(tmp, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["fuzz"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    n_docs=st.integers(min_value=4, max_value=12),
+    extra_factor=st.integers(min_value=3, max_value=8),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_containment_planted_superset_fuzz(
+    spark, tmp_path_factory, seed, n_docs, extra_factor
+):
+    """Plant doc 0 VERBATIM inside a much larger doc (id n_docs):
+    containment must be ~1 while Jaccard is pushed under the near-dup
+    bar by the superset's extra text — the asymmetric case Jaccard
+    structurally misses — and the whole lake must hash-match the
+    oracle (the random filler docs exercise the no-pair and
+    partial-overlap paths)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for d in range(n_docs):
+        rows.append((d, " ".join(rng.choice(WORDS) for _ in range(rng.randint(20, 60)))))
+    base = rows[0][1]
+    filler = " ".join(rng.choice(WORDS) for _ in range(len(base.split()) * extra_factor))
+    rows.append((n_docs, base + " " + filler))
+
+    tmp = str(tmp_path_factory.mktemp("containment_fuzz"))
+    _write_docs(tmp, rows)
+    cols, srows = _gate_compare(spark, tmp, "dedup_containment_ngram", ["documents"])
+    byname = [dict(zip(cols, r)) for r in srows]
+    planted = [
+        r for r in byname if r["doc_a"] == 0 and r["doc_b"] == n_docs
+    ]
+    assert planted, "planted superset pair not detected"
+    p = planted[0]
+    assert p["containment_ppm"] >= CONTAINMENT_PPM
+    assert p["contained_doc_id"] == 0
+    # the superset's filler must actually dilute Jaccard; with >=3x
+    # extra tokens J <= 1/(1+extra) is far below the near-dup bar
+    assert p["jaccard_ppm"] < NEAR_DUP_J_PPM
+    assert p["relation"] == "containment"
+
+
+def test_containment_agrees_with_jaccard_family(spark, duck, sf_dir):
+    """Cross-entry consistency: every registered dedup_ngram_jaccard
+    pair at J >= 0.8 must also appear here (containment >= Jaccard
+    always), flagged near_dup."""
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in STAGED["dedup_containment_ngram"].fn(spark, sf_dir).collect()
+    }
+    jacc = load_all()["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    for r in jacc:
+        if r.jaccard >= NEAR_DUP_J_PPM / 1e6:
+            assert (r.doc_a, r.doc_b) in got
+            assert got[(r.doc_a, r.doc_b)].relation == "near_dup"
+
+
+# --- lake_bloom_semijoin_prune ------------------------------------------
+
+
+def test_bloom_structural_invariants(spark, sf_dir):
+    """No false negatives ever (Bloom's one guarantee), the pass set
+    decomposes exactly into true matches + false positives, and the
+    filter occupancy is bounded by k x build keys and by m."""
+    r = STAGED["lake_bloom_semijoin_prune"].fn(spark, sf_dir).collect()[0]
+    assert r.n_false_neg == 0
+    assert r.n_pass_bloom == r.n_true_match + r.n_false_pos
+    assert 0 < r.bits_set <= min(r.m_bits, r.k_hashes * r.n_build_keys)
+    assert r.m_bits == BLOOM_M and r.k_hashes == BLOOM_K
+    assert r.n_pass_bloom <= r.n_probe
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    n_cust=st.integers(min_value=0, max_value=60),
+    n_orders=st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bloom_differential_fuzz(spark, tmp_path_factory, seed, n_cust, n_orders):
+    """Random customer/orders lakes — including EMPTY build sides and
+    EMPTY probe sides — must hash-match the oracle, and the no-false-
+    negative invariant must hold on every lake."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    segs = ["BUILDING", "MACHINERY", "AUTOMOBILE"]
+    custkeys = list(range(1, n_cust + 1))
+    tmp = str(tmp_path_factory.mktemp("bloom_fuzz"))
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(custkeys, pa.int64()),
+                "c_name": pa.array([f"c{k}" for k in custkeys], pa.string()),
+                "c_nationkey": pa.array([k % 5 for k in custkeys], pa.int32()),
+                "c_acctbal": pa.array([float(k) for k in custkeys], pa.float64()),
+                "c_mktsegment": pa.array(
+                    [rng.choice(segs) for _ in custkeys], pa.string()
+                ),
+            }
+        ),
+        f"{tmp}/customer.parquet",
+    )
+    okeys = list(range(1, n_orders + 1))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(okeys, pa.int64()),
+                # probe keys beyond the customer range exercise the
+                # never-a-member path
+                "o_custkey": pa.array(
+                    [rng.randint(1, max(1, n_cust * 2)) for _ in okeys], pa.int64()
+                ),
+                "o_orderstatus": pa.array(["O"] * n_orders, pa.string()),
+                "o_totalprice": pa.array([1.0] * n_orders, pa.float64()),
+            }
+        ),
+        f"{tmp}/orders.parquet",
+    )
+    cols, srows = _gate_compare(
+        spark, tmp, "lake_bloom_semijoin_prune", ["customer", "orders"]
+    )
+    r = dict(zip(cols, srows[0]))
+    if r["n_probe"]:
+        assert r["n_false_neg"] == 0
+        assert r["n_pass_bloom"] == r["n_true_match"] + r["n_false_pos"]
+
+
+# --- construction laziness (registry convention) ------------------------
+
+
+def test_candidate_construction_laziness(spark, sf_dir):
+    """Both r12 candidates construct without launching a Spark job —
+    no exemptions (the KMV precedent documents its exemption in
+    test_staging_r11; these two have none)."""
+    tracker = spark.sparkContext.statusTracker()
+    for name in _staged_names():
+        fn = STAGED[name].fn
+        fn(spark, sf_dir)  # warm table/footer caches
+        before = set(tracker.getJobIdsForGroup(None) or ())
+        fn(spark, sf_dir)
+        after = set(tracker.getJobIdsForGroup(None) or ())
+        assert after == before, f"{name} construction launched a job"
+
+
+# --- plan shape (the scale contract) ------------------------------------
+
+
+def _plan(spark, sf_dir, name):
+    df = STAGED[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_probe_side_never_shuffle_joins(spark, sf_dir):
+    """The probe corpus must reach its membership verdict without a
+    shuffle join: the bit array arrives as a 1-row broadcast (the
+    audited BroadcastNestedLoopJoin pattern) and the exact-truth
+    compare is a broadcast hash join — no SortMergeJoin, no
+    CartesianProduct, no Python UDF anywhere."""
+    plan = _plan(spark, sf_dir, "lake_bloom_semijoin_prune")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # the exact-truth compare
+
+
+def test_containment_no_cartesian_no_udf(spark, sf_dir):
+    """The pair generator is the shingle equi-join (shuffle on the
+    shingle key) — never a cartesian of the corpus, never Python."""
+    plan = _plan(spark, sf_dir, "dedup_containment_ngram")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan

@@ -215,8 +215,10 @@ def main() -> None:
     staged: dict = {}
     try:
         from noaa_data_pipeline_spark.plans.staging_r11 import STAGED as _s11
+        from noaa_data_pipeline_spark.plans.staging_r12 import STAGED as _s12
 
         staged.update(_s11)
+        staged.update(_s12)
     except ImportError as exc:
         print(f"warning: staging registry unavailable ({exc})", file=sys.stderr)
     composites: dict = {}
