@@ -186,17 +186,22 @@ BLOOM_SEGMENT = "BUILDING"  # the selective build-side predicate
 
 
 def _bloom_pos(key: Column, j: int, m: int = BLOOM_M) -> Column:
-    """Probe j's bit position for ``key``: md5 of a seeded string,
-    first 8 hex chars as an int, mod m — the repo's portable-hash
-    idiom (identical in Java and DuckDB)."""
-    seeded = F.concat(F.lit(f"{j}|"), key.cast("string"))
-    return F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("long") % m
+    """Probe j's bit position for ``key``: bits [20j, 20j+20) of a
+    single 60-bit integer taken from md5's first 15 hex chars, mod m —
+    the repo's portable-hash idiom (identical in Java and DuckDB),
+    sliced Kirsch-Mitzenmacher style so the probe side pays ONE hash
+    and ONE hex->int conversion per key instead of k of each (real
+    Bloom implementations derive all k positions from one or two base
+    hashes for the same reason). k <= 3 (3 x 20 bits in the 60), and
+    m <= 2^20."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    return F.shiftright(h, 20 * j).bitwiseAND(F.lit((1 << 20) - 1)) % m
 
 
 def _sql_bloom_pos(key: str, j: int, m: int = BLOOM_M) -> str:
     return (
-        f"CAST(('0x' || substr(md5('{j}|' || CAST({key} AS VARCHAR)), 1, 8)) "
-        f"AS BIGINT) % {m}"
+        f"((CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT) "
+        f">> {20 * j}) & {(1 << 20) - 1}) % {m}"
     )
 
 
@@ -209,8 +214,8 @@ def _sql_bloom_pos(key: str, j: int, m: int = BLOOM_M) -> str:
     ),
     hpos AS (
         SELECT DISTINCT
-            CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 8))
-                 AS BIGINT) % {BLOOM_M} AS pos
+            ((CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+              >> (20 * j)) & 1048575) % {BLOOM_M} AS pos
         FROM build CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j)
     ),
     flags AS (
@@ -251,8 +256,9 @@ def lake_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the explicit form of the runtime filter every warehouse
     injects into selective big joins (Spark: InjectRuntimeFilter /
     BloomFilterAggregate; the reference's analogue is its semi-join
-    reduction of METAR rows to indexed stations,
-    crates/parser/src/lib.rs station filter) — made deterministic
+    reduction of fetched METAR rows to indexed stations,
+    crates/daemon/src/domains/observations/download_observations.rs:254-256)
+    — made deterministic
     (md5-derived positions, identical in both engines) so the FP/FN
     accounting itself is hash-gate-checkable. ``n_false_neg`` is a
     structural self-check: a Bloom filter can never produce false
@@ -294,15 +300,45 @@ def bloom_semijoin_report(
             F.array(*[_bloom_pos(F.col("k"), j, m) for j in range(k_hashes)])
         ).alias("pos")
     ).distinct()
-    bits_row = pos.agg(F.sort_array(F.collect_set("pos")).alias("bits"))
-    bits_sz = pos.agg(F.count("*").cast("long").alias("bits_set"))
+    # Pack the filter into dense 64-bit words so membership is an
+    # O(1) element_at + shift/AND per probe — an array_contains over
+    # the raw position list is an O(m) linear scan per probe and was
+    # measured 50x slower than the oracle's hashed IN at x5. This is
+    # also how Spark's own BloomFilterImpl stores its bits.
+    n_words = (m + 63) // 64
+    words = pos.groupBy((F.col("pos") / 64).cast("long").alias("word_idx")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").alias(
+            "word"
+        )
+    )
+    # densify sparse (word_idx, word) rows into one fixed-length array
+    # via a map lookup per slot — sketch-sized work, and one frame
+    # fewer to broadcast than a range-frame outer join
+    bits_row = words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word_idx", "word")))
+        ).alias("wmap")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}), "
+            "i -> coalesce(wmap[CAST(i AS BIGINT)], CAST(0 AS BIGINT)))"
+        ).alias("words")
+    )
     build_agg = build.agg(F.count("*").cast("long").alias("n_build_keys"))
     member = build.withColumn("is_member", F.lit(True))
     probe = orders.select("o_custkey")
+    if not 1 <= k_hashes <= 3:
+        raise ValueError(f"k_hashes must be 1..3 (20-bit slices), got {k_hashes}")
+    if m > 1 << 20:
+        raise ValueError(f"m must be <= 2^20 (20-bit slices), got {m}")
     pass_bloom = F.lit(True)
     for j in range(k_hashes):  # map-side membership: ALL k positions set
-        pass_bloom = pass_bloom & F.array_contains(
-            F.col("bits"), _bloom_pos(F.col("o_custkey"), j, m)
+        p = (
+            f"((shiftright(CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT), {20 * j}) & 1048575) % {m})"
+        )
+        pass_bloom = pass_bloom & F.expr(
+            f"(shiftright(element_at(words, CAST({p} / 64 AS INT) + 1), "
+            f"CAST({p} % 64 AS INT)) & 1) = 1"
         )
     flags = (
         probe.crossJoin(F.broadcast(bits_row))
@@ -323,12 +359,17 @@ def bloom_semijoin_report(
     )
     return (
         report.crossJoin(F.broadcast(build_agg))
-        .crossJoin(F.broadcast(bits_sz))
+        # same subtree as the probe-side broadcast -> ReusedExchange,
+        # not a second materialization; bits_set = set-bit population
+        # of the packed words (== COUNT(DISTINCT pos) by construction)
+        .crossJoin(F.broadcast(bits_row))
         .select(
             "n_build_keys",
             F.lit(m).cast("long").alias("m_bits"),
             F.lit(k_hashes).cast("long").alias("k_hashes"),
-            "bits_set",
+            F.expr(
+                "aggregate(words, CAST(0 AS BIGINT), (acc, w) -> acc + bit_count(w))"
+            ).alias("bits_set"),
             "n_probe",
             "n_pass_bloom",
             "n_true_match",
