@@ -385,3 +385,20 @@ def test_pca_no_cartesian_no_udf(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_fp_rich_regime_small_m(spark, sf_dir):
+    """The oracle-compared default (m=16384) only produces false
+    positives at corpus scale, so drive the FP-RICH regime directly
+    through the parameterized core with m=64: the saturated filter
+    must still never produce a false negative, must pass nearly
+    everything (occupancy ~1), and the accounting identity must
+    hold."""
+    from noaa_data_pipeline_spark.plans.staging_r12 import bloom_semijoin_report
+
+    r = bloom_semijoin_report(spark, sf_dir, m=64).collect()[0]
+    assert r.m_bits == 64
+    assert r.n_false_neg == 0
+    assert r.n_pass_bloom == r.n_true_match + r.n_false_pos
+    assert r.n_false_pos > 0  # saturation must actually produce FPs
+    assert r.bits_set <= 64
