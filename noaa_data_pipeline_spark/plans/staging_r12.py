@@ -413,7 +413,10 @@ def _pca_matvec_sql(v: str, dim: int) -> str:
     )
 
 
-def _pca_oracle_sql(dim: int = DIM, iters: int = PCA_ITERS) -> str:
+def _pca_ctes(dim: int = DIM, iters: int = PCA_ITERS) -> str:
+    """Shared WITH-body (through the ``sc`` CTE) for the two PCA
+    oracles; ``muv`` and ``emb`` stay in scope for the projection
+    entry's final select."""
     its = []
     for k in range(1, iters + 1):
         its.append(f"""
@@ -474,13 +477,30 @@ def _pca_oracle_sql(dim: int = DIM, iters: int = PCA_ITERS) -> str:
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                  list_transform(range(0, {dim}), i -> rows[i + 1][i + 1])), (a, b) -> a + b) AS trc
         FROM fin
-    )
+    )"""
+
+
+def _pca_oracle_sql(dim: int = DIM, iters: int = PCA_ITERS) -> str:
+    return f"""
+    {_pca_ctes(dim, iters)}
     SELECT CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
            CAST(FLOOR(unnest(v) * {_PCA_S}) AS BIGINT) AS loading_q,
            CAST(FLOOR(lam * {_PCA_S}) AS BIGINT) AS eigenvalue_q,
            CASE WHEN trc > 0 THEN CAST(FLOOR(lam / trc * 1000000.0) AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS evr_ppm
     FROM sc
+    """
+
+
+def _pca_project_oracle_sql(dim: int = DIM, iters: int = PCA_ITERS) -> str:
+    return f"""
+    {_pca_ctes(dim, iters)}
+    SELECT e.vec_id,
+           CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(0, {dim}), i ->
+                    sc.v[i + 1] * (e.emb[i + 1] - muv.mu[i + 1]))),
+                (a, b) -> a + b) * {_PCA_S}) AS BIGINT) AS proj_q
+    FROM emb e, sc, muv
     """
 
 
@@ -525,6 +545,30 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference anchor (spec, not code): extends SURVEY.md's
     embedding/similarity lifecycle family (kmeans_embeddings,
     emb_pq_codes precedents) beyond the reference's own surface."""
+    vN = f"v{PCA_ITERS}"
+    cur = _pca_state(spark, sf_dir)
+    dims = spark.range(DIM).select(F.col("id").cast("long").alias("dim"))
+    return dims.crossJoin(F.broadcast(cur.select(vN, "lam", "trace"))).select(
+        "dim",
+        F.floor(
+            F.expr(f"element_at({vN}, CAST(dim AS INT) + 1)") * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("loading_q"),
+        F.floor(F.col("lam") * F.lit(1e9)).cast("long").alias("eigenvalue_q"),
+        F.when(
+            F.col("trace") > 0, F.floor(F.col("lam") / F.col("trace") * F.lit(1e6))
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("evr_ppm"),
+    )
+
+
+def _pca_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row frame (rows, mu, v{PCA_ITERS}, lam, trace): the learned
+    component plus the statistics both PCA entries read. See
+    emb_pca_power_iteration's docstring for the barrier rationale."""
     emb = _embeddings(spark, sf_dir)
     lvl1 = emb.select(F.posexplode("emb").alias("i", "xi"), "emb")
     pairs = lvl1.select("i", "xi", F.posexplode("emb").alias("j", "xj"))
@@ -568,7 +612,7 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1-row barrier: materialize the matrix as a column VALUE so
         # downstream lambdas read it instead of re-evaluating its
         # construction per element access (see docstring)
-        .select("rows")
+        .select("rows", "mu")
         .repartition(1)
     )
     matvec = (
@@ -594,7 +638,7 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"CASE WHEN n{k} = 0.0 THEN v{k - 1} ELSE transform(w{k}, x -> x / n{k}) END"
                 ),
             )
-            .select("rows", f"v{k}")
+            .select("rows", "mu", f"v{k}")
             .repartition(1)  # per-step 1-row barrier (see docstring)
         )
     vN = f"v{PCA_ITERS}"
@@ -615,19 +659,39 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    dims = spark.range(DIM).select(F.col("id").cast("long").alias("dim"))
-    return dims.crossJoin(F.broadcast(cur.select(vN, "lam", "trace"))).select(
-        "dim",
+    return cur
+
+
+@stage("emb_pca_project_scores", oracle=_pca_project_oracle_sql())
+def emb_pca_project_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> apply: project every embedding onto the corpus' own
+    learned top component, proj = v . (x - mu) — the downstream shape
+    a curation pipeline actually runs (dominant-direction outlier
+    pruning, 1-d binning for stratified sampling, whitening's first
+    step). One row per vector, fixed-point scores.
+
+    Scale: this is THE broadcast-apply pattern — the learned state
+    (one 64-float vector + mean) crosses onto the corpus as a 1-row
+    broadcast and every score is a map-side fixed-order fold; the
+    corpus never shuffles. Training cost is emb_pca_power_iteration's
+    (shared plan subtree, same barriers); apply cost is linear and
+    embarrassingly parallel. Cross-engine exactness inherits the
+    power-iteration argument (same IEEE ops, same fold order; see
+    emb_pca_power_iteration)."""
+    cur = _pca_state(spark, sf_dir)
+    vN = f"v{PCA_ITERS}"
+    emb = _embeddings(spark, sf_dir)
+    state = cur.select(F.col(vN).alias("pc"), "mu")
+    return emb.crossJoin(F.broadcast(state)).select(
+        "vec_id",
         F.floor(
-            F.expr(f"element_at({vN}, CAST(dim AS INT) + 1)") * F.lit(1e9)
+            F.expr(
+                f"aggregate(sequence(0, {DIM - 1}), CAST(0.0 AS DOUBLE), "
+                "(acc, i) -> acc + element_at(pc, i + 1) * "
+                "(element_at(emb, i + 1) - element_at(mu, i + 1)))"
+            )
+            * F.lit(1e9)
         )
         .cast("long")
-        .alias("loading_q"),
-        F.floor(F.col("lam") * F.lit(1e9)).cast("long").alias("eigenvalue_q"),
-        F.when(
-            F.col("trace") > 0, F.floor(F.col("lam") / F.col("trace") * F.lit(1e6))
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("evr_ppm"),
+        .alias("proj_q"),
     )

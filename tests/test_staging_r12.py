@@ -402,3 +402,18 @@ def test_bloom_fp_rich_regime_small_m(spark, sf_dir):
     assert r.n_pass_bloom == r.n_true_match + r.n_false_pos
     assert r.n_false_pos > 0  # saturation must actually produce FPs
     assert r.bits_set <= 64
+
+
+def test_pca_projection_moments_match_eigenvalue(spark, sf_dir):
+    """Projections onto the mean-centered top component must have
+    ~zero mean (centering) and variance equal to the sibling entry's
+    Rayleigh eigenvalue — var(v . (x - mu)) = v' C v = lambda, the
+    identity that ties the two entries together."""
+    import numpy as np
+
+    projs = STAGED["emb_pca_project_scores"].fn(spark, sf_dir).collect()
+    pca = STAGED["emb_pca_power_iteration"].fn(spark, sf_dir).collect()
+    lam = pca[0].eigenvalue_q / 1e9
+    p = np.array([r.proj_q for r in projs], dtype=np.float64) / 1e9
+    assert abs(float(p.mean())) < 1e-6  # quantization-level centering
+    assert abs(float(p.var()) - lam) < max(1e-6, 0.01 * lam)
