@@ -417,3 +417,29 @@ def test_pca_projection_moments_match_eigenvalue(spark, sf_dir):
     p = np.array([r.proj_q for r in projs], dtype=np.float64) / 1e9
     assert abs(float(p.mean())) < 1e-6  # quantization-level centering
     assert abs(float(p.var()) - lam) < max(1e-6, 0.01 * lam)
+
+
+def test_containment_edge_lakes(spark, tmp_path_factory):
+    """Unicode text, empty strings, punctuation-only docs, and docs
+    shorter than the shingle width must flow through both engines
+    identically (sub-shingle docs simply produce no shingles and can
+    never pair), including an exact-duplicate unicode pair that must
+    surface as near_dup."""
+    uni = "naïve café résumé über größe 東京 データ 処理 空間 分散"
+    rows = [
+        (0, uni + " " + uni),            # unicode, long enough to shingle
+        (1, uni + " " + uni),            # exact unicode duplicate of 0
+        (2, ""),                          # empty
+        (3, "!!! ??? ..."),              # punctuation-only -> empty after norm
+        (4, "one two three"),            # sub-shingle length (3 < 5 tokens)
+        (5, "alpha beta gamma delta epsilon zeta eta theta"),  # unrelated
+    ]
+    tmp = str(tmp_path_factory.mktemp("containment_edge"))
+    _write_docs(tmp, rows)
+    cols, srows = _gate_compare(spark, tmp, "dedup_containment_ngram", ["documents"])
+    byname = [dict(zip(c, r)) for c, r in ((cols, r) for r in srows)]
+    pair = [r for r in byname if r["doc_a"] == 0 and r["doc_b"] == 1]
+    assert pair and pair[0]["relation"] == "near_dup"
+    assert pair[0]["containment_ppm"] == 1_000_000
+    docs_in_pairs = {r["doc_a"] for r in byname} | {r["doc_b"] for r in byname}
+    assert not ({2, 3, 4} & docs_in_pairs)  # shingle-less docs never pair
