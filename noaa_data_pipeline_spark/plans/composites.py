@@ -162,3 +162,109 @@ def dedup_simhash_purge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("is_removed")).alias("docs_after"),
         )
     )
+
+
+# --- emb_pca_outlier_pipeline -------------------------------------------
+
+
+def _pca_outlier_oracle_sql() -> str:
+    from .staging_r12 import _PCA_S, _pca_ctes
+
+    return f"""
+    {_pca_ctes()},
+    scores AS (
+        SELECT e.label,
+               CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(0, 64), i ->
+                        sc.v[i + 1] * (e.emb[i + 1] - muv.mu[i + 1]))),
+                    (a, b) -> a + b) * {_PCA_S}) AS BIGINT) AS q
+        FROM emb e, sc, muv
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(q AS HUGEINT)) AS s1,
+               SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS s2
+        FROM scores
+    )
+    SELECT s.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN (CAST(s.q AS HUGEINT) * st.n - st.s1)
+                              * (CAST(s.q AS HUGEINT) * st.n - st.s1)
+                              > 9 * (st.n * st.s2 - st.s1 * st.s1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST((1000000 * SUM(CASE WHEN (CAST(s.q AS HUGEINT) * st.n - st.s1)
+                                         * (CAST(s.q AS HUGEINT) * st.n - st.s1)
+                                         > 9 * (st.n * st.s2 - st.s1 * st.s1)
+                                    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+               AS outlier_ppm
+    FROM scores s, stats st
+    GROUP BY s.label
+    """
+
+
+@composite("emb_pca_outlier_pipeline", oracle=_pca_outlier_oracle_sql())
+def emb_pca_outlier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dominant-direction outlier prune a curator actually runs,
+    end to end: learn the top principal component (staged
+    emb_pca_power_iteration machinery), score every embedding
+    map-side against the broadcast state, flag scores beyond 3 sigma
+    of the corpus' own projection distribution, and report per-label
+    prune counts.
+
+    The 3-sigma test is INTEGER-EXACT on the quantized scores: with
+    S1 = sum(q), S2 = sum(q^2), n = count, `(q*n - S1)^2 >
+    9*(n*S2 - S1^2)` is the sigma test cleared of divisions —
+    DECIMAL(38,0) on Spark, HUGEINT on DuckDB, both exact (bounds:
+    |q| < 2^33 at the corpus' value range, n <= 2^21 at x200 keeps
+    every term under 10^38). Scale: two map passes over the corpus
+    (score, then flag against a 1-row broadcast of the three
+    statistics) plus one label-keyed count shuffle — the corpus never
+    self-joins.
+
+    Composite status note: unlike dedup_simhash_purge_pipeline,
+    whose stages hold DRIVER evidence, this composition's stages are
+    r12-staged candidates with pytest-gate evidence only (three-SF
+    hash-exact, staging protocol); the composite itself is
+    oracle-checked by tests/test_composites.py with the same exact
+    compare."""
+    from .staging_r12 import _pca_state
+    from .similarity import _embeddings
+
+    vN = "v24"
+    state = _pca_state(spark, sf_dir).select(F.col(vN).alias("pc"), "mu")
+    emb = _embeddings(spark, sf_dir)
+    scores = emb.crossJoin(F.broadcast(state)).select(
+        "label",
+        F.floor(
+            F.expr(
+                "aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), "
+                "(acc, i) -> acc + element_at(pc, i + 1) * "
+                "(element_at(emb, i + 1) - element_at(mu, i + 1)))"
+            )
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    stats = scores.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    flagged = scores.crossJoin(F.broadcast(stats)).withColumn(
+        "is_outlier",
+        F.expr(
+            "(CAST(q AS DECIMAL(38,0)) * n - s1) * (CAST(q AS DECIMAL(38,0)) * n - s1)"
+            " > 9 * (n * s2 - s1 * s1)"
+        ),
+    )
+    return flagged.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
+        ).alias("outlier_ppm"),
+    )
+

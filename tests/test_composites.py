@@ -15,11 +15,12 @@ def test_composites_do_not_collide_or_register():
     registry, never shadowing a staged candidate (bench_scale's
     lookup gives them lowest precedence, so a collision would
     silently bench the wrong plan)."""
-    from noaa_data_pipeline_spark.plans.staging_r11 import STAGED
+    from noaa_data_pipeline_spark.plans.staging_r11 import STAGED as S11
+    from noaa_data_pipeline_spark.plans.staging_r12 import STAGED as S12
 
     registered = set(load_all())
     assert not (set(COMPOSITES) & registered)
-    assert not (set(COMPOSITES) & set(STAGED))
+    assert not (set(COMPOSITES) & (set(S11) | set(S12)))
 
 
 @pytest.mark.parametrize("name", sorted(COMPOSITES))
@@ -55,3 +56,17 @@ def test_simhash_purge_pipeline_consumes_pairs(spark, sf_dir):
     for r in rows:
         assert r.docs_before == r.docs_removed + r.docs_after
         assert r.docs_removed >= 0
+
+
+def test_pca_outlier_pipeline_rates_are_sane(spark, sf_dir):
+    """Chebyshev bounds the 3-sigma outlier mass at 1/9 of the corpus
+    regardless of distribution; per-label counts must sum consistently
+    and the ppm must match its own count arithmetic."""
+    rows = COMPOSITES["emb_pca_outlier_pipeline"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_vecs for r in rows)
+    outliers = sum(r.n_outliers for r in rows)
+    assert outliers * 9 <= total
+    for r in rows:
+        assert 0 <= r.n_outliers <= r.n_vecs
+        assert r.outlier_ppm == (1_000_000 * r.n_outliers) // r.n_vecs
