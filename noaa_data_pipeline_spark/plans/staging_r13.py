@@ -1,0 +1,387 @@
+"""Round-13 candidates: staged, not registered.
+
+Two operators extending the LLM-pipeline families along axes they do
+not yet cover, following the r9-r12 staging protocol (DuckDB oracle +
+driver-gate-equivalent pytest compare + differential fuzz + laziness +
+plan-shape + bench_scale rows) before any registry promotion:
+
+- ``emb_jl_projection_eval`` — retrieval-quality evaluation of a
+  Johnson-Lindenstrauss SIGN random projection (Achlioptas 2003's
+  database-friendly +/-1 variant): project every embedding through a
+  deterministic {+1,-1}^(r x d) matrix and measure, per query and per
+  projected width r, how many of the exact full-dimension cosine
+  top-k the projected ranking recovers. This completes the
+  eval-harness family on its fourth axis: sim_ann_recall_eval = ANN
+  bucketing, sim_pq_recall_eval = quantization,
+  emb_matryoshka_truncate_eval = learned-prefix dimension, THIS =
+  data-free dimension reduction (the only axis that needs no training
+  pass at all, which is why curation pipelines reach for it first
+  when embeddings were not matryoshka-trained). The sign matrices
+  nest (width r is a prefix of width r'), so ONE r_max-wide
+  projection pass serves every width via slices, exactly like the
+  matryoshka entry's prefix trick.
+- ``sample_weighted_priority`` — priority sampling / sequential
+  Poisson sampling (Ohlsson 1998; Duffield-Lund-Thorup 2007): each
+  doc draws a deterministic uniform from the portable md5 idiom,
+  ranks by floor(u * SCALE / weight), and the k smallest per stratum
+  are the sample — inclusion probability approximately proportional
+  to weight, the estimator family curation pipelines use for
+  weighted corpus subsetting (quality-weighted doc selection, PPS
+  throughput probes) when full weighted reservoirs are overkill.
+  Everything is 64-bit integer arithmetic end to end, so the gate
+  compare is exact by construction — no decimal hops, no floats
+  anywhere in the entry.
+
+Reference anchors (spec, not code): extend SURVEY.md's sampling/split
+family (sample_stratified_hash, split_train_val_hash precedents) and
+the embedding eval family (emb_matryoshka_truncate_eval precedent),
+like the round-5-12 additions they follow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import Query
+from .graph_eval import _swap_persisted
+from .similarity import DIM, _SQL_DEC, _SQL_EMB, _dot, _embeddings, _sql_dot
+
+# --- staging registry (NOT the driver registry) -----------------------
+
+STAGED: dict[str, Query] = {}
+
+
+def stage(name: str, oracle: str | None = None, doc: str = ""):
+    """Mirror of ``plans.register`` writing to the staging dict, so a
+    round-13 promotion is a one-word decorator swap (the staging_r11/
+    staging_r12 precedent)."""
+
+    def deco(fn):
+        STAGED[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
+
+
+# --- emb_jl_projection_eval --------------------------------------------
+
+JL_DIMS = (8, 16, 32)  # projected widths to evaluate (nested prefixes)
+JL_R = max(JL_DIMS)  # one projection pass at the widest width
+JL_QUERIES = 8  # vec_id < 8 are the query vectors (sim_* idiom)
+JL_K = 5  # top-k overlap window (matryoshka idiom)
+
+
+def _jl_sign(plane: int, dim: int) -> float:
+    """One +/-1 sign-matrix entry, derived from the repo's portable
+    md5 idiom (Python md5 == JVM md5 == DuckDB md5) so the Spark-side
+    literals and the oracle's in-SQL derivation are the same matrix.
+    The 'jl|' salt decorrelates it from the LSH hyperplane family,
+    which hashes the un-salted 'plane|dim' string."""
+    h = hashlib.md5(f"jl|{plane}|{dim}".encode()).hexdigest()[:8]
+    return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+
+def _jl_project() -> Column:
+    """The full r_max-wide projection of the ``emb`` column: an array
+    of {JL_R} exact decimal-fold dots against literal sign vectors.
+    Inlined literals keep the pass entirely map-side (zip_with +
+    aggregate per plane, like the LSH sign bits)."""
+    return F.array(
+        *[
+            _dot(
+                F.col("emb"),
+                F.array(*[F.lit(_jl_sign(j, d + 1)) for d in range(DIM)]),
+            )
+            for j in range(JL_R)
+        ]
+    )
+
+
+_SQL_JL_SIGNS = f"""
+        SELECT p.range AS plane, d.range + 1 AS dim,
+               CASE WHEN CAST(('0x' || substr(md5('jl|' || p.range || '|' || (d.range + 1)), 1, 8)) AS BIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS comp
+        FROM range({JL_R}) p, range({DIM}) d
+"""
+
+
+def _sql_jl_cosine(r: int, q: str, c: str) -> str:
+    qs, cs = f"{q}.pemb[1:{r}]", f"{c}.pemb[1:{r}]"
+    return (
+        f"{_sql_dot(qs, cs)} / NULLIF("
+        f"sqrt({_sql_dot(qs, qs)}) * sqrt({_sql_dot(cs, cs)}), 0)"
+    )
+
+
+# Persisted frames of the LAST invocation (graph_eval lifecycle).
+_JL_CORPUS_PERSISTED: list[DataFrame] = []
+_JL_PAIRS_PERSISTED: list[DataFrame] = []
+
+
+@stage(
+    "emb_jl_projection_eval",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    signs AS ({_SQL_JL_SIGNS}),
+    comps AS (
+        SELECT vec_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+        FROM emb
+    ),
+    pcomps AS (
+        SELECT c.vec_id, s.plane,
+               CAST(CAST(SUM(CAST(c.val * s.comp AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE) AS pval
+        FROM comps c JOIN signs s ON c.dim = s.dim
+        GROUP BY c.vec_id, s.plane
+    ),
+    proj AS (
+        SELECT vec_id, list(pval ORDER BY plane) AS pemb
+        FROM pcomps GROUP BY vec_id
+    ),
+    corpus AS (
+        SELECT e.vec_id, e.emb, e.norm, p.pemb
+        FROM emb e JOIN proj p USING (vec_id)
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.emb', 'c.emb')} / NULLIF(q.norm * c.norm, 0) AS cos_full,
+               {', '.join(f"{_sql_jl_cosine(r, 'q', 'c')} AS cos_jl_{r}" for r in JL_DIMS)}
+        FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {JL_QUERIES}
+    ),
+    full_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_full DESC NULLS LAST, neighbor_id
+            ) AS rnk FROM pairs
+        ) r WHERE rnk <= {JL_K}
+    ),
+    jl_topk AS (
+        {' UNION ALL '.join(f'''
+        SELECT {r} AS r_dim, query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_jl_{r} DESC NULLS LAST, neighbor_id
+            ) AS rnk FROM pairs
+        ) r WHERE rnk <= {JL_K}''' for r in JL_DIMS)}
+    )
+    SELECT CAST(t.r_dim AS BIGINT) AS r_dim, t.query_id,
+           CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST({JL_K} AS BIGINT) AS k
+    FROM jl_topk t
+    LEFT JOIN full_topk f
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY t.r_dim, t.query_id
+    """,
+)
+def emb_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign-projection retrieval eval: per query vector and
+    projected width r in {JL_DIMS}, how many of the exact
+    full-dimension cosine top-{JL_K} does the r-dimensional
+    sign-projected ranking recover? (r_dim, query_id, n_overlap, k)
+    — the acceptance curve read before fronting retrieval with a
+    data-free random projection (the option that exists even when
+    the embedding model was not matryoshka-trained and no PQ
+    codebook has been fit).
+
+    Exactness: the sign matrix is the portable md5 idiom (driver-side
+    Python literals == the oracle's in-SQL derivation), every
+    projected component and every cosine goes through the decimal-dot
+    VARCHAR hop, so projected values are bit-identical doubles across
+    engines and rankings tie-break identically (neighbor_id asc);
+    zero-norm projections score NULL (NULLIF) and sort last in both;
+    the output is integer-only.
+
+    Scale: the projection is ONE map-side pass over the corpus (32
+    decimal folds per row, no shuffle — the sign vectors are plan
+    literals), persisted because Catalyst's projection collapse would
+    otherwise inline the 32-fold array into each of the ~10 cosine
+    expressions downstream (the GATE_LOG inlined-expression-recompute
+    hazard, r11); widths are slices of that one array, so r_max pays
+    for all widths. The scored pair frame is query-broadcast (corpus
+    never shuffles), per-(query, width) top-k is a WindowGroupLimit,
+    and the overlap join is broadcast-sized."""
+    emb = _embeddings(spark, sf_dir)
+    corpus = _swap_persisted(
+        _JL_CORPUS_PERSISTED,
+        emb.select("vec_id", "emb", "norm", _jl_project().alias("pemb")),
+    )
+    q = corpus.filter(F.col("vec_id") < JL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("pemb").alias("q_pemb"),
+    )
+
+    def jl_cos(r: int):
+        qs, cs = F.slice("q_pemb", 1, r), F.slice("pemb", 1, r)
+        return (
+            _dot(qs, cs)
+            / F.nullif(F.sqrt(_dot(qs, qs)) * F.sqrt(_dot(cs, cs)), F.lit(0.0))
+        ).alias(f"cos_jl_{r}")
+
+    pairs = _swap_persisted(
+        _JL_PAIRS_PERSISTED,
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("emb"))
+                / F.nullif(F.col("q_norm") * F.col("norm"), F.lit(0.0))
+            ).alias("cos_full"),
+            *[jl_cos(r) for r in JL_DIMS],
+        ),
+    )
+
+    def topk(order_col: str):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc_nulls_last(order_col), F.asc("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= JL_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_topk = topk("cos_full")
+    jl_topk = None
+    for r in JL_DIMS:
+        t = topk(f"cos_jl_{r}").select(
+            F.lit(r).cast("long").alias("r_dim"), "query_id", "neighbor_id"
+        )
+        jl_topk = t if jl_topk is None else jl_topk.unionByName(t)
+    return (
+        jl_topk.join(
+            F.broadcast(full_topk.withColumn("hit", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("r_dim", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_overlap"),
+            F.lit(JL_K).cast("long").alias("k"),
+        )
+    )
+
+
+# --- sample_weighted_priority --------------------------------------------
+
+WSAMP_K = 16  # sample size per stratum
+# priority = floor(h40 * SCALE / weight): h40 < 2^40 keeps the
+# multiply under 2^63 (1.1e12 * 1e6 = 1.1e18 < 9.2e18), so the whole
+# key is exact 64-bit integer arithmetic on both engines
+WSAMP_SCALE = 1_000_000
+
+
+def _wsamp_priority_sql(engine: str) -> str:
+    """The rank key, spelled for each engine over the SAME integer
+    ops: u = top 40 bits of the portable 60-bit md5 hash (salted
+    'wsamp|' so it is independent of the split/stratify entries'
+    un-salted doc_id hashes), weight = GREATEST(COALESCE(n_chars,1),1)
+    (the null/zero-weight guard), priority = (u * SCALE) intdiv w.
+    Smallest-priority-first IS priority sampling's order statistic
+    (rank by u_i / w_i; Ohlsson's sequential Poisson form)."""
+    if engine == "spark":
+        h = (
+            "shiftright(cast(conv(substr(md5(concat('wsamp|', "
+            "cast(doc_id as string))), 1, 15), 16, 10) as bigint), 20)"
+        )
+        return f"({h} * {WSAMP_SCALE}) div greatest(coalesce(n_chars, 1), 1)"
+    h = (
+        "(CAST(('0x' || substr(md5('wsamp|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) >> 20)"
+    )
+    return f"({h} * {WSAMP_SCALE}) // GREATEST(COALESCE(n_chars, 1), 1)"
+
+
+@stage(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, doc_id,
+               GREATEST(COALESCE(n_chars, 1), 1) AS weight,
+               {_wsamp_priority_sql('duckdb')} AS priority
+        FROM documents
+    ),
+    stats AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS stratum_docs,
+               CAST(SUM(weight) AS BIGINT) AS stratum_weight
+        FROM base GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, doc_id, weight, priority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY priority, doc_id
+               ) AS sample_rank
+        FROM base
+    )
+    SELECT r.source, CAST(r.sample_rank AS BIGINT) AS sample_rank,
+           r.doc_id, r.weight, r.priority,
+           s.stratum_docs, s.stratum_weight
+    FROM ranked r JOIN stats s USING (source)
+    WHERE r.sample_rank <= {WSAMP_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, {WSAMP_K} docs per source
+    stratum, inclusion probability approximately proportional to
+    weight (= n_chars): priority sampling / sequential Poisson
+    sampling (rank by u/w, keep the k smallest), with the uniform u
+    drawn deterministically from the portable md5 idiom so the sample
+    is reproducible and cross-engine exact. Output rows carry the
+    stratum's total doc count and weight so a consumer can form the
+    Horvitz-Thompson-style expansion weights without a second scan.
+
+    Exactness: the entire entry is 64-bit integer arithmetic —
+    h40 * {WSAMP_SCALE} stays under 2^63 and the integer division is
+    identical on both engines for non-negative operands (weight >= 1
+    by the GREATEST guard) — so the gate compare is exact by
+    construction; ties (same priority) break on doc_id in both.
+
+    Scale: the rank key is map-side (one md5 per row, no joins); the
+    per-stratum top-k is a row_number window that Spark plans as
+    WindowGroupLimit with a PARTIAL pass, so each map task forwards at
+    most k rows per stratum into the one source-keyed exchange — the
+    shuffle carries O(k x strata x tasks), not the corpus. The
+    stratum stats aggregate is map-side combined to one row per
+    source and broadcast back onto the k-row sample. At 100 TB this
+    is the weighted-subset shape that avoids both a global sort and a
+    weighted reservoir's sequential state."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.greatest(F.coalesce(F.col("n_chars"), F.lit(1)), F.lit(1))
+        .cast("long")
+        .alias("weight"),
+        F.expr(_wsamp_priority_sql("spark")).alias("priority"),
+    )
+    stats = base.groupBy("source").agg(
+        F.count("*").alias("stratum_docs"),
+        F.sum("weight").alias("stratum_weight"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.asc("priority"), F.asc("doc_id")
+    )
+    return (
+        base.withColumn("sample_rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("sample_rank") <= WSAMP_K)
+        .join(F.broadcast(stats), "source")
+        .select(
+            "source",
+            "sample_rank",
+            "doc_id",
+            "weight",
+            "priority",
+            "stratum_docs",
+            "stratum_weight",
+        )
+    )

@@ -64,8 +64,9 @@ def run_config(label: str, master: str, shuffle: int, names: list[str], sf_dir: 
         try:  # staged (pre-promotion) candidates are measurable too
             from noaa_data_pipeline_spark.plans.staging_r11 import STAGED
             from noaa_data_pipeline_spark.plans.staging_r12 import STAGED as _S12
+            from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as _S13
 
-            STAGED = {**STAGED, **_S12}
+            STAGED = {**STAGED, **_S12, **_S13}
 
             registry = {**STAGED, **registry}
         except ImportError as exc:
