@@ -207,7 +207,13 @@ def emb_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard, r11); widths are slices of that one array, so r_max pays
     for all widths. The scored pair frame is query-broadcast (corpus
     never shuffles), per-(query, width) top-k is a WindowGroupLimit,
-    and the overlap join is broadcast-sized."""
+    and the overlap join is broadcast-sized.
+
+    Measured (BENCH_SCALE, r11 third session): x5 0.77x, x20 0.32x,
+    x100 0.25x (Spark 18.7 s vs DuckDB 74.5 s at 200k vectors) — the
+    map-side projection pass scales out while the single-node engine
+    pays the unnest-join sign products serially; cluster2x16 1.40x of
+    local32 at a 0.4 s wall (serialization tax only, BENCH_CLUSTER)."""
     emb = _embeddings(spark, sf_dir)
     corpus = _swap_persisted(
         _JL_CORPUS_PERSISTED,
@@ -354,7 +360,19 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum stats aggregate is map-side combined to one row per
     source and broadcast back onto the k-row sample. At 100 TB this
     is the weighted-subset shape that avoids both a global sort and a
-    weighted reservoir's sequential state."""
+    weighted reservoir's sequential state.
+
+    Measured (BENCH_SCALE, r11 third session): the Spark wall is the
+    job floor, FLAT at 1.18 s from x100 (500k docs) to x200 (1M) and
+    1.89 s at x500 (2.5M), so the single-box ratio vs DuckDB's
+    0.13-0.29 s reads 9.1x/6.8x/6.5x — recorded honestly: the op is
+    two sub-second scans of three columns, too cheap for the fixed
+    per-job cost to amortize on one box (the bloom-prune precedent).
+    The plan is shaped for the 100 TB contract, not the toy ratio:
+    the alternative single-exchange plan (stats as unbounded window
+    aggs sharing the row_number partition) would kill the partial
+    WindowGroupLimit and shuffle the full corpus, which is the wrong
+    trade everywhere it matters."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "source",
