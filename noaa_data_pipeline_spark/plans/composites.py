@@ -268,3 +268,141 @@ def emb_pca_outlier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("outlier_ppm"),
     )
 
+
+
+# --- docs_weighted_shard_assembly ---------------------------------------
+
+def _wshard_oracle_sql() -> str:
+    from ..operators import textops
+    from .staging_r13 import WSAMP_K, _wsamp_priority_sql
+    from .text import PACK_BUDGET
+
+    norm = textops.SQL_NORM.format(col="d.text")
+    return f"""
+    WITH base AS (
+        SELECT source, doc_id,
+               GREATEST(COALESCE(n_chars, 1), 1) AS weight,
+               {_wsamp_priority_sql('duckdb')} AS priority
+        FROM documents
+    ),
+    stats AS (
+        SELECT source, CAST(SUM(weight) AS BIGINT) AS stratum_weight
+        FROM base GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, doc_id, weight,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY priority, doc_id
+               ) AS sample_rank
+        FROM base
+    ),
+    toks AS (
+        SELECT s.source, s.sample_rank, s.weight,
+               CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_tok
+        FROM ranked s JOIN documents d USING (doc_id)
+        WHERE s.sample_rank <= {WSAMP_K}
+    ),
+    binned AS (
+        SELECT source, weight, n_tok,
+               CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY sample_rank
+                           ROWS UNBOUNDED PRECEDING) - n_tok) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+        FROM toks
+    ),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_tok) AS BIGINT) AS sampled_tokens,
+               CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins,
+               CAST(SUM(weight) AS BIGINT) AS sampled_weight
+        FROM binned GROUP BY source
+    )
+    SELECT a.source, a.n_sampled, a.sampled_tokens, a.n_bins,
+           CAST((1000000 * a.sampled_tokens) // (a.n_bins * {PACK_BUDGET}) AS BIGINT) AS fill_ppm,
+           a.sampled_weight, s.stratum_weight,
+           CAST((CAST(1000000 AS HUGEINT) * a.sampled_weight) // s.stratum_weight AS BIGINT) AS weight_share_ppm
+    FROM agg a JOIN stats s USING (source)
+    """
+
+
+@composite("docs_weighted_shard_assembly", oracle=_wshard_oracle_sql())
+def docs_weighted_shard_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assembly, composed end to end: the staged
+    priority sample (sample_weighted_priority, plans/staging_r13.py)
+    selects k quality-weighted docs per source, the selected docs are
+    token-counted and greedily packed into {PACK_BUDGET}-token bins
+    in sample_rank order (docs_pack_sequences' bin arithmetic, scoped
+    to the sample), and the output is the per-source shard report a
+    curator reads before materializing the shard: sample size, token
+    total, bins used, fill ratio (ppm), and the sampled weight share
+    of the stratum (the empirical check that inclusion probability
+    tracked weight — the Horvitz-Thompson sanity number).
+
+    Evidence-tier note (the PCA-composite precedent): the sampling
+    stage is a pytest-gate STAGED candidate, not yet driver-proven;
+    the packing arithmetic is the registered entry's, re-scoped.
+
+    Scale: the sampler's contract (map-side keys, partial
+    WindowGroupLimit, O(k x strata) sample) carries over; the join
+    back to documents for text is broadcast (the sample side is
+    k x strata rows); the packing window sorts <= k rows per stratum.
+    Nothing corpus-sized shuffles, and the corpus is scanned twice
+    (once for keys+stats, once to fetch the sampled docs' text) —
+    at 100 TB the second scan prunes to the doc_id semi-join.
+
+    Exactness: token counts, bin ids, and both ppm ratios are integer
+    arithmetic (the weight-share multiply goes through DECIMAL(38,0)/
+    HUGEINT so 1e6 x stratum weights cannot overflow 64 bits)."""
+    from pyspark.sql import Window
+
+    from ..operators import textops
+    from .staging_r13 import sample_weighted_priority
+    from .text import PACK_BUDGET
+
+    s = sample_weighted_priority(spark, sf_dir).select(
+        "source", "sample_rank", "doc_id", "weight", "stratum_weight"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.join(F.broadcast(s), "doc_id").select(
+        "source",
+        "sample_rank",
+        "weight",
+        "stratum_weight",
+        F.size(F.split(textops.norm_text(F.col("text")), " "))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("sample_rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = toks.select(
+        "source",
+        "weight",
+        "stratum_weight",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET)
+        .cast("long")
+        .alias("bin_id"),
+    )
+    agg = binned.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("n_tok").cast("long").alias("sampled_tokens"),
+        (F.max("bin_id") + 1).cast("long").alias("n_bins"),
+        F.sum("weight").cast("long").alias("sampled_weight"),
+        F.max("stratum_weight").alias("stratum_weight"),
+    )
+    return agg.select(
+        "source",
+        "n_sampled",
+        "sampled_tokens",
+        "n_bins",
+        F.expr(
+            f"CAST((1000000 * sampled_tokens) div (n_bins * {PACK_BUDGET}) AS BIGINT)"
+        ).alias("fill_ppm"),
+        "sampled_weight",
+        "stratum_weight",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sampled_weight) div stratum_weight AS BIGINT)"
+        ).alias("weight_share_ppm"),
+    )

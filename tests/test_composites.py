@@ -17,10 +17,11 @@ def test_composites_do_not_collide_or_register():
     silently bench the wrong plan)."""
     from noaa_data_pipeline_spark.plans.staging_r11 import STAGED as S11
     from noaa_data_pipeline_spark.plans.staging_r12 import STAGED as S12
+    from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as S13
 
     registered = set(load_all())
     assert not (set(COMPOSITES) & registered)
-    assert not (set(COMPOSITES) & (set(S11) | set(S12)))
+    assert not (set(COMPOSITES) & (set(S11) | set(S12) | set(S13)))
 
 
 @pytest.mark.parametrize("name", sorted(COMPOSITES))
@@ -70,3 +71,36 @@ def test_pca_outlier_pipeline_rates_are_sane(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_outliers <= r.n_vecs
         assert r.outlier_ppm == (1_000_000 * r.n_outliers) // r.n_vecs
+
+
+def test_weighted_shard_assembly_consistent_with_sampler(spark, sf_dir):
+    """The composition must agree with its own first stage: per
+    source, sampled_weight equals the sum of the staged sampler's
+    weights, n_sampled equals its row count, the fill ratio is a
+    proper ppm (<= 1e6 by the bin arithmetic: bins after the first
+    open at a prefix boundary, so total tokens never exceed
+    n_bins x budget ... except the last doc of a bin may overflow it,
+    which is why fill can exceed 1e6 only via that documented
+    spillover), and the weight share is a sub-stratum fraction."""
+    from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as S13
+
+    shard = {
+        r.source: r
+        for r in COMPOSITES["docs_weighted_shard_assembly"].fn(spark, sf_dir).collect()
+    }
+    sample = S13["sample_weighted_priority"].fn(spark, sf_dir).collect()
+    by_src = {}
+    for r in sample:
+        a = by_src.setdefault(r.source, [0, 0])
+        a[0] += 1
+        a[1] += r.weight
+    assert set(shard) == set(by_src)
+    for src, (n, wsum) in by_src.items():
+        row = shard[src]
+        assert row.n_sampled == n
+        assert row.sampled_weight == wsum
+        assert 1 <= row.n_bins <= n
+        assert 0 < row.weight_share_ppm <= 1_000_000
+        assert row.fill_ppm == (1_000_000 * row.sampled_tokens) // (
+            row.n_bins * 2048
+        )
