@@ -213,7 +213,11 @@ def emb_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     x100 0.25x (Spark 18.7 s vs DuckDB 74.5 s at 200k vectors) — the
     map-side projection pass scales out while the single-node engine
     pays the unnest-join sign products serially; cluster2x16 1.40x of
-    local32 at a 0.4 s wall (serialization tax only, BENCH_CLUSTER)."""
+    local32 at a 0.4 s wall (serialization tax only, BENCH_CLUSTER).
+    At x200 (400k vectors) Spark completes in 41.3 s while the DuckDB
+    oracle aborts with an out-of-memory on its ~800M-row unnest-join
+    intermediate — the first entry in the repo whose oracle stops
+    running before the Spark plan does (GATE_LOG r11 third session)."""
     emb = _embeddings(spark, sf_dir)
     corpus = _swap_persisted(
         _JL_CORPUS_PERSISTED,

@@ -71,6 +71,12 @@ def run_config(label: str, master: str, shuffle: int, names: list[str], sf_dir: 
             registry = {**STAGED, **registry}
         except ImportError as exc:
             print(f"warning: staging registry unavailable ({exc})", file=sys.stderr)
+        try:  # composites: lowest precedence (the bench_scale lookup order)
+            from noaa_data_pipeline_spark.plans.composites import COMPOSITES
+
+            registry = {**COMPOSITES, **registry}
+        except ImportError as exc:
+            print(f"warning: composites unavailable ({exc})", file=sys.stderr)
         unknown = [n for n in names if n not in registry]
         if unknown:
             raise SystemExit(f"unknown queries {unknown}: not in the registry or staged set")
