@@ -386,3 +386,21 @@ def test_candidate_construction_laziness(spark, sf_dir):
         fn(spark, sf_dir)
         after = set(tracker.getJobIdsForGroup(None) or ())
         assert after == before, f"{name} construction launched a job"
+
+
+def test_jl_projection_is_persisted_not_inlined(spark, sf_dir):
+    """The 32-fold projection array must reach the pair scorer
+    through the persisted corpus frame (InMemoryTableScan), not be
+    re-inlined by Catalyst's projection collapse into each of the
+    ~10 downstream cosine expressions — the GATE_LOG r11
+    inlined-expression-recompute hazard, load-bearing here: losing
+    the persist silently multiplies the projection work ~10x without
+    changing any result."""
+    from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as S13
+
+    df = S13["emb_jl_projection_eval"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # the projected column itself must not appear as an inline
+    # aggregate-fold chain in the final plan (it lives in the cache)
+    assert plan.count("aggregate(") < 2 * 3 * len(JL_DIMS) * 64
