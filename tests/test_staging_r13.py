@@ -404,3 +404,103 @@ def test_jl_projection_is_persisted_not_inlined(spark, sf_dir):
     # the projected column itself must not appear as an inline
     # aggregate-fold chain in the final plan (it lives in the cache)
     assert plan.count("aggregate(") < 2 * 3 * len(JL_DIMS) * 64
+
+
+# --- sim_hard_negatives ---------------------------------------------------
+
+
+def test_hard_negatives_structure(spark, sf_dir):
+    """Per anchor: <= k rows, dense ranks from 1, negatives strictly
+    different-label (checked against the raw embeddings), margin is
+    exactly pos_best - neg_cosine on the returned bits, and the
+    ranking is non-increasing in cosine."""
+    from noaa_data_pipeline_spark.plans.staging_r13 import HN_K, HN_QUERIES, STAGED as S13
+
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = S13["sim_hard_negatives"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) <= set(range(HN_QUERIES))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= HN_K
+        cosines = [r.neg_cosine for r in rs if r.neg_cosine is not None]
+        assert cosines == sorted(cosines, reverse=True)
+        for r in rs:
+            assert labels[r.neighbor_id] != labels[qid]
+            if r.pos_best_cosine is not None and r.neg_cosine is not None:
+                assert r.margin == r.pos_best_cosine - r.neg_cosine
+            else:
+                assert r.margin is None
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    n=st.integers(min_value=12, max_value=24),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_hard_negatives_planted_fuzz(spark, tmp_path_factory, seed, n):
+    """Plant TWO exact duplicates of anchor 0: one with a DIFFERENT
+    label (must be the rank-1 hard negative at cosine ~1) and one
+    with the SAME label (must set the positive ceiling to ~1, never
+    appear among the negatives, and drive rank-1 margin to ~0 — the
+    anchor sits exactly on the contrastive boundary). The whole lake
+    must also hash-match the oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, 64))
+    X[n - 2] = X[0]  # same-label duplicate (label pattern i % 3: see below)
+    X[n - 1] = X[0]  # different-label duplicate
+    labels = [i % 3 for i in range(n)]
+    labels[0] = 0
+    labels[n - 2] = 0  # same label as anchor
+    labels[n - 1] = 1  # different label
+    vecs = [list(map(float, x)) for x in X.astype(np.float32)]
+    tmp = str(tmp_path_factory.mktemp("hn_fuzz"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        f"{tmp}/embeddings.parquet",
+    )
+    cols, srows = _gate_compare(spark, tmp, "sim_hard_negatives", ["embeddings"])
+    q0 = [dict(zip(cols, r)) for r in srows if dict(zip(cols, r))["query_id"] == 0]
+    assert q0, "anchor 0 produced no negatives"
+    top = min(q0, key=lambda r: r["neg_rank"])
+    assert top["neg_rank"] == 1
+    assert top["neighbor_id"] == n - 1  # the planted cross-label copy
+    assert top["neg_cosine"] > 0.999999
+    assert top["pos_best_cosine"] > 0.999999  # the planted same-label copy
+    assert abs(top["margin"]) < 1e-9  # exactly on the boundary
+    assert all(r["neighbor_id"] != n - 2 for r in q0)  # same-label never a negative
+
+
+def test_hard_negatives_plan_shape(spark, sf_dir):
+    """One persisted anchor-broadcast scoring pass feeds both the
+    negatives window (WindowGroupLimit) and the positives ceiling;
+    the corpus never shuffles and nothing drops to Python or a
+    cartesian."""
+    from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as S13
+
+    df = S13["sim_hard_negatives"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the anchor broadcast
+    assert "WindowGroupLimit" in plan
+    assert "InMemoryTableScan" in plan  # the shared scored-pair persist
