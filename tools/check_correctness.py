@@ -83,6 +83,33 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Explicitly-named staged candidates (and composites) resolve
+    # through the same gate machinery — the bench tools' lookup
+    # order, lowest precedence, and ONLY when named: the default
+    # full run must stay exactly the driver registry so its PASS
+    # count remains the registry-freshness evidence.
+    if ONLY:
+        extras: dict = {}
+        try:
+            from noaa_data_pipeline_spark.plans.composites import COMPOSITES
+
+            extras.update({n: q for n, q in COMPOSITES.items()})
+        except ImportError as exc:
+            print(f"warning: composites unavailable ({exc})", file=sys.stderr)
+        try:
+            from noaa_data_pipeline_spark.plans.staging_r11 import STAGED as _s11
+            from noaa_data_pipeline_spark.plans.staging_r12 import STAGED as _s12
+            from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as _s13
+
+            for d in (_s11, _s12, _s13):
+                extras.update(d)
+        except ImportError as exc:
+            print(f"warning: staging registry unavailable ({exc})", file=sys.stderr)
+        for name in ONLY - set(qs):
+            if name in extras:
+                qs[name] = extras[name].fn
+                if extras[name].oracle is not None:
+                    oracles[name] = extras[name].oracle
     failures = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
