@@ -39,6 +39,12 @@ promotion:
   similarity family lacked (every existing entry ranks the whole
   corpus; a contrastive curator ranks within a predicate partition
   of it and thresholds on the positive-negative margin).
+- ``emb_dim_reduction_eval`` — the r13 CONSOLIDATION candidate: both
+  dimension-reduction axes (matryoshka raw prefix + JL sign
+  projection) in ONE corpus pass, row-identical per axis to the two
+  entries it proposes to replace (pytest-pinned identity), freeing a
+  registry slot under the cap while making the comparison cheaper
+  than either parent ran alone.
 
 Reference anchors (spec, not code): extend SURVEY.md's sampling/split
 family (sample_stratified_hash, split_train_val_hash precedents) and
@@ -527,4 +533,180 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("neg_cosine"),
         "pos_best_cosine",
         (F.col("pos_best_cosine") - F.col("cosine")).alias("margin"),
+    )
+
+
+# --- emb_dim_reduction_eval (consolidation candidate) --------------------
+
+# One corpus pass serves BOTH dimension-reduction axes: 'mrl' slices
+# the raw embedding prefix (matryoshka), 'jl' slices the persisted
+# sign-projection array. Same widths/k/queries as the two entries it
+# consolidates (MRL_DIMS == JL_DIMS, MRL_K == JL_K, MRL_QUERIES ==
+# JL_QUERIES), so its per-axis output must equal theirs row for row —
+# the cross-entry identity tests/test_staging_r13.py pins.
+_DRE_PAIRS_PERSISTED: list[DataFrame] = []
+
+
+def _sql_mrl_cosine(d: int, q: str, c: str) -> str:
+    qs, cs = f"{q}.emb[1:{d}]", f"{c}.emb[1:{d}]"
+    return (
+        f"{_sql_dot(qs, cs)} / NULLIF("
+        f"sqrt({_sql_dot(qs, qs)}) * sqrt({_sql_dot(cs, cs)}), 0)"
+    )
+
+
+@stage(
+    "emb_dim_reduction_eval",
+    oracle=f"""
+    WITH emb AS ({_SQL_EMB}),
+    signs AS ({_SQL_JL_SIGNS}),
+    comps AS (
+        SELECT vec_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+        FROM emb
+    ),
+    pcomps AS (
+        SELECT c.vec_id, s.plane,
+               CAST(CAST(SUM(CAST(c.val * s.comp AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE) AS pval
+        FROM comps c JOIN signs s ON c.dim = s.dim
+        GROUP BY c.vec_id, s.plane
+    ),
+    proj AS (
+        SELECT vec_id, list(pval ORDER BY plane) AS pemb
+        FROM pcomps GROUP BY vec_id
+    ),
+    corpus AS (
+        SELECT e.vec_id, e.emb, e.norm, p.pemb
+        FROM emb e JOIN proj p USING (vec_id)
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_dot('q.emb', 'c.emb')} / NULLIF(q.norm * c.norm, 0) AS cos_full,
+               {', '.join(f"{_sql_mrl_cosine(r, 'q', 'c')} AS cos_mrl_{r}" for r in JL_DIMS)},
+               {', '.join(f"{_sql_jl_cosine(r, 'q', 'c')} AS cos_jl_{r}" for r in JL_DIMS)}
+        FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {JL_QUERIES}
+    ),
+    full_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_full DESC NULLS LAST, neighbor_id
+            ) AS rnk FROM pairs
+        ) r WHERE rnk <= {JL_K}
+    ),
+    axis_topk AS (
+        {' UNION ALL '.join(f'''
+        SELECT '{axis}' AS axis, {r} AS r_dim, query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_{axis}_{r} DESC NULLS LAST, neighbor_id
+            ) AS rnk FROM pairs
+        ) r WHERE rnk <= {JL_K}''' for axis in ('mrl', 'jl') for r in JL_DIMS)}
+    )
+    SELECT t.axis, CAST(t.r_dim AS BIGINT) AS r_dim, t.query_id,
+           CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST({JL_K} AS BIGINT) AS k
+    FROM axis_topk t
+    LEFT JOIN full_topk f
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY t.axis, t.r_dim, t.query_id
+    """,
+)
+def emb_dim_reduction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH dimension-reduction axes in one corpus pass: per query,
+    per width r in {JL_DIMS}, and per axis ('mrl' = matryoshka raw
+    prefix, 'jl' = sign-projection prefix), the exact-top-{JL_K}
+    overlap of the reduced ranking. (axis, r_dim, query_id,
+    n_overlap, k) — row-identical per axis to
+    emb_matryoshka_truncate_eval and emb_jl_projection_eval (the
+    cross-entry identity is pytest-pinned), because the constants
+    match and the scoring goes through the same decimal-dot hops.
+
+    This is the r13 CONSOLIDATION candidate (GATE_LOG r11 "cap
+    arithmetic"): registering it and retiring the two per-axis
+    entries frees a registry slot while making the comparison
+    CHEAPER than either entry alone ran — the full-cosine truth pass
+    and the pair broadcast are paid once for both axes, and the
+    widths slice the same persisted arrays.
+
+    Scale: identical contract to its parents — one map-side
+    projection pass (persisted), one query-broadcast scored-pair
+    frame (persisted), WindowGroupLimit top-k per (axis, width),
+    broadcast-sized overlap joins; the corpus never shuffles.
+
+    Measured (BENCH_SCALE, r11 third session): x20 0.39x, x100 0.53x
+    (Spark 35.1 s vs DuckDB 65.9 s at 200k vectors — both axes for
+    ~1.9x the JL-alone Spark wall, i.e. the truth pass and pair
+    broadcast amortize); cluster2x16 **0.95x** of local32 — the only
+    staged entry where the two-JVM profile WINS, because the heavy
+    decimal folds parallelize across isolated heaps
+    (BENCH_CLUSTER)."""
+    emb = _embeddings(spark, sf_dir)
+    corpus = _swap_persisted(
+        _JL_CORPUS_PERSISTED,
+        emb.select("vec_id", "emb", "norm", _jl_project().alias("pemb")),
+    )
+    q = corpus.filter(F.col("vec_id") < JL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("pemb").alias("q_pemb"),
+    )
+
+    def axis_cos(axis: str, r: int):
+        if axis == "mrl":
+            qs, cs = F.slice("q_emb", 1, r), F.slice("emb", 1, r)
+        else:
+            qs, cs = F.slice("q_pemb", 1, r), F.slice("pemb", 1, r)
+        return (
+            _dot(qs, cs)
+            / F.nullif(F.sqrt(_dot(qs, qs)) * F.sqrt(_dot(cs, cs)), F.lit(0.0))
+        ).alias(f"cos_{axis}_{r}")
+
+    pairs = _swap_persisted(
+        _DRE_PAIRS_PERSISTED,
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("emb"))
+                / F.nullif(F.col("q_norm") * F.col("norm"), F.lit(0.0))
+            ).alias("cos_full"),
+            *[axis_cos(a, r) for a in ("mrl", "jl") for r in JL_DIMS],
+        ),
+    )
+
+    def topk(order_col: str):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc_nulls_last(order_col), F.asc("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= JL_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_topk = topk("cos_full")
+    axis_topk = None
+    for a in ("mrl", "jl"):
+        for r in JL_DIMS:
+            t = topk(f"cos_{a}_{r}").select(
+                F.lit(a).alias("axis"),
+                F.lit(r).cast("long").alias("r_dim"),
+                "query_id",
+                "neighbor_id",
+            )
+            axis_topk = t if axis_topk is None else axis_topk.unionByName(t)
+    return (
+        axis_topk.join(
+            F.broadcast(full_topk.withColumn("hit", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("axis", "r_dim", "query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_overlap"),
+            F.lit(JL_K).cast("long").alias("k"),
+        )
     )

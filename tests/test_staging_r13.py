@@ -504,3 +504,35 @@ def test_hard_negatives_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # the anchor broadcast
     assert "WindowGroupLimit" in plan
     assert "InMemoryTableScan" in plan  # the shared scored-pair persist
+
+
+# --- emb_dim_reduction_eval (consolidation candidate) --------------------
+
+
+def test_dim_reduction_eval_equals_its_parents(spark, sf_dir):
+    """The consolidated entry must be row-identical, per axis, to the
+    two entries it proposes to replace: axis='mrl' to the REGISTERED
+    emb_matryoshka_truncate_eval (same widths/k/queries constants)
+    and axis='jl' to the staged emb_jl_projection_eval — the identity
+    that lets an r13 rotation swap them without any loss of
+    semantics or oracle coverage."""
+    from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as S13
+
+    cons = S13["emb_dim_reduction_eval"].fn(spark, sf_dir).collect()
+    mrl_axis = sorted(
+        (r.r_dim, r.query_id, r.n_overlap, r.k) for r in cons if r.axis == "mrl"
+    )
+    jl_axis = sorted(
+        (r.r_dim, r.query_id, r.n_overlap, r.k) for r in cons if r.axis == "jl"
+    )
+    parent_mrl = sorted(
+        (r.trunc_dim, r.query_id, r.n_overlap, r.k)
+        for r in load_all()["emb_matryoshka_truncate_eval"].fn(spark, sf_dir).collect()
+    )
+    parent_jl = sorted(
+        (r.r_dim, r.query_id, r.n_overlap, r.k)
+        for r in S13["emb_jl_projection_eval"].fn(spark, sf_dir).collect()
+    )
+    assert mrl_axis == parent_mrl
+    assert jl_axis == parent_jl
+    assert len(cons) == len(parent_mrl) + len(parent_jl)
