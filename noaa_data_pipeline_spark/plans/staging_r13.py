@@ -1,6 +1,6 @@
 """Round-13 candidates: staged, not registered.
 
-Three operators extending the LLM-pipeline families along axes they
+Four operators extending the LLM-pipeline families along axes they
 do not yet cover, following the r9-r12 staging protocol (DuckDB
 oracle + driver-gate-equivalent pytest compare + differential fuzz +
 laziness + plan-shape + bench_scale rows) before any registry
