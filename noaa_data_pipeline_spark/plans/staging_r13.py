@@ -490,9 +490,15 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Measured (BENCH_SCALE, r11 third session): x5 1.95x (job floor),
     x20 0.81x, x100 0.73x (Spark 3.4 s vs DuckDB 4.7 s at 200k
-    vectors) — under parity once the broadcast-scored pass amortizes
-    the fixed cost; cluster2x16 within the serialization-tax band at
-    a sub-second wall (BENCH_CLUSTER)."""
+    vectors), x200 1.54x (Spark 8.2 s vs 5.3 s at 400k) — recorded
+    honestly: Spark's wall grows ~linearly with the pair volume
+    (compute-bound on the decimal folds) while DuckDB's stays
+    near-flat 4.7 -> 5.3 s across the doubling (the same fixed
+    hash/threading regime the PCA covariance rows documented), so
+    the single-box ratio crosses 1 between x100 and x200 while
+    staying under the 2x bar; at cluster scale the scoring pass is
+    embarrassingly parallel. cluster2x16 within the serialization-tax
+    band at a sub-second wall (BENCH_CLUSTER)."""
     emb = _embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < HN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
