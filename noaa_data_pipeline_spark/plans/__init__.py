@@ -37,55 +37,58 @@ PLAN_MODULES = [
 
 # The driver gate records exactly the first 50 registry entries, so
 # iteration order decides which entries get fresh driver evidence
-# each round. Round 11 window (the rotation drafted in GATE_LOG
-# "Round-11 rotation plan", amended per the r10 VERDICT tasks 1-2):
-# 44 of the 46 entries whose last driver evidence is round 8
-# (text_mask_numbers and text_bigram_topk defer to r12 — multi-round
-# green, source untouched since; the freshness meta-test forces them
-# into the r12 window when CORRECTNESS_r11 lands), plus six entries
-# whose PLAN changed recently and which therefore take driver
-# (re-)proof:
-# - sim_ivf_pq_adc_search: promoted this round (first evidence);
-# - sim_ivf_multiprobe, sim_incremental_ivf_insert: cell-ranking
-#   switched to _sqdist_dbl in r10 (they hold r9 evidence of the OLD
-#   plan only);
-# - q9/q21 *_bucketed twins: physical plan changed in r10 (sorted
-#   bucketed scan elision);
-# - lake_bucketed_copartition_join: the bucketed-lake builder moved
-#   to a stable root + layout manifest this round (r10 VERDICT task
-#   3), so its write/attach path is new.
+# each round. Round 12 window (executing the rotation drafted in
+# GATE_LOG "Round-12 rotation plan" and the r11 VERDICT tasks 1-2):
+# - text_mask_numbers, text_bigram_topk: last driver evidence r8 —
+#   the freshness meta-test (tests/test_registry_oracle.py) fires
+#   for exactly these two once CORRECTNESS_r11 exists; their r11
+#   deferral ends here;
+# - dedup_simhash: plan edited in r11 (hamming verification moved
+#   BEFORE the pair distinct, plans/dedup.py) — holds r10 driver
+#   evidence of the OLD plan only, takes re-proof;
+# - events_kmv_theta_sketch_overlap, sim_ivf_pq_residual_search:
+#   promoted from staging_r11 this round (first driver evidence);
+#   their registration triggered the r10 cap policy — the q9/q21
+#   *_bucketed twins (fresh r11 driver rows) folded into their
+#   routed defaults (plans/scale.py FOLDED; physical plans stay
+#   pinned by tests/test_plan_shapes.py and served by the manifest
+#   router);
+# - the remaining 45 slots: the r9 cohort — every entry whose last
+#   clean driver row is round 9 — except q1_pricing_summary, which
+#   defers to r13 (multi-round green r5/r7/r9, source untouched
+#   since r5; the deferral note is in GATE_LOG "Round-12 rotation
+#   executed").
 # NOTE (process): rotation only picks what the DRIVER re-checks;
 # every round must still pass the full-registry local gate
 # (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
 GATE_PRIORITY = [
-    # --- last driver evidence is round 8 (44 of the stale 46)
-    "cube_orders_priority_status", "dedup_clusters_cc",
-    "dedup_incremental_minhash", "dedup_minhash_estimator_quality",
-    "dedup_semantic_clusters", "dedup_semantic_purge",
-    "docs_pack_sequences", "events_anomaly_zscore",
-    "events_column_profile", "events_distinct_users_hll",
-    "events_funnel_ordered", "events_grouping_sets_marginals",
-    "events_interval_overlap_join", "events_linear_interpolate",
-    "events_percentiles_approx_sketch", "events_retention_cohorts",
-    "events_session_window_native", "events_sessionize_batch",
-    "events_sliding_24h_range_window", "kmeans_embeddings",
-    "orders_scd2_status_intervals", "orders_status_transitions",
-    "q10_returned_items_customers", "q13_customer_order_distribution",
-    "q16_supplier_part_relationships", "q17_small_quantity_revenue",
-    "q20_excess_stock_suppliers", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity", "q6_forecast_revenue_delta",
-    "q7_volume_shipping", "q9_product_type_profit",
-    "sample_stratified_hash", "sim_ann_recall_eval", "sim_mmr_rerank",
-    "source_curation_report", "split_train_val_hash",
-    "stream_compaction_report", "stream_windowed_counts",
-    "text_fingerprint_winnow", "text_perplexity_proxy",
-    "text_repetition_ratio", "text_tfidf_topk", "text_token_rarity",
-    # --- round-11 promotion (first driver evidence)
-    "sim_ivf_pq_adc_search",
-    # --- r10-edited plans riding this window for driver re-proof
-    "sim_ivf_multiprobe", "sim_incremental_ivf_insert",
-    "q9_product_type_profit_bucketed", "q21_waiting_suppliers_bucketed",
-    "lake_bucketed_copartition_join",
+    # --- meta-test-forced (last driver evidence is round 8)
+    "text_mask_numbers", "text_bigram_topk",
+    # --- r11 plan edit riding this window for driver re-proof
+    "dedup_simhash",
+    # --- round-12 promotions (first driver evidence)
+    "events_kmv_theta_sketch_overlap", "sim_ivf_pq_residual_search",
+    # --- last driver evidence is round 9 (45 of the stale 46)
+    "bpe_encode_docs", "bpe_train_merges", "dedup_purge_report",
+    "docs_chunk_overlap", "docs_curation_pipeline_e2e",
+    "docs_domain_mixture_resample", "docs_embed_hash",
+    "docs_exact_substring_purge", "docs_gopher_rule_filter",
+    "emb_pq_codes", "events_dq_report", "events_heavy_hitters_cms",
+    "events_incremental_rollup_merge", "events_user_sequences",
+    "graph_quality_smoothing", "ivf_cell_rebalance",
+    "ivf_centroid_drift_report", "ivf_retrain_centroids",
+    "lake_zorder_key", "mm_binary_metadata",
+    "mm_feature_extract_pandas", "mm_frame_sample", "mm_resize_dims",
+    "orders_customer_full_outer_recon", "orders_unpivot_measures",
+    "q11_important_stock_value", "q15_top_supplier",
+    "q3_shipping_priority", "q5_regional_revenue",
+    "q8_national_market_share", "sim_ann_lsh_multiprobe",
+    "sim_block_matmul_topk", "sim_cosine_range_search",
+    "sim_cosine_topk_brute", "sim_ivf_probe1", "sim_pq_adc_topk",
+    "sim_pq_recall_eval", "split_leakage_safe", "sql_adhoc_guarded",
+    "stream_dedup_keys", "stream_dedup_within_watermark",
+    "stream_sessionize_state", "stream_static_enrich",
+    "stream_stream_interval_join", "text_dup_span_ratio",
 ]
 
 

@@ -13,10 +13,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from . import register
+from . import Query, register
 from .common import dsum, exact_agg, sql_dsum
 
 SALT_BUCKETS = 8
+
+# Entries FOLDED out of the driver registry by the r10 cap policy
+# (registry binds at 147; executed at the r12 promotions — GATE_LOG
+# "Round-12 rotation executed"): the q9/q21 *_bucketed twins hold
+# fresh r11 driver rows, their physical plans stay pinned by
+# tests/test_plan_shapes.py and served to default sessions by the
+# manifest router (bucketed_lake_available → plans/analytics.py
+# routed q9/q21), and the gate tools still resolve them BY NAME
+# through this dict (tools/check_correctness.py extras) so their
+# oracles remain runnable on demand. Folding removes driver-window
+# slots, not coverage.
+FOLDED: dict[str, Query] = {}
+
+
+def fold(name: str, oracle: str | None = None, doc: str = ""):
+    """Mirror of ``plans.register`` writing to FOLDED — same Query
+    record, excluded from the driver registry iteration."""
+
+    def deco(fn):
+        FOLDED[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return deco
 
 
 @register(
@@ -671,7 +696,7 @@ def lake_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@fold(
     "q21_waiting_suppliers_bucketed",
     oracle="""
     SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
@@ -736,7 +761,7 @@ def q21_waiting_suppliers_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register(
+@fold(
     "q9_product_type_profit_bucketed",
     oracle=f"""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,

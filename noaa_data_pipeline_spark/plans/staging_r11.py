@@ -1,14 +1,16 @@
-"""Round-11 candidates: one promoted, two staged for round 12.
+"""Round-11 candidates: all three now PROMOTED.
 
-``sim_ivf_pq_adc_search`` PROMOTED in round 11 (its decorator is now
-``register`` and the module sits in PLAN_MODULES): first driver
-evidence rides the r11 gate window per the GATE_LOG rotation plan.
-The other two candidates stay staged, oracle-proven under pytest
-only (tests/test_staging_r11.py runs the exact driver-gate compare),
-and promote in round 12 as window slots free — by which point the
-registry-cap consolidation rule (GATE_LOG r10) frees the *_bucketed
-twin slots (the cap binds at 147; registry is 147 after this
-promotion).
+``sim_ivf_pq_adc_search`` promoted in round 11; the other two
+promoted in round 12 per the GATE_LOG rotation plan (first driver
+evidence rides the r12 gate window). Their registration took the
+registry to 149, triggering the r10 cap policy: the q9/q21
+``*_bucketed`` twins — holding fresh r11 driver rows — folded into
+their routed defaults (plans/scale.py FOLDED), bringing the registry
+back to 147. The STAGED dict below is now empty but the ``stage``
+machinery stays for future candidate rounds, and
+tests/test_staging_r11.py keeps running the staging-protocol extras
+(fuzz, restriction-consistency, the KMV eager-fill laziness
+exemption) against the promoted entries.
 
 - ``sim_ivf_pq_adc_search`` — the production IVF+PQ combined search
   (faiss IndexIVFPQ): probe the nprobe nearest cells, ADC-score only
@@ -241,7 +243,7 @@ _SQL_KMV_H = (
 )
 
 
-@stage(
+@register(
     "events_kmv_theta_sketch_overlap",
     oracle=f"""
     WITH hashes AS (
@@ -354,8 +356,9 @@ def events_kmv_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     # reads the same exchange the cache fill needs anyway).
     # r10 ADVICE: the construction-time job is the documented
     # exemption in tests/test_staging_r11.py::CONSTRUCTION_LAZY_EXEMPT
-    # — that record must move with this entry when it promotes, and
-    # any future laziness meta-test must carry the same exemption.
+    # — the record travelled with the entry through its r12 promotion
+    # (the test now exercises the registered entry), and any future
+    # laziness meta-test must carry the same exemption.
     sk = _swap_persisted(
         _KMV_PERSISTED,
         hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K),
@@ -491,7 +494,7 @@ _SQL_RESID_SUBS = f"""
     )"""
 
 
-@stage(
+@register(
     "sim_ivf_pq_residual_search",
     oracle=f"""
     WITH emb AS ({_SQL_EMB}),

@@ -551,6 +551,12 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JL_QUERIES), so its per-axis output must equal theirs row for row —
 # the cross-entry identity tests/test_staging_r13.py pins.
 _DRE_PAIRS_PERSISTED: list[DataFrame] = []
+# Own corpus slot (r11 ADVICE): sharing _JL_CORPUS_PERSISTED would
+# honor _swap_persisted's one-slot-per-entry contract in name only —
+# alternating this entry with emb_jl_projection_eval in one session
+# would unpersist/re-persist the identical-plan corpus each call and
+# drop the pairs frame's cached input mid-session.
+_DRE_CORPUS_PERSISTED: list[DataFrame] = []
 
 
 def _sql_mrl_cosine(d: int, q: str, c: str) -> str:
@@ -650,7 +656,7 @@ def emb_dim_reduction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BENCH_CLUSTER)."""
     emb = _embeddings(spark, sf_dir)
     corpus = _swap_persisted(
-        _JL_CORPUS_PERSISTED,
+        _DRE_CORPUS_PERSISTED,
         emb.select("vec_id", "emb", "norm", _jl_project().alias("pemb")),
     )
     q = corpus.filter(F.col("vec_id") < JL_QUERIES).select(

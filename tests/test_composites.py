@@ -101,6 +101,8 @@ def test_weighted_shard_assembly_consistent_with_sampler(spark, sf_dir):
         assert row.sampled_weight == wsum
         assert 1 <= row.n_bins <= n
         assert 0 < row.weight_share_ppm <= 1_000_000
+        from noaa_data_pipeline_spark.plans.text import PACK_BUDGET
+
         assert row.fill_ppm == (1_000_000 * row.sampled_tokens) // (
-            row.n_bins * 2048
+            row.n_bins * PACK_BUDGET
         )

@@ -10,7 +10,14 @@ import __spark_entry__ as entrymod
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = entrymod.queries()[name](spark, sf_dir)
+    fn = entrymod.queries().get(name)
+    if fn is None:
+        # the r12 cap fold moved the q9/q21 *_bucketed twins out of
+        # the driver registry; their physical plans stay pinned here
+        from noaa_data_pipeline_spark.plans.scale import FOLDED
+
+        fn = FOLDED[name].fn
+    df = fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -488,9 +495,12 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     those shapes. A future edit that leaks a cartesian or a row-wise
     UDF into ANY entry fails here without needing a dedicated test."""
     import __spark_entry__ as entrymod
+    from noaa_data_pipeline_spark.plans.scale import FOLDED
 
+    sweep = dict(entrymod.queries())
+    sweep.update({n: q.fn for n, q in FOLDED.items()})  # folded twins too
     offenders = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in sweep.items():
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         flags = [
             f

@@ -1,12 +1,12 @@
 """Round-11 candidates: driver-gate-equivalent checks.
 
-``sim_ivf_pq_adc_search`` promoted to the driver registry in r11;
-its two siblings stay staged for r12 (see plans/staging_r11.py
-docstring). This file applies the same row-count + columns +
+All three candidates are promoted (``sim_ivf_pq_adc_search`` in r11,
+the KMV sketch + residual search in r12 — see plans/staging_r11.py
+docstring). This file keeps applying the same row-count + columns +
 order-insensitive value hash compare the driver gate uses, plus the
 restriction-consistency assertion and differential fuzz the r9
-staging protocol established — for the promoted entry too (the
-registry oracle test covers it as well; the fuzz and structural
+staging protocol established, against the now-registered entries
+(the registry oracle test covers them too; the fuzz and structural
 checks here are staging-protocol extras the registry suite doesn't
 run).
 
@@ -25,26 +25,37 @@ from noaa_data_pipeline_spark.plans.staging_r11 import STAGED
 from tools.check_correctness import frame_digest
 
 
+CANDIDATES = [
+    "sim_ivf_pq_adc_search",
+    "events_kmv_theta_sketch_overlap",
+    "sim_ivf_pq_residual_search",
+]
+
+
 def _staged_names():
-    return sorted(STAGED.keys())
+    """All three candidates promoted (r11/r12); the gate-compare and
+    laziness checks keep running against the registered entries so
+    the three-SF staging proof stays reproducible post-promotion."""
+    return sorted(set(STAGED) | set(CANDIDATES))
 
 
 def _lookup(name):
-    """Find a candidate wherever it lives: sim_ivf_pq_adc_search
-    promoted to the registry in r11, its two siblings are still
-    staged."""
+    """Find a candidate wherever it lives: staged pre-promotion,
+    registry afterwards (all three live in the registry since r12)."""
     return STAGED.get(name) or load_all()[name]
 
 
 def test_staging_is_not_registered():
-    """The still-staged candidates must not leak into the driver
-    registry (a leak would break the gate-rotation freshness
-    invariant mid-round), and the r11 promotion must have LEFT the
-    staging dict."""
+    """All three r11 candidates are promoted (r11: adc_search; r12:
+    the KMV sketch + residual search per the GATE_LOG rotation), so
+    the staging dict must be EMPTY — a candidate left behind would
+    be registered and staged at once, breaking the gate-rotation
+    freshness invariant mid-round."""
     registered = set(load_all().keys())
     assert not (set(STAGED) & registered)
-    assert "sim_ivf_pq_adc_search" in registered
-    assert "sim_ivf_pq_adc_search" not in STAGED
+    assert not STAGED
+    for name in CANDIDATES:
+        assert name in registered, f"{name} lost in promotion"
 
 
 def test_ivfpq_search_restricts_to_probed_cells(spark, sf_dir):
@@ -80,7 +91,7 @@ def test_ivfpq_search_restricts_to_probed_cells(spark, sf_dir):
 
 @pytest.mark.parametrize("name", _staged_names())
 def test_staged_matches_oracle(spark, duck, sf_dir, name):
-    q = STAGED[name]
+    q = _lookup(name)
     sdf = q.fn(spark, sf_dir)
     complex_cols = [
         f.name
@@ -178,7 +189,7 @@ def test_kmv_overlap_estimates_track_exact(spark, duck, sf_dir):
     segments smaller than k must estimate EXACTLY (theta = cap)."""
     from noaa_data_pipeline_spark.plans.staging_r11 import KMV_CUT, KMV_K
 
-    rows = STAGED["events_kmv_theta_sketch_overlap"].fn(spark, sf_dir).collect()
+    rows = _lookup("events_kmv_theta_sketch_overlap").fn(spark, sf_dir).collect()
     assert rows
     types = duck.execute(
         f"SELECT DISTINCT event_type FROM events WHERE value > {KMV_CUT}"
@@ -217,7 +228,7 @@ def test_kmv_plan_one_corpus_exchange(spark, sf_dir):
     a WindowGroupLimit; everything downstream is sketch-sized and the
     pair assembly never produces a cartesian of anything
     corpus-sized."""
-    df = STAGED["events_kmv_theta_sketch_overlap"].fn(spark, sf_dir)
+    df = _lookup("events_kmv_theta_sketch_overlap").fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
@@ -308,12 +319,6 @@ CONSTRUCTION_LAZY_EXEMPT = {
     # one job per construction — the accepted trade.
     "events_kmv_theta_sketch_overlap",
 }
-
-CANDIDATES = [
-    "sim_ivf_pq_adc_search",
-    "events_kmv_theta_sketch_overlap",
-    "sim_ivf_pq_residual_search",
-]
 
 
 def test_candidate_construction_laziness(spark, sf_dir):

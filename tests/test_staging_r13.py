@@ -116,13 +116,28 @@ def test_jl_sign_matrix_is_deterministic_pm_one():
         assert row == [_jl_sign(j, d + 1) for d in range(64)]
 
 
+# Aggregate recall totals per width, pinned per fixture lake (r11
+# ADVICE: JL recall is NOT theoretically monotone in r, so asserting
+# monotonicity would couple the suite to a distributional accident —
+# a constant tweak or a different lake could flip one point without
+# any engine bug; the pinned curves ARE the measured behavior and a
+# change in them means the projection or the scoring changed).
+_JL_EXPECTED_CURVES = {
+    "sf0.001": [3, 5, 10],
+    "sf0.01": [2, 6, 8],
+    "sf0.1": [2, 2, 3],
+}
+
+
 def test_jl_overlap_counts_are_sane(spark, sf_dir):
     """Structural bounds on the fixture lake: one row per (width,
-    query), overlaps within [0, k], and the aggregate recall curve is
-    non-decreasing in width (measured 3/5/10 at sf0.001, 2/6/8 at
-    sf0.01, 2/2/3 at sf0.1 — the near-isotropic synthetic embeddings
-    make absolute recall low, which is exactly what this eval exists
-    to reveal before anyone fronts retrieval with a projection)."""
+    query), overlaps within [0, k]; on the known testdata lakes the
+    aggregate recall curve must equal its pinned fixture (the
+    near-isotropic synthetic embeddings make absolute recall low,
+    which is exactly what this eval exists to reveal before anyone
+    fronts retrieval with a projection)."""
+    import os
+
     rows = STAGED["emb_jl_projection_eval"].fn(spark, sf_dir).collect()
     assert len(rows) == len(JL_DIMS) * JL_QUERIES
     totals = {}
@@ -130,7 +145,9 @@ def test_jl_overlap_counts_are_sane(spark, sf_dir):
         assert 0 <= r.n_overlap <= r.k == JL_K
         totals[r.r_dim] = totals.get(r.r_dim, 0) + r.n_overlap
     curve = [totals[r] for r in sorted(totals)]
-    assert curve == sorted(curve), f"recall curve not monotone: {curve}"
+    expected = _JL_EXPECTED_CURVES.get(os.path.basename(sf_dir.rstrip("/")))
+    if expected is not None:
+        assert curve == expected, f"recall curve drifted: {curve} != {expected}"
 
 
 def _write_embeddings(tmp, vecs):

@@ -77,6 +77,12 @@ def run_config(label: str, master: str, shuffle: int, names: list[str], sf_dir: 
             registry = {**COMPOSITES, **registry}
         except ImportError as exc:
             print(f"warning: composites unavailable ({exc})", file=sys.stderr)
+        try:  # cap-folded twins (plans/scale.FOLDED): benchable by name
+            from noaa_data_pipeline_spark.plans.scale import FOLDED
+
+            registry = {**FOLDED, **registry}
+        except ImportError as exc:
+            print(f"warning: folded entries unavailable ({exc})", file=sys.stderr)
         unknown = [n for n in names if n not in registry]
         if unknown:
             raise SystemExit(f"unknown queries {unknown}: not in the registry or staged set")

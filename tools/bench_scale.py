@@ -230,9 +230,17 @@ def main() -> None:
         composites.update(_comp)
     except ImportError as exc:
         print(f"warning: composites unavailable ({exc})", file=sys.stderr)
+    folded: dict = {}
+    try:
+        from noaa_data_pipeline_spark.plans.scale import FOLDED as _folded
 
-    # registry wins a name collision, then staged, then composites
-    lookup = {**composites, **staged, **registry}
+        folded.update(_folded)
+    except ImportError as exc:
+        print(f"warning: folded entries unavailable ({exc})", file=sys.stderr)
+
+    # registry wins a name collision, then staged, then composites,
+    # then the cap-folded twins (still benchable by name)
+    lookup = {**folded, **composites, **staged, **registry}
     results: dict[str, dict] = {}
     for name in args.queries or QUERIES:
         q = lookup.get(name)

@@ -97,6 +97,12 @@ def main() -> int:
         except ImportError as exc:
             print(f"warning: composites unavailable ({exc})", file=sys.stderr)
         try:
+            from noaa_data_pipeline_spark.plans.scale import FOLDED
+
+            extras.update(FOLDED)
+        except ImportError as exc:
+            print(f"warning: folded entries unavailable ({exc})", file=sys.stderr)
+        try:
             from noaa_data_pipeline_spark.plans.staging_r11 import STAGED as _s11
             from noaa_data_pipeline_spark.plans.staging_r12 import STAGED as _s12
             from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as _s13
@@ -110,6 +116,12 @@ def main() -> int:
                 qs[name] = extras[name].fn
                 if extras[name].oracle is not None:
                     oracles[name] = extras[name].oracle
+        # r11 ADVICE: a name that resolves NOWHERE must not read as a
+        # clean run — without this, a typo'd query name prints nothing
+        # and the tool exits 0 with zero failures.
+        unknown = ONLY - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     failures = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
