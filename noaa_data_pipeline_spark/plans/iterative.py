@@ -170,6 +170,26 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- connected components over the near-dup pair graph ---------------
 
+# Per-partition edge budget for the propagation shuffles. Measured
+# hazard (GATE_LOG r12): narrowing every CC round to 8 partitions —
+# right for the sf-lake candidate graphs the narrowing was built for —
+# puts 53M rows in each partition of the x100mut 425M-edge graph, and
+# the per-task join maps become ~2 GB humongous allocations that
+# starve the JVM's GCLocker ("Retried waiting for GCLocker too often"
+# -> UNABLE_TO_ACQUIRE_MEMORY), killing the round even under a 48 GB
+# heap. 8M edges/partition keeps the maps in the hundreds of MB;
+# width still caps at the session setting, so small graphs keep the
+# narrow-shuffle optimization and big graphs keep the session width.
+CC_EDGES_PER_PARTITION = 8_000_000
+
+
+def _cc_shuffle_width(n_edges: int, session_width: int, narrow: int) -> int:
+    """Width for the per-round propagation shuffles: at least
+    ``narrow`` (the small-graph floor), scaled up by the edge budget,
+    never wider than the session setting."""
+    need = -(-n_edges // CC_EDGES_PER_PARTITION)  # ceil div
+    return min(session_width, max(narrow, need))
+
 
 def connected_components(
     edges: DataFrame,
@@ -193,31 +213,40 @@ def connected_components(
     Scale per round: two node-id shuffles (propagate + jump);
     persisted labels cut lineage between rounds.
 
-    ``shuffle_partitions`` narrows the per-round shuffles for small
-    candidate graphs (a dozen multi-stage rounds at the session's
-    full width is pure scheduling overhead); pass None on a real
-    cluster to inherit the session setting."""
+    ``shuffle_partitions`` is the NARROW FLOOR for the per-round
+    shuffles on small candidate graphs (a dozen multi-stage rounds at
+    the session's full width is pure scheduling overhead); the actual
+    round width scales with the materialized edge count
+    (_cc_shuffle_width: ~{CC_EDGES_PER_PARTITION} edges per
+    partition, capped at the session setting) so dense graphs keep
+    bounded per-task join maps — see the GCLocker hazard note above.
+    Pass None on a real cluster to inherit the session setting."""
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    if shuffle_partitions is not None:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(min(int(prev_parts), shuffle_partitions)),
-        )
-        # AQE's per-stage barriers and re-planning are pure overhead on
-        # a dozen tiny label-propagation rounds (measured 7s -> 16s
-        # with AQE on); statically planned small shuffles win here
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
     both = None
     try:
         # materialize the edge list once: every round consumes it, and
         # without the persist each iteration re-runs the upstream
-        # candidate-generation pipeline that produced the pairs
+        # candidate-generation pipeline that produced the pairs.
+        # This count runs under the SESSION width (the conf narrowing
+        # happens after it): the one-time candidate materialization
+        # wants full parallelism — it is the dozen label-propagation
+        # rounds the narrowing targets — and the count's result sizes
+        # the round width below.
         both = edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).persist()
-        both.count()
+        n_edges = both.count()
+        if shuffle_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(_cc_shuffle_width(n_edges, int(prev_parts), shuffle_partitions)),
+            )
+            # AQE's per-stage barriers and re-planning are pure overhead on
+            # a dozen tiny label-propagation rounds (measured 7s -> 16s
+            # with AQE on); statically planned small shuffles win here
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
         nodes = both.select(F.col("src").alias("node")).distinct()
         labels = nodes.select("node", F.col("node").alias("component")).persist()
         labels.count()

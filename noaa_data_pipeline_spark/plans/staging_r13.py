@@ -390,7 +390,18 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the alternative single-exchange plan (stats as unbounded window
     aggs sharing the row_number partition) would kill the partial
     WindowGroupLimit and shuffle the full corpus, which is the wrong
-    trade everywhere it matters."""
+    trade everywhere it matters.
+
+    Deep tier (r12, tools/bench_docs_deep.py — documents-only lakes,
+    closing the r11 VERDICT's promotion question with numbers): once
+    the corpus outgrows the floor the ratio CONVERGES exactly as the
+    plan predicts — docsx1000 (5M docs) 6.7x (Spark 2.94 s still
+    floor-bound vs DuckDB 0.44 s), docsx5000 (25M) **1.46x**
+    (2.77 s vs 1.90 s — Spark flat, 32-way scan engaged), docsx10000
+    (50M) **1.15x** (5.42 s vs 4.71 s, both compute-bound). Under
+    the 2x bar at every point where the input exceeds the job floor;
+    promotion-eligible on evidence, queued behind the r13
+    consolidation order (GATE_LOG)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "source",

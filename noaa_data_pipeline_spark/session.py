@@ -104,6 +104,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Only meaningful off local[*] (there the driver heap IS the
+        # executor heap): in local-cluster / standalone the master
+        # string's per-worker figure is worker CAPACITY, and executors
+        # default to a 1 GB heap unless this is set — small enough to
+        # OOM any dense-graph or wide-aggregation entry (measured:
+        # the 425M-edge CC composite dies in the scan stages at 1 GB).
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_EXECUTOR_MEMORY", "6g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )

@@ -260,3 +260,40 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert sum(r.n_dup_members for r in rows.values()) == sum(
         len(m) for m in clusters
     )
+
+
+def test_cc_shuffle_width_scales_with_edges():
+    """The per-round shuffle width: narrow floor for small candidate
+    graphs, edge-budget-scaled for dense ones, never above the
+    session width (the r12 GCLocker hazard — 53M-edge partitions
+    built ~2 GB join maps that starved the JVM allocator even under
+    a 48 GB heap; see plans/iterative.py CC_EDGES_PER_PARTITION)."""
+    from noaa_data_pipeline_spark.plans.iterative import (
+        CC_EDGES_PER_PARTITION,
+        _cc_shuffle_width,
+    )
+
+    # small graphs keep the narrow floor
+    assert _cc_shuffle_width(10, 32, 8) == 8
+    assert _cc_shuffle_width(CC_EDGES_PER_PARTITION, 32, 8) == 8
+    # dense graphs widen by the budget...
+    assert _cc_shuffle_width(20 * CC_EDGES_PER_PARTITION, 32, 8) == 20
+    # ...capped at the session width (the x100mut case: 425M edges
+    # want 54 partitions, session gives 32)
+    assert _cc_shuffle_width(425_000_000, 32, 8) == 32
+    # a session narrower than the floor wins outright
+    assert _cc_shuffle_width(10, 4, 8) == 4
+
+
+def test_connected_components_restores_session_conf(spark):
+    """The width narrowing must not leak: session shuffle width and
+    AQE flag are restored after the call (including the new
+    count-then-set ordering)."""
+    from noaa_data_pipeline_spark.plans.iterative import connected_components
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    df = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    connected_components(df).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe

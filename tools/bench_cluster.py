@@ -52,7 +52,15 @@ CONFIGS = [
 ]
 
 
-def run_config(label: str, master: str, shuffle: int, names: list[str], sf_dir: str) -> dict:
+def run_config(
+    label: str,
+    master: str,
+    shuffle: int,
+    names: list[str],
+    sf_dir: str,
+    reps: int = 3,
+    fresh_frames: bool = False,
+) -> dict:
     os.environ.setdefault("SPARK_HOME", __import__("pyspark").__path__[0])
     from noaa_data_pipeline_spark.session import get_spark
 
@@ -86,15 +94,23 @@ def run_config(label: str, master: str, shuffle: int, names: list[str], sf_dir: 
         unknown = [n for n in names if n not in registry]
         if unknown:
             raise SystemExit(f"unknown queries {unknown}: not in the registry or staged set")
-        frames = {n: registry[n].fn(spark, sf_dir) for n in names}
+        # Prepared-statement protocol by default (construct once, run
+        # many — plan assembly is Py4J bookkeeping, not engine work).
+        # --fresh-frames inverts this for EAGER entries, whose fn()
+        # computes at construction (connected_components runs its
+        # checkpointed propagation rounds inside the call): there the
+        # prepared frame replays checkpoints, under-measuring the
+        # entry and pinning checkpoint blocks across runs.
+        frames = {} if fresh_frames else {n: registry[n].fn(spark, sf_dir) for n in names}
 
         def run(n: str) -> None:
-            frames[n].write.format("noop").mode("overwrite").save()
+            df = registry[n].fn(spark, sf_dir) if fresh_frames else frames[n]
+            df.write.format("noop").mode("overwrite").save()
 
         for n in names:  # codegen + JIT warm pass
             run(n)
         timings: dict[str, float] = {}
-        for _ in range(3):
+        for _ in range(reps):
             for n in names:
                 t0 = time.perf_counter()
                 run(n)
@@ -112,16 +128,52 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--configs",
+        nargs="*",
+        default=None,
+        help="subset of config labels to run (default: all); use for "
+        "multi-minute entries where the full 5-config sweep is "
+        "prohibitive — e.g. --configs local32_s32 cluster2x16_s32",
+    )
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=3,
+        help="timed passes per config after the warm pass (best-of); "
+        "1 is enough signal for 100s-scale walls",
+    )
+    ap.add_argument(
+        "--fresh-frames",
+        action="store_true",
+        help="construct the DataFrame inside every run instead of "
+        "once up front — required for eager entries (CC-based "
+        "composites) whose fn() computes at construction",
+    )
     args = ap.parse_args()
     names = args.queries or QUERIES
+    configs = CONFIGS
+    if args.configs:
+        unknown_cfg = set(args.configs) - {label for label, _, _ in CONFIGS}
+        if unknown_cfg:
+            raise SystemExit(f"unknown config labels {sorted(unknown_cfg)}")
+        configs = [c for c in CONFIGS if c[0] in args.configs]
 
     # warehouse profile, same as bench.py
     os.environ.setdefault("SPARK_GRAFT_BUCKETED", "1")
     os.environ.setdefault("SPARK_GRAFT_WAREHOUSE", "1")
 
     results: dict[str, dict] = {}
-    for label, master, shuffle in CONFIGS:
-        results[label] = run_config(label, master, shuffle, names, args.sf_dir)
+    for label, master, shuffle in configs:
+        results[label] = run_config(
+            label,
+            master,
+            shuffle,
+            names,
+            args.sf_dir,
+            reps=args.reps,
+            fresh_frames=args.fresh_frames,
+        )
 
     base = results.get("local32_s32", {})
     ratios = {
