@@ -297,3 +297,29 @@ def test_connected_components_restores_session_conf(spark):
     connected_components(df).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
     assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Differential fuzz for the propagation loop (the r12 width-fix
+    round touched its shuffle sizing, so the label semantics get a
+    randomized pin): random edge lists — self-loops, duplicate and
+    reversed edges, stars, chains — must label exactly like the
+    driver-side union-find, for every node that appears in any edge."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n_nodes = rng.randint(4, 40)
+        n_edges = rng.randint(1, 60)
+        edges = [
+            (rng.randint(0, n_nodes), rng.randint(0, n_nodes))
+            for _ in range(n_edges)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.component
+            for r in __import__(
+                "noaa_data_pipeline_spark.plans.iterative", fromlist=["x"]
+            ).connected_components(df).collect()
+        }
+        assert got == _union_find(edges), f"seed {seed}: {sorted(edges)}"
