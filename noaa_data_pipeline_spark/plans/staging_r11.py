@@ -454,6 +454,21 @@ def events_kmv_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFra
 # codebook to near-zero words.
 RESID_CODES = 4
 
+# Persisted frames of the LAST invocation (graph_eval lifecycle, one
+# slot per frame). Why three: the entry's tiny broadcast frames
+# (centroids, residual codewords) and the corpus-code input (rsub)
+# are each CONSUMED FROM MULTIPLE SUBTREES of one plan, and every
+# BroadcastExchange re-runs its subtree as its own job — without the
+# persists one search call pays the corpus scan+explode ~4x (r12
+# profile at x200: cvecs built 3x, the 25.6M-row codebook agg 2x,
+# the rsub explode 2x — 10.5 s wall, 2.11x DuckDB, vs 1.71x at x100
+# because DuckDB's materialized CTEs pay each subtree ONCE). Lazy
+# persists (no count — the construction-laziness test still holds);
+# the first consumer fills each cache.
+_RESID_CVECS_PERSISTED: list[DataFrame] = []
+_RESID_RSUB_PERSISTED: list[DataFrame] = []
+_RESID_CODEWORDS_PERSISTED: list[DataFrame] = []
+
 _SQL_RESID_SUBS = f"""
     resid AS (
         SELECT e.vec_id, e.label, e.vec_id % {RESID_CODES} AS ckey,
@@ -577,17 +592,26 @@ def sim_ivf_pq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-codes scan; per-(query, vector) sums combine map-side;
     per-query top-k is a WindowGroupLimit; the corpus never shuffles.
     The extra nprobe factor on the ADC tables is the documented
-    faiss trade: residual tables cannot be shared across cells."""
+    faiss trade: residual tables cannot be shared across cells.
+
+    Measured (r12, x200 = 400k vecs, same-session A/B): the lazy
+    persists above are worth ~25% of the wall — 11.7 s/1.55x with
+    them vs 14.7 s/2.06x without (paired against DuckDB 7.1-7.6 s on
+    the same box state; an earlier 10.5 s/2.11x pre-persist pair sat
+    on a DuckDB page-cache-cold 5.0 s denominator — the ratio, not
+    the raw wall, is the comparable number across box drift). Curve:
+    2.66x (x20) -> 1.71x (x100) -> 1.55x (x200)."""
     emb = _embeddings(spark, sf_dir)
-    cvecs = _centroid_vectors(emb)
+    cvecs = _swap_persisted(_RESID_CVECS_PERSISTED, _centroid_vectors(emb))
     resid = emb.join(F.broadcast(cvecs), "label").select(
         "vec_id",
         "label",
         (F.col("vec_id") % RESID_CODES).alias("ckey"),
         F.zip_with("emb", "cvec", lambda x, c: x - c).alias("emb"),
     )
-    rsub = _pq_subvectors(resid).withColumn(
-        "ckey", F.col("vec_id") % RESID_CODES
+    rsub = _swap_persisted(
+        _RESID_RSUB_PERSISTED,
+        _pq_subvectors(resid).withColumn("ckey", F.col("vec_id") % RESID_CODES),
     )
     # closed-form residual codebook: per (s, ckey) subvector means
     rcomps = rsub.select("s", "ckey", F.posexplode("svec").alias("dim", "val"))
@@ -597,11 +621,14 @@ def sim_ivf_pq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("cval")
     )
-    rcodewords = rcodebook.groupBy("s", "code").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
-            lambda st: st["cval"],
-        ).alias("cw")
+    rcodewords = _swap_persisted(
+        _RESID_CODEWORDS_PERSISTED,
+        rcodebook.groupBy("s", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda st: st["cval"],
+            ).alias("cw")
+        ),
     )
     rdists = rsub.join(F.broadcast(rcodewords), "s").select(
         "vec_id",
