@@ -84,6 +84,17 @@ def stage(name: str, oracle: str | None = None, doc: str = ""):
 
 # --- sim_ivf_pq_adc_search ----------------------------------------------
 
+# Persisted frames of the LAST invocation (graph_eval lifecycle): the
+# subvector explode feeds three subtrees (code assignment, the
+# codeword training inside it, the query ADC tables) and the codeword
+# table two — without the persists each consumer re-runs the corpus
+# pass (the r12 residual-search finding; same ~25%-of-wall class).
+# CacheManager matches cached plans SEMANTICALLY, so the identical
+# _pq_codewords(sub)/_pq_subvectors(emb) plans built inside
+# _pq_best_codes read these caches without threading them through.
+_ADC_SUB_PERSISTED: list[DataFrame] = []
+_ADC_CODEWORDS_PERSISTED: list[DataFrame] = []
+
 
 @register(
     "sim_ivf_pq_adc_search",
@@ -178,7 +189,8 @@ def sim_ivf_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     to corpus x queries x nprobe / k — the IVF contract applied to
     the compressed domain."""
     emb = _embeddings(spark, sf_dir)
-    sub = _pq_subvectors(emb)
+    sub = _swap_persisted(_ADC_SUB_PERSISTED, _pq_subvectors(emb))
+    _swap_persisted(_ADC_CODEWORDS_PERSISTED, _pq_codewords(sub))
     codes = _pq_best_codes(sub).select("vec_id", "label", "s", "code")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
