@@ -33,62 +33,67 @@ PLAN_MODULES = [
     "maintenance",
     "graph_eval",
     "staging_r11",
+    "staging_r12",
+    "staging_r13",
 ]
 
 # The driver gate records exactly the first 50 registry entries, so
 # iteration order decides which entries get fresh driver evidence
-# each round. Round 12 window (executing the rotation drafted in
-# GATE_LOG "Round-12 rotation plan" and the r11 VERDICT tasks 1-2):
-# - text_mask_numbers, text_bigram_topk: last driver evidence r8 —
-#   the freshness meta-test (tests/test_registry_oracle.py) fires
-#   for exactly these two once CORRECTNESS_r11 exists; their r11
-#   deferral ends here;
-# - dedup_simhash: plan edited in r11 (hamming verification moved
-#   BEFORE the pair distinct, plans/dedup.py) — holds r10 driver
-#   evidence of the OLD plan only, takes re-proof;
-# - events_kmv_theta_sketch_overlap, sim_ivf_pq_residual_search:
-#   promoted from staging_r11 this round (first driver evidence);
-#   their registration triggered the r10 cap policy — the q9/q21
-#   *_bucketed twins (fresh r11 driver rows) folded into their
-#   routed defaults (plans/scale.py FOLDED; physical plans stay
-#   pinned by tests/test_plan_shapes.py and served by the manifest
-#   router);
-# - the remaining 45 slots: the r9 cohort — every entry whose last
-#   clean driver row is round 9 — except q1_pricing_summary, which
-#   defers to r13 (multi-round green r5/r7/r9, source untouched
-#   since r5; the deferral note is in GATE_LOG "Round-12 rotation
-#   executed").
+# each round. Round 13 window (executing the rotation drafted in
+# GATE_LOG "Round-13 rotation plan" and the r12 VERDICT tasks 1+3):
+# - q1_pricing_summary: the r12 deferral (last clean driver row r9;
+#   the freshness meta-test fired for exactly it once
+#   CORRECTNESS_r12 landed) — its deferral ends here;
+# - sim_ivf_pq_adc_search, dedup_clusters_cc: plans EDITED in r12
+#   after their last (r11) driver rows (adc persist slots,
+#   plans/staging_r11.py; CC adaptive shuffle width,
+#   plans/iterative.py) — output-neutral by design and green in the
+#   full local gate, but the project discipline is "plan edited →
+#   driver re-proof";
+# - the r13 promotions (first driver evidence):
+#   emb_dim_reduction_eval (the consolidation — its parents
+#   emb_matryoshka_truncate_eval FOLDED / standalone JL candidate
+#   deleted) and the PCA pair from staging_r12;
+# - the remaining 44 slots: the r10 cohort — every entry whose last
+#   clean driver row is round 10 (48 entries, minus the retired
+#   matryoshka parent and the three r13 FOLDs: plans/scale.py
+#   FOLDED) — which is exactly what falls out of the 3-round window
+#   when CORRECTNESS_r13 lands. 1+2+3+44 = 50: ZERO deferrals this
+#   round, so the freshness meta-test stays green across the
+#   r13→r14 boundary (the r12 VERDICT/ADVICE ask).
 # NOTE (process): rotation only picks what the DRIVER re-checks;
 # every round must still pass the full-registry local gate
 # (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
 GATE_PRIORITY = [
-    # --- meta-test-forced (last driver evidence is round 8)
-    "text_mask_numbers", "text_bigram_topk",
-    # --- r11 plan edit riding this window for driver re-proof
-    "dedup_simhash",
-    # --- round-12 promotions (first driver evidence)
-    "events_kmv_theta_sketch_overlap", "sim_ivf_pq_residual_search",
-    # --- last driver evidence is round 9 (45 of the stale 46)
-    "bpe_encode_docs", "bpe_train_merges", "dedup_purge_report",
-    "docs_chunk_overlap", "docs_curation_pipeline_e2e",
-    "docs_domain_mixture_resample", "docs_embed_hash",
-    "docs_exact_substring_purge", "docs_gopher_rule_filter",
-    "emb_pq_codes", "events_dq_report", "events_heavy_hitters_cms",
-    "events_incremental_rollup_merge", "events_user_sequences",
-    "graph_quality_smoothing", "ivf_cell_rebalance",
-    "ivf_centroid_drift_report", "ivf_retrain_centroids",
-    "lake_zorder_key", "mm_binary_metadata",
-    "mm_feature_extract_pandas", "mm_frame_sample", "mm_resize_dims",
-    "orders_customer_full_outer_recon", "orders_unpivot_measures",
-    "q11_important_stock_value", "q15_top_supplier",
-    "q3_shipping_priority", "q5_regional_revenue",
-    "q8_national_market_share", "sim_ann_lsh_multiprobe",
-    "sim_block_matmul_topk", "sim_cosine_range_search",
-    "sim_cosine_topk_brute", "sim_ivf_probe1", "sim_pq_adc_topk",
-    "sim_pq_recall_eval", "split_leakage_safe", "sql_adhoc_guarded",
-    "stream_dedup_keys", "stream_dedup_within_watermark",
-    "stream_sessionize_state", "stream_static_enrich",
-    "stream_stream_interval_join", "text_dup_span_ratio",
+    # --- the r12 deferral (last driver evidence is round 9)
+    "q1_pricing_summary",
+    # --- r12 plan edits riding this window for driver re-proof
+    "sim_ivf_pq_adc_search", "dedup_clusters_cc",
+    # --- round-13 promotions (first driver evidence)
+    "emb_dim_reduction_eval",
+    "emb_pca_power_iteration", "emb_pca_project_scores",
+    # --- last driver evidence is round 10 (the 44 still registered)
+    "corpus_token_coverage", "customer_order_counts",
+    "customers_without_recent_orders", "decontam_ngram_overlap",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "distinct_segment_nation",
+    "emb_quantize_int8", "events_asof_view_before_purchase",
+    "events_daily_rollup_two_level", "events_forward_fill",
+    "events_json_extract", "events_lag_lead_delta",
+    "events_moving_avg_7", "events_outcome_scoring",
+    "events_rank_quartiles", "events_time_grid_3h",
+    "events_top3_winners", "events_user_window_agg",
+    "events_value_histogram", "events_window_function_suite",
+    "latest_events_limit", "orders_date_arithmetic",
+    "orders_pivot_status_by_priority", "part_string_functions",
+    "q12_linestatus_priority_split", "q14_promo_revenue",
+    "q18_large_volume_customers", "q19_bracketed_revenue",
+    "q2_cheapest_supplier_per_part", "q4_order_priority_check",
+    "rollup_revenue_by_nation_segment", "segments_intersect_except",
+    "sim_ann_lsh_hyperplane", "sim_knn_graph", "text_language_id",
+    "text_norm_pandas_udf", "text_quality_score",
+    "text_token_counts", "top_orders_per_customer",
+    "union_by_name_schema_drift", "urgent_order_lines_semi",
 ]
 
 

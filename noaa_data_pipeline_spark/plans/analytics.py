@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 from . import register
 from .common import SCALE, davg, dsum, prefer_broadcast, sql_dsum
+from .scale import fold
 
 
 @register(
@@ -432,7 +433,7 @@ def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@fold(
     "events_value_percentiles",
     oracle="""
     SELECT event_type,
@@ -448,7 +449,12 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual data value — no interpolation arithmetic to diverge
     between engines). Scale: exact percentiles sort within groups; at
     100 TB swap in approx_percentile (t-digest sketch) and keep this
-    as the calibration path — same pattern as exact vs LSH dedup."""
+    as the calibration path — same pattern as exact vs LSH dedup.
+    FOLDED at r13 (driver-window slot freed for the r13 promotions):
+    the registered sketch twin events_percentiles_approx_sketch is
+    the 100 TB default per the trade this docstring describes; this
+    exact calibration path stays gate-resolvable by name and
+    plan-shape-swept (plans/scale.py FOLDED)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from ..operators import textops
 from ..tables import load_table
 from . import register
+from .scale import fold
 from .similarity import (
     LSH_PLANES,
     _SQL_DEC,
@@ -232,7 +233,7 @@ def _sql_trunc_cosine(d: int, q: str, c: str) -> str:
     )
 
 
-@register(
+@fold(
     "emb_matryoshka_truncate_eval",
     oracle=f"""
     WITH emb AS ({_SQL_EMB}),
@@ -279,6 +280,16 @@ def emb_matryoshka_truncate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval, completing the eval-harness family
     (sim_ann_recall_eval = ANN axis, sim_pq_recall_eval =
     quantization axis, this = dimension axis).
+
+    FOLDED at r13 (the consolidation the r12 VERDICT task 3 ordered):
+    its coverage is the 'mrl' axis of the registered
+    emb_dim_reduction_eval, row-identical by the pytest-pinned
+    identity (tests/test_staging_r13.py) — same widths/k/queries
+    constants, same decimal-dot scoring. The Query record stays
+    gate-resolvable by name (tools/check_correctness.py extras),
+    plan-shape-swept (tests/test_plan_shapes.py includes FOLDED), and
+    its non-degeneracy/persist-lifecycle tests keep running
+    (tests/test_graph_eval.py).
 
     Exactness: every cosine (full and truncated) goes through the
     decimal-dot VARCHAR hop, so rankings tie-break identically

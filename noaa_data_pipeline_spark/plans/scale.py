@@ -18,16 +18,29 @@ from .common import dsum, exact_agg, sql_dsum
 
 SALT_BUCKETS = 8
 
-# Entries FOLDED out of the driver registry by the r10 cap policy
-# (registry binds at 147; executed at the r12 promotions — GATE_LOG
-# "Round-12 rotation executed"): the q9/q21 *_bucketed twins hold
-# fresh r11 driver rows, their physical plans stay pinned by
-# tests/test_plan_shapes.py and served to default sessions by the
-# manifest router (bucketed_lake_available → plans/analytics.py
-# routed q9/q21), and the gate tools still resolve them BY NAME
-# through this dict (tools/check_correctness.py extras) so their
-# oracles remain runnable on demand. Folding removes driver-window
-# slots, not coverage.
+# Entries FOLDED out of the driver registry by the r10 cap policy:
+# every fold is a TECHNIQUE TWIN of a retained registered entry —
+# same query semantics, alternate physical strategy — whose physical
+# plan stays pinned by tests/test_plan_shapes.py (the sweep includes
+# FOLDED) and whose oracle stays runnable BY NAME through this dict
+# (tools/check_correctness.py extras). Folding removes driver-window
+# slots, not coverage. Two fold classes so far:
+# - r12 (GATE_LOG "Round-12 rotation executed"): the q9/q21
+#   *_bucketed twins — additionally SERVED to default sessions by
+#   the manifest router (bucketed_lake_available →
+#   plans/analytics.py routed q9/q21), so their plans still run in
+#   production paths;
+# - r13 (GATE_LOG "Round-13 rotation executed"): the alternate-
+#   technique twins freed for the r13 promotions —
+#   q1_pricing_summary_exact_agg (two-phase exact-agg twin of the
+#   registered q1_pricing_summary; the exact_agg helper stays
+#   value-tested in tests/test_scale_ops.py),
+#   skew_salted_user_join (manual-salting twin whose oracle IS the
+#   plain join SQL; the registered surface keeps the plain shape in
+#   customer_order_counts/events_outcome_scoring and the AQE skew
+#   path), and events_value_percentiles (exact sort-based twin of
+#   the registered events_percentiles_approx_sketch — the sketch is
+#   what runs at 100 TB, per its own docstring).
 FOLDED: dict[str, Query] = {}
 
 
@@ -44,7 +57,7 @@ def fold(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-@register(
+@fold(
     "skew_salted_user_join",
     oracle="""
     SELECT e.user_id, c_mktsegment,
@@ -61,7 +74,12 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     across all salt values. Results are identical to the plain join
     (the oracle runs the unsalted SQL). At 100 TB this is the manual
     fallback when AQE's skew splitting can't help (e.g. skewed
-    aggregation keys rather than join keys)."""
+    aggregation keys rather than join keys).
+    FOLDED at r13 (driver-window slot freed for the r13 promotions):
+    its oracle IS the plain join SQL — the registered surface keeps
+    that semantics in customer_order_counts / events_outcome_scoring
+    — and the salting technique stays plan-shape-pinned and
+    gate-resolvable by name (FOLDED above)."""
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
     salted_ev = ev.withColumn(
@@ -132,7 +150,7 @@ def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@fold(
     "q1_pricing_summary_exact_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
@@ -152,7 +170,11 @@ def q1_pricing_summary_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_agg): scaled-long partials per (partition, group) map-side,
     DECIMAL combine across partitions — exact at any per-group
     cardinality, unlike single-level long sums whose overflow envelope
-    is finite. Same oracle semantics as the single-level form."""
+    is finite. Same oracle semantics as the single-level form.
+    FOLDED at r13 (driver-window slot freed for the r13 promotions):
+    technique twin of the registered q1_pricing_summary; the
+    exact_agg helper stays value-tested (tests/test_scale_ops.py)
+    and this plan stays shape-pinned and gate-resolvable by name."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )

@@ -1,9 +1,13 @@
-"""Round-12 candidates: staged, not registered.
+"""Round-12 candidates: the PCA pair REGISTERED at r13, the rest
+staged.
 
-Two new curation/scale operators following the r9-r11 staging
-protocol (DuckDB oracle + driver-gate-equivalent pytest compare +
-differential fuzz + laziness + plan-shape + bench_scale rows) before
-any registry promotion:
+Executed at r13 (r12 VERDICT task 3): ``emb_pca_power_iteration`` +
+``emb_pca_project_scores`` promoted into the capacity the r13
+consolidation freed (decorator swap, the staging_r11 precedent) —
+they share the training subtree, x100 0.09-0.12x vs DuckDB. The
+others follow the r9-r11 staging protocol (DuckDB oracle +
+driver-gate-equivalent pytest compare + differential fuzz + laziness
++ plan-shape + bench_scale rows) before any registry promotion:
 
 - ``dedup_containment_ngram`` — ASYMMETRIC near-dup detection: exact
   shingle-set containment C(A,B) = |A∩B| / min(|A|,|B|). Jaccard
@@ -45,7 +49,7 @@ from pyspark.sql import functions as F
 
 from ..operators import textops
 from ..tables import load_table
-from . import Query
+from . import Query, register
 from .dedup import _shingles_cached
 from .similarity import DIM, _SQL_EMB, _embeddings
 
@@ -504,7 +508,7 @@ def _pca_project_oracle_sql(dim: int = DIM, iters: int = PCA_ITERS) -> str:
     """
 
 
-@stage("emb_pca_power_iteration", oracle=_pca_oracle_sql())
+@register("emb_pca_power_iteration", oracle=_pca_oracle_sql())
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus: exact
     mean-centered covariance, then PCA_ITERS unrolled power-iteration
@@ -662,7 +666,7 @@ def _pca_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur
 
 
-@stage("emb_pca_project_scores", oracle=_pca_project_oracle_sql())
+@register("emb_pca_project_scores", oracle=_pca_project_oracle_sql())
 def emb_pca_project_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train -> apply: project every embedding onto the corpus' own
     learned top component, proj = v . (x - mu) — the downstream shape

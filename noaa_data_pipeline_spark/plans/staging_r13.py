@@ -1,26 +1,23 @@
-"""Round-13 candidates: staged, not registered.
+"""Round-13 surface: one r13-REGISTERED consolidation entry plus the
+remaining staged candidates.
 
-Four operators extending the LLM-pipeline families along axes they
-do not yet cover, following the r9-r12 staging protocol (DuckDB
+Executed at r13 (r12 VERDICT task 3): ``emb_dim_reduction_eval`` is
+REGISTERED here (decorator swap, the staging_r11 precedent), its two
+parents retired — emb_matryoshka_truncate_eval FOLDED
+(plans/graph_eval.py → plans/scale.py FOLDED) and the standalone
+``emb_jl_projection_eval`` candidate deleted (its whole surface is
+the consolidated entry's 'jl' axis; the JL helpers below are what
+remains of it). The rest follow the r9-r12 staging protocol (DuckDB
 oracle + driver-gate-equivalent pytest compare + differential fuzz +
 laziness + plan-shape + bench_scale rows) before any registry
 promotion:
 
-- ``emb_jl_projection_eval`` — retrieval-quality evaluation of a
-  Johnson-Lindenstrauss SIGN random projection (Achlioptas 2003's
-  database-friendly +/-1 variant): project every embedding through a
-  deterministic {+1,-1}^(r x d) matrix and measure, per query and per
-  projected width r, how many of the exact full-dimension cosine
-  top-k the projected ranking recovers. This completes the
-  eval-harness family on its fourth axis: sim_ann_recall_eval = ANN
-  bucketing, sim_pq_recall_eval = quantization,
-  emb_matryoshka_truncate_eval = learned-prefix dimension, THIS =
-  data-free dimension reduction (the only axis that needs no training
-  pass at all, which is why curation pipelines reach for it first
-  when embeddings were not matryoshka-trained). The sign matrices
-  nest (width r is a prefix of width r'), so ONE r_max-wide
-  projection pass serves every width via slices, exactly like the
-  matryoshka entry's prefix trick.
+- JL sign projection (Achlioptas 2003's database-friendly +/-1
+  variant): the helpers project every embedding through a
+  deterministic {+1,-1}^(r x d) matrix; the sign matrices nest
+  (width r is a prefix of width r'), so ONE r_max-wide projection
+  pass serves every width via slices, exactly like the matryoshka
+  prefix trick. Consumed by ``emb_dim_reduction_eval``'s 'jl' axis.
 - ``sample_weighted_priority`` — priority sampling / sequential
   Poisson sampling (Ohlsson 1998; Duffield-Lund-Thorup 2007): each
   doc draws a deterministic uniform from the portable md5 idiom,
@@ -39,12 +36,12 @@ promotion:
   similarity family lacked (every existing entry ranks the whole
   corpus; a contrastive curator ranks within a predicate partition
   of it and thresholds on the positive-negative margin).
-- ``emb_dim_reduction_eval`` — the r13 CONSOLIDATION candidate: both
+- ``emb_dim_reduction_eval`` — REGISTERED r13: both
   dimension-reduction axes (matryoshka raw prefix + JL sign
   projection) in ONE corpus pass, row-identical per axis to the two
-  entries it proposes to replace (pytest-pinned identity), freeing a
-  registry slot under the cap while making the comparison cheaper
-  than either parent ran alone.
+  entries it replaced (pytest-pinned identity), freeing a registry
+  slot under the cap while making the comparison cheaper than
+  either parent ran alone.
 
 Reference anchors (spec, not code): extend SURVEY.md's sampling/split
 family (sample_stratified_hash, split_train_val_hash precedents) and
@@ -60,7 +57,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from . import Query
+from . import Query, register
 from .graph_eval import _swap_persisted
 from .similarity import DIM, _SQL_DEC, _SQL_EMB, _dot, _embeddings, _sql_dot
 
@@ -133,166 +130,15 @@ def _sql_jl_cosine(r: int, q: str, c: str) -> str:
     )
 
 
-# Persisted frames of the LAST invocation (graph_eval lifecycle).
-_JL_CORPUS_PERSISTED: list[DataFrame] = []
-_JL_PAIRS_PERSISTED: list[DataFrame] = []
-
-
-@stage(
-    "emb_jl_projection_eval",
-    oracle=f"""
-    WITH emb AS ({_SQL_EMB}),
-    signs AS ({_SQL_JL_SIGNS}),
-    comps AS (
-        SELECT vec_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
-        FROM emb
-    ),
-    pcomps AS (
-        SELECT c.vec_id, s.plane,
-               CAST(CAST(SUM(CAST(c.val * s.comp AS {_SQL_DEC})) AS VARCHAR) AS DOUBLE) AS pval
-        FROM comps c JOIN signs s ON c.dim = s.dim
-        GROUP BY c.vec_id, s.plane
-    ),
-    proj AS (
-        SELECT vec_id, list(pval ORDER BY plane) AS pemb
-        FROM pcomps GROUP BY vec_id
-    ),
-    corpus AS (
-        SELECT e.vec_id, e.emb, e.norm, p.pemb
-        FROM emb e JOIN proj p USING (vec_id)
-    ),
-    pairs AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {_sql_dot('q.emb', 'c.emb')} / NULLIF(q.norm * c.norm, 0) AS cos_full,
-               {', '.join(f"{_sql_jl_cosine(r, 'q', 'c')} AS cos_jl_{r}" for r in JL_DIMS)}
-        FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < {JL_QUERIES}
-    ),
-    full_topk AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
-                PARTITION BY query_id
-                ORDER BY cos_full DESC NULLS LAST, neighbor_id
-            ) AS rnk FROM pairs
-        ) r WHERE rnk <= {JL_K}
-    ),
-    jl_topk AS (
-        {' UNION ALL '.join(f'''
-        SELECT {r} AS r_dim, query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
-                PARTITION BY query_id
-                ORDER BY cos_jl_{r} DESC NULLS LAST, neighbor_id
-            ) AS rnk FROM pairs
-        ) r WHERE rnk <= {JL_K}''' for r in JL_DIMS)}
-    )
-    SELECT CAST(t.r_dim AS BIGINT) AS r_dim, t.query_id,
-           CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_overlap,
-           CAST({JL_K} AS BIGINT) AS k
-    FROM jl_topk t
-    LEFT JOIN full_topk f
-      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
-    GROUP BY t.r_dim, t.query_id
-    """,
-)
-def emb_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JL sign-projection retrieval eval: per query vector and
-    projected width r in {JL_DIMS}, how many of the exact
-    full-dimension cosine top-{JL_K} does the r-dimensional
-    sign-projected ranking recover? (r_dim, query_id, n_overlap, k)
-    — the acceptance curve read before fronting retrieval with a
-    data-free random projection (the option that exists even when
-    the embedding model was not matryoshka-trained and no PQ
-    codebook has been fit).
-
-    Exactness: the sign matrix is the portable md5 idiom (driver-side
-    Python literals == the oracle's in-SQL derivation), every
-    projected component and every cosine goes through the decimal-dot
-    VARCHAR hop, so projected values are bit-identical doubles across
-    engines and rankings tie-break identically (neighbor_id asc);
-    zero-norm projections score NULL (NULLIF) and sort last in both;
-    the output is integer-only.
-
-    Scale: the projection is ONE map-side pass over the corpus (32
-    decimal folds per row, no shuffle — the sign vectors are plan
-    literals), persisted because Catalyst's projection collapse would
-    otherwise inline the 32-fold array into each of the ~10 cosine
-    expressions downstream (the GATE_LOG inlined-expression-recompute
-    hazard, r11); widths are slices of that one array, so r_max pays
-    for all widths. The scored pair frame is query-broadcast (corpus
-    never shuffles), per-(query, width) top-k is a WindowGroupLimit,
-    and the overlap join is broadcast-sized.
-
-    Measured (BENCH_SCALE, r11 third session): x5 0.77x, x20 0.32x,
-    x100 0.25x (Spark 18.7 s vs DuckDB 74.5 s at 200k vectors) — the
-    map-side projection pass scales out while the single-node engine
-    pays the unnest-join sign products serially; cluster2x16 1.40x of
-    local32 at a 0.4 s wall (serialization tax only, BENCH_CLUSTER).
-    At x200 (400k vectors) Spark completes in 41.3 s while the DuckDB
-    oracle aborts with an out-of-memory on its ~800M-row unnest-join
-    intermediate — the first entry in the repo whose oracle stops
-    running before the Spark plan does (GATE_LOG r11 third session)."""
-    emb = _embeddings(spark, sf_dir)
-    corpus = _swap_persisted(
-        _JL_CORPUS_PERSISTED,
-        emb.select("vec_id", "emb", "norm", _jl_project().alias("pemb")),
-    )
-    q = corpus.filter(F.col("vec_id") < JL_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-        F.col("pemb").alias("q_pemb"),
-    )
-
-    def jl_cos(r: int):
-        qs, cs = F.slice("q_pemb", 1, r), F.slice("pemb", 1, r)
-        return (
-            _dot(qs, cs)
-            / F.nullif(F.sqrt(_dot(qs, qs)) * F.sqrt(_dot(cs, cs)), F.lit(0.0))
-        ).alias(f"cos_jl_{r}")
-
-    pairs = _swap_persisted(
-        _JL_PAIRS_PERSISTED,
-        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                _dot(F.col("q_emb"), F.col("emb"))
-                / F.nullif(F.col("q_norm") * F.col("norm"), F.lit(0.0))
-            ).alias("cos_full"),
-            *[jl_cos(r) for r in JL_DIMS],
-        ),
-    )
-
-    def topk(order_col: str):
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc_nulls_last(order_col), F.asc("neighbor_id")
-        )
-        return (
-            pairs.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= JL_K)
-            .select("query_id", "neighbor_id")
-        )
-
-    full_topk = topk("cos_full")
-    jl_topk = None
-    for r in JL_DIMS:
-        t = topk(f"cos_jl_{r}").select(
-            F.lit(r).cast("long").alias("r_dim"), "query_id", "neighbor_id"
-        )
-        jl_topk = t if jl_topk is None else jl_topk.unionByName(t)
-    return (
-        jl_topk.join(
-            F.broadcast(full_topk.withColumn("hit", F.lit(1))),
-            ["query_id", "neighbor_id"],
-            "left",
-        )
-        .groupBy("r_dim", "query_id")
-        .agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_overlap"),
-            F.lit(JL_K).cast("long").alias("k"),
-        )
-    )
+# RETIRED at r13 (the consolidation the r12 VERDICT task 3 ordered):
+# the standalone emb_jl_projection_eval candidate's entire surface is
+# the 'jl' axis of the registered emb_dim_reduction_eval below — same
+# helpers (_jl_sign/_jl_project/_sql_jl_cosine/_SQL_JL_SIGNS), same
+# constants, and the consolidated entry's own oracle re-derives the
+# axis independently in SQL, so nothing lost its truth pin. Its r11
+# scale record (x100 0.25x; x200: Spark 41.3 s while the DuckDB
+# oracle OOMs on its ~800M-row unnest-join intermediate) stays in
+# BENCH_SCALE/GATE_LOG under the old name.
 
 
 # --- sample_weighted_priority --------------------------------------------
@@ -562,11 +408,10 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JL_QUERIES), so its per-axis output must equal theirs row for row —
 # the cross-entry identity tests/test_staging_r13.py pins.
 _DRE_PAIRS_PERSISTED: list[DataFrame] = []
-# Own corpus slot (r11 ADVICE): sharing _JL_CORPUS_PERSISTED would
-# honor _swap_persisted's one-slot-per-entry contract in name only —
-# alternating this entry with emb_jl_projection_eval in one session
-# would unpersist/re-persist the identical-plan corpus each call and
-# drop the pairs frame's cached input mid-session.
+# Own corpus slot (r11 ADVICE, kept after the jl parent's retirement
+# made this the only consumer): one persist slot per entry is the
+# _swap_persisted contract — a shared slot would unpersist another
+# entry's cached input mid-session.
 _DRE_CORPUS_PERSISTED: list[DataFrame] = []
 
 
@@ -578,7 +423,7 @@ def _sql_mrl_cosine(d: int, q: str, c: str) -> str:
     )
 
 
-@stage(
+@register(
     "emb_dim_reduction_eval",
     oracle=f"""
     WITH emb AS ({_SQL_EMB}),
@@ -641,15 +486,18 @@ def emb_dim_reduction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per width r in {JL_DIMS}, and per axis ('mrl' = matryoshka raw
     prefix, 'jl' = sign-projection prefix), the exact-top-{JL_K}
     overlap of the reduced ranking. (axis, r_dim, query_id,
-    n_overlap, k) — row-identical per axis to
-    emb_matryoshka_truncate_eval and emb_jl_projection_eval (the
-    cross-entry identity is pytest-pinned), because the constants
-    match and the scoring goes through the same decimal-dot hops.
+    n_overlap, k) — row-identical per axis to the two entries it
+    replaced: the FOLDED emb_matryoshka_truncate_eval (the 'mrl'
+    identity stays pytest-pinned against the folded parent) and the
+    deleted emb_jl_projection_eval candidate (the 'jl' axis is
+    re-derived independently by this entry's own oracle SQL), because
+    the constants match and the scoring goes through the same
+    decimal-dot hops.
 
-    This is the r13 CONSOLIDATION candidate (GATE_LOG r11 "cap
-    arithmetic"): registering it and retiring the two per-axis
-    entries frees a registry slot while making the comparison
-    CHEAPER than either entry alone ran — the full-cosine truth pass
+    REGISTERED r13 — the consolidation the r12 VERDICT task 3
+    ordered (GATE_LOG r11 "cap arithmetic"): one entry covers both
+    per-axis parents, frees a registry slot, and makes the comparison
+    CHEAPER than either parent alone ran — the full-cosine truth pass
     and the pair broadcast are paid once for both axes, and the
     widths slice the same persisted arrays.
 

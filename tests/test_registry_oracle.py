@@ -66,6 +66,85 @@ def _clean_rows(path):
     }
 
 
+def test_plan_edits_require_driver_reproof():
+    """r12 VERDICT task 2: the age-based freshness window cannot see
+    an entry whose plan was EDITED after its last clean driver row
+    (r12 produced two such gaps silently: the adc persist slots, the
+    CC width change — both in same-module helpers). The checked-in
+    ledger (tools/plan_ledger.json) records each entry's
+    transitive-source digest beside the driver round that proved it;
+    any digest drift demands the entry be queued in GATE_PRIORITY for
+    re-proof. The rotation/snapshot commits refresh the ledger via
+    tools/update_plan_ledger.py."""
+    from noaa_data_pipeline_spark.plans import GATE_PRIORITY, load_all
+    from tools.plan_ledger import load_ledger, plan_source_digest
+
+    ledger = load_ledger()
+    stale, unledgered = [], []
+    for name, q in load_all().items():
+        rec = ledger.get(name)
+        if rec is None:
+            if name not in GATE_PRIORITY:
+                unledgered.append(name)
+            continue
+        if rec["digest"] != plan_source_digest(q.fn) and name not in GATE_PRIORITY:
+            stale.append(name)
+    assert not unledgered, (
+        f"entries missing from the plan ledger and not queued for proof: "
+        f"{sorted(unledgered)} — run tools/update_plan_ledger.py"
+    )
+    assert not stale, (
+        f"plan source changed after the last driver proof: {sorted(stale)} "
+        "— add to GATE_PRIORITY (re-proof) and refresh the ledger in the "
+        "same commit"
+    )
+
+
+def test_plan_digest_sees_helper_and_constant_edits(tmp_path):
+    """The digest must catch the r12 gap class: edits to same-module
+    HELPERS and CONSTANTS the entry references, not just the entry
+    function's own body — and must be stable across processes for
+    unchanged source."""
+    import importlib.util
+    import sys
+
+    from tools.plan_ledger import plan_source_digest
+
+    base = '''
+WIDTH = 8
+
+def _helper(x):
+    return x + WIDTH
+
+def entry(spark, sf_dir):
+    return _helper(1)
+'''
+
+    def load(tag, text):
+        p = tmp_path / f"ledgermod_{tag}.py"
+        p.write_text(text)
+        spec = importlib.util.spec_from_file_location(f"ledgermod_{tag}", p)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    d0 = plan_source_digest(load("a", base).entry)
+    # identical source under a different module name -> same digest
+    assert plan_source_digest(load("b", base).entry) == d0
+    # helper body edit (entry fn source unchanged) -> digest changes
+    d_helper = plan_source_digest(
+        load("c", base.replace("x + WIDTH", "x * WIDTH")).entry
+    )
+    assert d_helper != d0
+    # referenced module-level constant edit -> digest changes
+    d_const = plan_source_digest(load("d", base.replace("WIDTH = 8", "WIDTH = 16")).entry)
+    assert d_const != d0
+    # entry body edit -> digest changes
+    d_entry = plan_source_digest(load("e", base.replace("_helper(1)", "_helper(2)")).entry)
+    assert d_entry != d0
+
+
 def test_gate_priority_covers_all_unchecked_entries():
     """The driver gate records exactly the first 50 registry entries.
     Invariant: every entry must either (a) have a clean driver row

@@ -1,7 +1,10 @@
 """Round-12 candidates: driver-gate-equivalent checks.
 
-Both candidates stay staged (see plans/staging_r12.py docstring) and
-get the full staging protocol here: the driver's row-count + columns
+The PCA pair is REGISTERED since r13 (see plans/staging_r12.py
+docstring) — its checks keep running against the registered entries
+so the three-SF staging proof stays reproducible post-promotion (the
+test_staging_r11 precedent); the containment/bloom candidates stay
+staged. All get the full staging protocol here: the driver's row-count + columns
 + order-insensitive value-hash compare, semantic assertions the
 corpus can't express (the synthetic documents contain only SYMMETRIC
 duplicates, so the containment entry's asymmetric branch is proven on
@@ -30,20 +33,37 @@ from noaa_data_pipeline_spark.plans.staging_r12 import (
 from tools.check_correctness import frame_digest
 
 
+# Promoted at r13 into the capacity the consolidation freed (r12
+# VERDICT task 3); resolved from the registry post-promotion.
+CANDIDATES = [
+    "emb_pca_power_iteration",
+    "emb_pca_project_scores",
+]
+
+
 def _staged_names():
-    return sorted(STAGED.keys())
+    return sorted(set(STAGED) | set(CANDIDATES))
+
+
+def _lookup(name):
+    """Find a candidate wherever it lives: staged pre-promotion, the
+    registry afterwards (the PCA pair lives there since r13)."""
+    return STAGED.get(name) or load_all()[name]
 
 
 def test_staging_is_not_registered():
     """Staged candidates must not leak into the driver registry (a
     leak would break the gate-rotation freshness invariant
-    mid-round)."""
-    assert not (set(STAGED) & set(load_all().keys()))
+    mid-round); the r13-promoted PCA pair must be IN it."""
+    registered = set(load_all().keys())
+    assert not (set(STAGED) & registered)
+    for name in CANDIDATES:
+        assert name in registered, f"{name} lost in promotion"
 
 
 @pytest.mark.parametrize("name", _staged_names())
 def test_staged_matches_oracle(spark, duck, sf_dir, name):
-    q = STAGED[name]
+    q = _lookup(name)
     sdf = q.fn(spark, sf_dir)
     complex_cols = [
         f.name
@@ -72,7 +92,7 @@ def test_staged_matches_oracle(spark, duck, sf_dir, name):
 def _gate_compare(spark, lake, name, views):
     import duckdb
 
-    q = STAGED[name]
+    q = _lookup(name)
     con = duckdb.connect()
     for t in views:
         con.execute(
@@ -255,12 +275,12 @@ def test_bloom_differential_fuzz(spark, tmp_path_factory, seed, n_cust, n_orders
 
 
 def test_candidate_construction_laziness(spark, sf_dir):
-    """Both r12 candidates construct without launching a Spark job —
+    """Every r12 candidate (staged or promoted) constructs without launching a Spark job —
     no exemptions (the KMV precedent documents its exemption in
     test_staging_r11; these two have none)."""
     tracker = spark.sparkContext.statusTracker()
     for name in _staged_names():
-        fn = STAGED[name].fn
+        fn = _lookup(name).fn
         fn(spark, sf_dir)  # warm table/footer caches
         before = set(tracker.getJobIdsForGroup(None) or ())
         fn(spark, sf_dir)
@@ -272,7 +292,7 @@ def test_candidate_construction_laziness(spark, sf_dir):
 
 
 def _plan(spark, sf_dir, name):
-    df = STAGED[name].fn(spark, sf_dir)
+    df = _lookup(name).fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -302,7 +322,7 @@ def test_containment_no_cartesian_no_udf(spark, sf_dir):
 
 
 def _pca_rows(spark, sf_dir):
-    return STAGED["emb_pca_power_iteration"].fn(spark, sf_dir).collect()
+    return _lookup("emb_pca_power_iteration").fn(spark, sf_dir).collect()
 
 
 def test_pca_tracks_numpy_eigh(spark, duck, sf_dir):
@@ -411,8 +431,8 @@ def test_pca_projection_moments_match_eigenvalue(spark, sf_dir):
     identity that ties the two entries together."""
     import numpy as np
 
-    projs = STAGED["emb_pca_project_scores"].fn(spark, sf_dir).collect()
-    pca = STAGED["emb_pca_power_iteration"].fn(spark, sf_dir).collect()
+    projs = _lookup("emb_pca_project_scores").fn(spark, sf_dir).collect()
+    pca = _lookup("emb_pca_power_iteration").fn(spark, sf_dir).collect()
     lam = pca[0].eigenvalue_q / 1e9
     p = np.array([r.proj_q for r in projs], dtype=np.float64) / 1e9
     assert abs(float(p.mean())) < 1e-6  # quantization-level centering

@@ -1,13 +1,18 @@
 """Round-13 candidates: driver-gate-equivalent checks.
 
-Both candidates stay staged (see plans/staging_r13.py docstring) and
-get the full staging protocol here: the driver's row-count + columns
-+ order-insensitive value-hash compare, an INDEPENDENT third
-implementation of the sampling entry (pure Python md5 arithmetic —
-neither engine), planted-case semantics the synthetic corpus cannot
-express (an exact-duplicate vector that every projection width must
-recover), differential fuzz over adversarial lakes, construction
-laziness, and plan-shape (scale-contract) assertions.
+``emb_dim_reduction_eval`` is REGISTERED since r13 (the consolidation
+— see plans/staging_r13.py docstring); its checks, including the ones
+inherited from the deleted standalone JL candidate, keep running
+against the registered entry so the staging proof stays reproducible
+post-promotion (the test_staging_r11 precedent). The sampling and
+hard-negatives candidates stay staged. All get the full staging
+protocol here: the driver's row-count + columns + order-insensitive
+value-hash compare, an INDEPENDENT third implementation of the
+sampling entry (pure Python md5 arithmetic — neither engine),
+planted-case semantics the synthetic corpus cannot express (an
+exact-duplicate vector that every projection width must recover),
+differential fuzz over adversarial lakes, construction laziness, and
+plan-shape (scale-contract) assertions.
 
 Run with SPARK_GRAFT_TEST_SF_DIR at sf0.001 / sf0.01 / sf0.1 for the
 three-SF staging proof (the maintenance-op promotion protocol).
@@ -35,20 +40,39 @@ from noaa_data_pipeline_spark.plans.staging_r13 import (
 from tools.check_correctness import frame_digest
 
 
+# Promoted at r13 (the consolidation); resolved from the registry.
+CANDIDATES = ["emb_dim_reduction_eval"]
+
+
 def _staged_names():
-    return sorted(STAGED.keys())
+    return sorted(set(STAGED) | set(CANDIDATES))
+
+
+def _lookup(name):
+    """Find a candidate wherever it lives: staged pre-promotion, the
+    registry afterwards (emb_dim_reduction_eval lives there since
+    r13)."""
+    return STAGED.get(name) or load_all()[name]
 
 
 def test_staging_is_not_registered():
     """Staged candidates must not leak into the driver registry (a
     leak would break the gate-rotation freshness invariant
-    mid-round)."""
-    assert not (set(STAGED) & set(load_all().keys()))
+    mid-round); the r13-promoted consolidation entry must be IN it,
+    and both retired parents must be OUT (matryoshka folded, the
+    standalone JL candidate deleted)."""
+    registered = set(load_all().keys())
+    assert not (set(STAGED) & registered)
+    for name in CANDIDATES:
+        assert name in registered, f"{name} lost in promotion"
+    assert "emb_jl_projection_eval" not in STAGED
+    assert "emb_jl_projection_eval" not in registered
+    assert "emb_matryoshka_truncate_eval" not in registered
 
 
 @pytest.mark.parametrize("name", _staged_names())
 def test_staged_matches_oracle(spark, duck, sf_dir, name):
-    q = STAGED[name].fn(spark, sf_dir)
+    q = _lookup(name).fn(spark, sf_dir)
     complex_cols = [
         f.name
         for f in q.schema.fields
@@ -56,7 +80,7 @@ def test_staged_matches_oracle(spark, duck, sf_dir, name):
     ]
     assert not complex_cols, f"top-level complex column(s) {complex_cols}"
     srows = [tuple(r) for r in q.collect()]
-    oracle = STAGED[name].oracle
+    oracle = _lookup(name).oracle
     assert oracle is not None, "staged entries must ship an oracle"
     res = duck.execute(oracle)
     ocols = [d[0] for d in res.description]
@@ -77,7 +101,7 @@ def test_staged_matches_oracle(spark, duck, sf_dir, name):
 def _gate_compare(spark, lake, name, views):
     import duckdb
 
-    q = STAGED[name]
+    q = _lookup(name)
     con = duckdb.connect()
     for t in views:
         con.execute(
@@ -100,7 +124,7 @@ def _gate_compare(spark, lake, name, views):
     return sdf.columns, srows
 
 
-# --- emb_jl_projection_eval ----------------------------------------------
+# --- the JL axis (inherited from the deleted standalone candidate) -------
 
 
 def test_jl_sign_matrix_is_deterministic_pm_one():
@@ -130,20 +154,23 @@ _JL_EXPECTED_CURVES = {
 
 
 def test_jl_overlap_counts_are_sane(spark, sf_dir):
-    """Structural bounds on the fixture lake: one row per (width,
-    query), overlaps within [0, k]; on the known testdata lakes the
-    aggregate recall curve must equal its pinned fixture (the
-    near-isotropic synthetic embeddings make absolute recall low,
-    which is exactly what this eval exists to reveal before anyone
-    fronts retrieval with a projection)."""
+    """Structural bounds on the fixture lake: one row per (axis,
+    width, query), overlaps within [0, k]; on the known testdata
+    lakes the jl-axis aggregate recall curve must equal the fixture
+    pinned while the standalone candidate existed — the consolidation
+    identity means the curves transfer verbatim (the near-isotropic
+    synthetic embeddings make absolute recall low, which is exactly
+    what this eval exists to reveal before anyone fronts retrieval
+    with a projection)."""
     import os
 
-    rows = STAGED["emb_jl_projection_eval"].fn(spark, sf_dir).collect()
-    assert len(rows) == len(JL_DIMS) * JL_QUERIES
+    rows = _lookup("emb_dim_reduction_eval").fn(spark, sf_dir).collect()
+    assert len(rows) == 2 * len(JL_DIMS) * JL_QUERIES
     totals = {}
     for r in rows:
         assert 0 <= r.n_overlap <= r.k == JL_K
-        totals[r.r_dim] = totals.get(r.r_dim, 0) + r.n_overlap
+        if r.axis == "jl":
+            totals[r.r_dim] = totals.get(r.r_dim, 0) + r.n_overlap
     curve = [totals[r] for r in sorted(totals)]
     expected = _JL_EXPECTED_CURVES.get(os.path.basename(sf_dir.rstrip("/")))
     if expected is not None:
@@ -175,10 +202,11 @@ def _write_embeddings(tmp, vecs):
 def test_jl_planted_duplicate_fuzz(spark, tmp_path_factory, seed, n, n_zero):
     """Random lakes with a PLANTED exact duplicate of query 0 (plus
     all-zero vectors riding the NULLIF path): the engines must
-    hash-match, and every projection width must recover the duplicate
-    — an exact copy projects to the exact same point, so it tops the
-    projected ranking at any r (cosine 1 with the smallest
-    neighbor_id among full-cosine-1 ties on both sides)."""
+    hash-match, and every (axis, width) must recover the duplicate —
+    an exact copy truncates to the same prefix and projects to the
+    exact same point, so it tops both reduced rankings at any r
+    (cosine 1 with the smallest neighbor_id among full-cosine-1 ties
+    on both sides)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -188,19 +216,29 @@ def test_jl_planted_duplicate_fuzz(spark, tmp_path_factory, seed, n, n_zero):
     vecs = [list(map(float, x)) for x in X.astype(np.float32)]
     tmp = str(tmp_path_factory.mktemp("jl_fuzz"))
     _write_embeddings(tmp, vecs)
-    cols, srows = _gate_compare(spark, tmp, "emb_jl_projection_eval", ["embeddings"])
-    q0 = {r[0]: dict(zip(cols, r)) for r in srows if dict(zip(cols, r))["query_id"] == 0}
-    assert set(q0) == set(JL_DIMS)
-    for r_dim, row in q0.items():
-        assert row["n_overlap"] >= 1, f"width {r_dim} lost the planted duplicate"
+    cols, srows = _gate_compare(
+        spark, tmp, "emb_dim_reduction_eval", ["embeddings"]
+    )
+    q0 = {}
+    for r in srows:
+        row = dict(zip(cols, r))
+        if row["query_id"] == 0:
+            q0[(row["axis"], row["r_dim"])] = row
+    assert set(q0) == {(a, r) for a in ("mrl", "jl") for r in JL_DIMS}
+    for (axis, r_dim), row in q0.items():
+        # an exact copy is identical in every prefix AND projects to
+        # the exact same point, so BOTH axes must recover it at any r
+        assert row["n_overlap"] >= 1, (
+            f"axis {axis} width {r_dim} lost the planted duplicate"
+        )
 
 
 def test_jl_plan_shape(spark, sf_dir):
     """The corpus never shuffles: the pair source is the audited
-    query-broadcast nested loop (vec_id <> query_id), per-(query,
-    width) top-k is WindowGroupLimit, and nothing drops to Python or
-    a cartesian."""
-    df = STAGED["emb_jl_projection_eval"].fn(spark, sf_dir)
+    query-broadcast nested loop (vec_id <> query_id), per-(axis,
+    query, width) top-k is WindowGroupLimit, and nothing drops to
+    Python or a cartesian."""
+    df = _lookup("emb_dim_reduction_eval").fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
@@ -392,12 +430,12 @@ def test_wsamp_plan_shape(spark, sf_dir):
 
 
 def test_candidate_construction_laziness(spark, sf_dir):
-    """Both r13 candidates construct without launching a Spark job —
-    no exemptions (the KMV precedent documents its exemption in
-    test_staging_r11; these two have none)."""
+    """Every r13 candidate (staged or promoted) constructs without
+    launching a Spark job — no exemptions (the KMV precedent
+    documents its exemption in test_staging_r11; these have none)."""
     tracker = spark.sparkContext.statusTracker()
     for name in _staged_names():
-        fn = STAGED[name].fn
+        fn = _lookup(name).fn
         fn(spark, sf_dir)  # warm table/footer caches
         before = set(tracker.getJobIdsForGroup(None) or ())
         fn(spark, sf_dir)
@@ -413,9 +451,7 @@ def test_jl_projection_is_persisted_not_inlined(spark, sf_dir):
     inlined-expression-recompute hazard, load-bearing here: losing
     the persist silently multiplies the projection work ~10x without
     changing any result."""
-    from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as S13
-
-    df = S13["emb_jl_projection_eval"].fn(spark, sf_dir)
+    df = _lookup("emb_dim_reduction_eval").fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     # the projected column itself must not appear as an inline
@@ -528,14 +564,19 @@ def test_hard_negatives_plan_shape(spark, sf_dir):
 
 def test_dim_reduction_eval_equals_its_parents(spark, sf_dir):
     """The consolidated entry must be row-identical, per axis, to the
-    two entries it proposes to replace: axis='mrl' to the REGISTERED
-    emb_matryoshka_truncate_eval (same widths/k/queries constants)
-    and axis='jl' to the staged emb_jl_projection_eval — the identity
-    that lets an r13 rotation swap them without any loss of
-    semantics or oracle coverage."""
-    from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as S13
+    entries it replaced (the identity that let the r13 rotation swap
+    them without any loss of semantics or oracle coverage — kept
+    running post-retirement per the r12 VERDICT task 3): axis='mrl'
+    to the FOLDED emb_matryoshka_truncate_eval (same widths/k/queries
+    constants; the fold keeps its Query gate-resolvable). The deleted
+    standalone JL candidate has no live twin to compare against — its
+    axis is re-derived independently by this entry's own oracle SQL
+    (the truth pin test_staged_matches_oracle/the registry gate
+    exercise) and its recall curve stays pinned in
+    test_jl_overlap_counts_are_sane."""
+    from noaa_data_pipeline_spark.plans.scale import FOLDED
 
-    cons = S13["emb_dim_reduction_eval"].fn(spark, sf_dir).collect()
+    cons = _lookup("emb_dim_reduction_eval").fn(spark, sf_dir).collect()
     mrl_axis = sorted(
         (r.r_dim, r.query_id, r.n_overlap, r.k) for r in cons if r.axis == "mrl"
     )
@@ -544,12 +585,8 @@ def test_dim_reduction_eval_equals_its_parents(spark, sf_dir):
     )
     parent_mrl = sorted(
         (r.trunc_dim, r.query_id, r.n_overlap, r.k)
-        for r in load_all()["emb_matryoshka_truncate_eval"].fn(spark, sf_dir).collect()
-    )
-    parent_jl = sorted(
-        (r.r_dim, r.query_id, r.n_overlap, r.k)
-        for r in S13["emb_jl_projection_eval"].fn(spark, sf_dir).collect()
+        for r in FOLDED["emb_matryoshka_truncate_eval"].fn(spark, sf_dir).collect()
     )
     assert mrl_axis == parent_mrl
-    assert jl_axis == parent_jl
-    assert len(cons) == len(parent_mrl) + len(parent_jl)
+    assert len(jl_axis) == len(parent_mrl)
+    assert len(cons) == 2 * len(parent_mrl)

@@ -43,6 +43,13 @@ def build(replicas: int) -> str:
     os.makedirs(out, exist_ok=True)
     dst = f"{out}/documents.parquet"
     if not os.path.exists(dst):
+        # COPY to a per-pid temp name, then one atomic rename into
+        # place (r12 ADVICE): a build interrupted mid-COPY must not
+        # leave a partial documents.parquet that every later run
+        # silently reuses as a valid docsxN lake — the same
+        # stage-then-publish protocol the bucketed warehouse builder
+        # uses (plans/scale.py bucketed_fact_tables).
+        tmp = f"{out}/.documents_{os.getpid()}.parquet.tmp"
         con = duckdb.connect()
         mx = con.execute(
             f"SELECT MAX(doc_id) FROM read_parquet('{BASE}/documents.parquet')"
@@ -53,10 +60,16 @@ def build(replicas: int) -> str:
                 SELECT * REPLACE (doc_id + r.i * {mx + 1} AS doc_id)
                 FROM read_parquet('{BASE}/documents.parquet'),
                      (SELECT UNNEST(range({replicas})) AS i) r
-            ) TO '{dst}' (FORMAT PARQUET)
+            ) TO '{tmp}' (FORMAT PARQUET)
             """
         )
         con.close()
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            # lost a publish race to a concurrent builder: keep the
+            # winner's complete file, drop ours
+            os.remove(tmp)
     return out
 
 
