@@ -89,9 +89,16 @@ def stage(name: str, oracle: str | None = None, doc: str = ""):
 # codeword training inside it, the query ADC tables) and the codeword
 # table two — without the persists each consumer re-runs the corpus
 # pass (the r12 residual-search finding; same ~25%-of-wall class).
-# CacheManager matches cached plans SEMANTICALLY, so the identical
-# _pq_codewords(sub)/_pq_subvectors(emb) plans built inside
-# _pq_best_codes read these caches without threading them through.
+# The entry threads the persisted codewords frame EXPLICITLY into its
+# own query-ADC join (r12 ADVICE: don't lean on cache matching where
+# a variable will do); the one remaining implicit reader is the
+# identical _pq_codewords(sub) plan rebuilt INSIDE _pq_best_codes
+# (whose signature belongs to plans/similarity.py and is shared by
+# three registered entries there), which hits the cache through
+# CacheManager's SEMANTIC plan matching — a behavior
+# tests/test_staging_r11.py::test_adc_codeword_cache_actually_hits
+# pins with an InMemoryTableScan count, so a canonicalization miss
+# can't silently turn the persist into dead weight.
 _ADC_SUB_PERSISTED: list[DataFrame] = []
 _ADC_CODEWORDS_PERSISTED: list[DataFrame] = []
 
@@ -190,7 +197,7 @@ def sim_ivf_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compressed domain."""
     emb = _embeddings(spark, sf_dir)
     sub = _swap_persisted(_ADC_SUB_PERSISTED, _pq_subvectors(emb))
-    _swap_persisted(_ADC_CODEWORDS_PERSISTED, _pq_codewords(sub))
+    codewords = _swap_persisted(_ADC_CODEWORDS_PERSISTED, _pq_codewords(sub))
     codes = _pq_best_codes(sub).select("vec_id", "label", "s", "code")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -209,7 +216,7 @@ def sim_ivf_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qdist = (
         sub.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(_pq_codewords(sub)), "s")
+        .join(F.broadcast(codewords), "s")
         .select(
             F.col("vec_id").alias("query_id"),
             "s",

@@ -222,6 +222,36 @@ def test_kmv_overlap_estimates_track_exact(spark, duck, sf_dir):
             assert abs(r.est_intersect - ex_i) / ex_i < 0.9  # smallest set, widest rel band
 
 
+def test_adc_codeword_cache_actually_hits(spark, sf_dir):
+    """r12 ADVICE: the adc entry now threads its persisted codewords
+    frame explicitly into its own query-ADC join, but the identical
+    _pq_codewords(sub) plan REBUILT inside _pq_best_codes (a
+    plans/similarity.py helper shared by three registered entries —
+    its signature is not this entry's to change) still reaches the
+    cache only through CacheManager's semantic plan matching. Pin
+    that hit: the executed plan must read the codeword cache exactly
+    TWICE ([s, code, cw] InMemoryTableScans — once inside
+    _pq_best_codes, once broadcast into qdist) and never re-run the
+    codeword training aggregate outside the cached relation. A
+    canonicalization miss would silently turn the persist into dead
+    weight (perf-only, invisible to the hash gate) — this assertion
+    is what makes it visible."""
+    import re
+
+    df = _lookup("sim_ivf_pq_adc_search").fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    codeword_reads = re.findall(
+        r"InMemoryTableScan \[s#\d+, code#\d+, cw#\d+\]", plan
+    )
+    assert len(codeword_reads) == 2, (
+        f"expected 2 codeword cache reads, saw {len(codeword_reads)}:\n"
+        + "\n".join(l.strip()[:100] for l in plan.splitlines() if "InMemoryTableScan" in l)
+    )
+    # total cache reads stay pinned too (3 sub + 2 codewords + the
+    # codeword relation's stored build subtree rendering its sub scan)
+    assert plan.count("InMemoryTableScan") == 6
+
+
 def test_kmv_plan_one_corpus_exchange(spark, sf_dir):
     """Scale contract: ONE corpus-sized exchange (the (event_type, h)
     distinct with map-side partial dedup); the per-segment bottom-k is
