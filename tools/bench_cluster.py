@@ -73,8 +73,9 @@ def run_config(
             from noaa_data_pipeline_spark.plans.staging_r11 import STAGED
             from noaa_data_pipeline_spark.plans.staging_r12 import STAGED as _S12
             from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as _S13
+            from noaa_data_pipeline_spark.plans.staging_r14 import STAGED as _S14
 
-            STAGED = {**STAGED, **_S12, **_S13}
+            STAGED = {**STAGED, **_S12, **_S13, **_S14}
 
             registry = {**STAGED, **registry}
         except ImportError as exc:

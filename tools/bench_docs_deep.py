@@ -77,7 +77,7 @@ def lookup(name: str):
     from noaa_data_pipeline_spark.plans import load_all
 
     registry = dict(load_all())
-    for mod in ("staging_r11", "staging_r12", "staging_r13"):
+    for mod in ("staging_r11", "staging_r12", "staging_r13", "staging_r14"):
         try:
             staged = __import__(
                 f"noaa_data_pipeline_spark.plans.{mod}", fromlist=["STAGED"]

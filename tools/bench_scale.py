@@ -217,10 +217,12 @@ def main() -> None:
         from noaa_data_pipeline_spark.plans.staging_r11 import STAGED as _s11
         from noaa_data_pipeline_spark.plans.staging_r12 import STAGED as _s12
         from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as _s13
+        from noaa_data_pipeline_spark.plans.staging_r14 import STAGED as _s14
 
         staged.update(_s11)
         staged.update(_s12)
         staged.update(_s13)
+        staged.update(_s14)
     except ImportError as exc:
         print(f"warning: staging registry unavailable ({exc})", file=sys.stderr)
     composites: dict = {}

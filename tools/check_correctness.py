@@ -106,8 +106,9 @@ def main() -> int:
             from noaa_data_pipeline_spark.plans.staging_r11 import STAGED as _s11
             from noaa_data_pipeline_spark.plans.staging_r12 import STAGED as _s12
             from noaa_data_pipeline_spark.plans.staging_r13 import STAGED as _s13
+            from noaa_data_pipeline_spark.plans.staging_r14 import STAGED as _s14
 
-            for d in (_s11, _s12, _s13):
+            for d in (_s11, _s12, _s13, _s14):
                 extras.update(d)
         except ImportError as exc:
             print(f"warning: staging registry unavailable ({exc})", file=sys.stderr)
