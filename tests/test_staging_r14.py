@@ -1,7 +1,8 @@
-"""Round-14 candidate: driver-gate-equivalent checks.
+"""Round-14 candidates: driver-gate-equivalent checks.
 
-``docs_token_drift_tvd`` stays staged (see plans/staging_r14.py
-docstring) and gets the full staging protocol here: the driver's
+``docs_token_drift_tvd`` and ``emb_pca_top2_deflation`` stay staged
+(see plans/staging_r14.py docstring) and get the full staging
+protocol here: the driver's
 row-count + columns + order-insensitive value-hash compare, an
 INDEPENDENT third implementation (pure Python token counting and
 integer arithmetic over the raw parquet — neither engine), a
@@ -260,3 +261,130 @@ def test_tvd_plan_shape(spark, sf_dir):
     corpus_builds = set(re.findall(r"REPARTITION_BY_NUM, \[plan_id=(\d+)\]", plan))
     assert len(corpus_builds) == 1, corpus_builds
     assert "BroadcastNestedLoopJoin" in plan  # the tiny comparison grid
+
+
+# --- emb_pca_top2_deflation -------------------------------------------------
+
+
+def test_pca2_comp1_equals_registered_parent(spark, sf_dir):
+    """Comp-1 rows must be row-identical (minus the comp column) to
+    the registered emb_pca_power_iteration — same state frame, same
+    quantization — the identity that makes this a pure extension."""
+    rows = STAGED["emb_pca_top2_deflation"].fn(spark, sf_dir).collect()
+    comp1 = sorted(
+        (r.dim, r.loading_q, r.eigenvalue_q, r.evr_ppm) for r in rows if r.comp == 1
+    )
+    parent = sorted(
+        (r.dim, r.loading_q, r.eigenvalue_q, r.evr_ppm)
+        for r in load_all()["emb_pca_power_iteration"].fn(spark, sf_dir).collect()
+    )
+    assert comp1 == parent
+    assert len(rows) == 2 * len(parent)
+
+
+def test_pca2_orthogonality_and_spectrum(spark, duck, sf_dir):
+    """Deflation semantics on the fixture lake: v2 is near-orthogonal
+    to v1 — exact orthogonality would require v1 to be an exact
+    eigenvector, and the synthetic corpus' near-flat spectrum
+    (lambda2/lambda1 ~ 0.95) leaves v1 at a ~0.98 Rayleigh ratio
+    after 24 steps (the parent entry's own pinned convergence), so
+    the deflated matrix annihilates v1 only approximately; the
+    spiked-fuzz test below asserts the tight bound where convergence
+    is fast. Eigenvalue estimates stay ordered lambda1 >= lambda2 >=
+    0, with lambda2 within deflation error of numpy's true second
+    eigenvalue of the same quantized covariance."""
+    import numpy as np
+
+    rows = STAGED["emb_pca_top2_deflation"].fn(spark, sf_dir).collect()
+    v = {c: [0.0] * len([r for r in rows if r.comp == c]) for c in (1, 2)}
+    lam = {}
+    for r in rows:
+        v[r.comp][r.dim] = r.loading_q / 1e9
+        lam[r.comp] = r.eigenvalue_q / 1e9
+    v1, v2 = np.array(v[1]), np.array(v[2])
+    assert abs(float(v1 @ v2)) < 0.05
+    assert lam[1] >= lam[2] >= 0
+    # numpy reference on the SAME quantized covariance
+    emb = np.array(
+        [
+            e[0]
+            for e in duck.execute(
+                "SELECT CAST(embedding AS DOUBLE[]) FROM embeddings"
+            ).fetchall()
+        ]
+    )
+    s2 = np.floor(emb[:, :, None] * emb[:, None, :] * 1e9).sum(axis=0) / 1e9
+    n = emb.shape[0]
+    mu = (np.floor(emb * 1e9).sum(axis=0)) / 1e9 / n
+    cov = s2 / n - np.outer(mu, mu)
+    w = np.linalg.eigvalsh(cov)
+    true1, true2 = float(np.sort(w)[-1]), float(np.sort(w)[-2])
+    # approximate deflation with an imperfect v1 can report lam2
+    # slightly ABOVE the true lambda2 — the leakage is bounded by the
+    # eigengap times sin^2(angle), so the rigorous Rayleigh bound is
+    # the TOP of the spectrum: x'C2x = x'Cx - lam1(x'v1)^2 <= lambda1.
+    # (Measured on this lake: lam2 = true2 + 1.0e-4 with a 2.0e-3
+    # gap.) The spiked-fuzz test pins the tight recovery where the
+    # gap is wide.
+    # (a within-eigengap closeness bound was tried and dropped: on a
+    # near-flat spectrum the 24-step Rayleigh can also UNDERSHOOT
+    # true2 by more than the tiny gap — convergence shortfall, not
+    # deflation error — e.g. sf0.01: lam2 = true2 - 3.7e-4 with a
+    # 3.5e-4 gap. Tightness is pinned where it is provable: the
+    # spiked lake below.)
+    assert lam[2] <= true1 + 1e-9
+    assert lam[2] >= 0.5 * true2
+
+
+def test_pca2_spiked_two_directions(spark, tmp_path_factory):
+    """A corpus with TWO planted dominant directions must recover
+    both: |cos(v_k, planted_k)| > 0.99 and the eigenvalue order
+    matches the planted magnitudes (the deflation actually removes
+    direction 1 rather than re-finding it)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    d, n = 64, 400
+    u1 = np.zeros(d); u1[0] = 1.0
+    u2 = np.zeros(d); u2[1] = 1.0
+    X = (
+        rng.standard_normal((n, 1)) * 6.0 * u1
+        + rng.standard_normal((n, 1)) * 3.0 * u2
+        + rng.standard_normal((n, d)) * 0.05
+    ).astype(np.float32)
+    tmp = str(tmp_path_factory.mktemp("pca2_spiked"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(map(float, x)) for x in X], pa.list_(pa.float32())),
+                "label": pa.array([i % 3 for i in range(n)], pa.int32()),
+            }
+        ),
+        f"{tmp}/embeddings.parquet",
+    )
+    rows = STAGED["emb_pca_top2_deflation"].fn(spark, tmp).collect()
+    import numpy as np
+
+    v = {1: np.zeros(64), 2: np.zeros(64)}
+    lam = {}
+    for r in rows:
+        v[r.comp][r.dim] = r.loading_q / 1e9
+        lam[r.comp] = r.eigenvalue_q / 1e9
+    assert abs(v[1][0]) > 0.99 and abs(v[2][1]) > 0.99
+    assert abs(float(v[1] @ v[2])) < 1e-4  # fast convergence -> tight
+    assert lam[1] > lam[2] > 0
+
+
+def test_pca2_plan_shape(spark, sf_dir):
+    """Same scale contract as the registered parents: the covariance
+    exchange is the only corpus-sized shuffle, the recurrences are
+    1-row work behind repartition barriers, no cartesian of anything
+    corpus-sized, no Python."""
+    df = STAGED["emb_pca_top2_deflation"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "REPARTITION_BY_NUM" in plan  # the 1-row barriers
