@@ -247,9 +247,12 @@ def test_adc_codeword_cache_actually_hits(spark, sf_dir):
         f"expected 2 codeword cache reads, saw {len(codeword_reads)}:\n"
         + "\n".join(l.strip()[:100] for l in plan.splitlines() if "InMemoryTableScan" in l)
     )
-    # total cache reads stay pinned too (3 sub + 2 codewords + the
-    # codeword relation's stored build subtree rendering its sub scan)
-    assert plan.count("InMemoryTableScan") == 6
+    # total cache reads stay pinned too: the outer plan reads the
+    # CODES cache (r13 index-build slot) + the qdist sub scan + the
+    # qdist codeword broadcast, and the cached relations' stored
+    # build subtrees render their own nested scans (codes -> sub +
+    # codewords -> sub)
+    assert plan.count("InMemoryTableScan") == 8
 
 
 def test_kmv_plan_one_corpus_exchange(spark, sf_dir):
