@@ -39,61 +39,52 @@ PLAN_MODULES = [
 
 # The driver gate records exactly the first 50 registry entries, so
 # iteration order decides which entries get fresh driver evidence
-# each round. Round 13 window (executing the rotation drafted in
-# GATE_LOG "Round-13 rotation plan" and the r12 VERDICT tasks 1+3):
-# - q1_pricing_summary: the r12 deferral (last clean driver row r9;
-#   the freshness meta-test fired for exactly it once
-#   CORRECTNESS_r12 landed) — its deferral ends here;
-# - sim_ivf_pq_adc_search, dedup_clusters_cc: plans EDITED in r12
-#   after their last (r11) driver rows (adc persist slots,
-#   plans/staging_r11.py; CC adaptive shuffle width,
-#   plans/iterative.py) — output-neutral by design and green in the
-#   full local gate, but the project discipline is "plan edited →
-#   driver re-proof";
-# - the r13 promotions (first driver evidence):
-#   emb_dim_reduction_eval (the consolidation — its parents
-#   emb_matryoshka_truncate_eval FOLDED / standalone JL candidate
-#   deleted) and the PCA pair from staging_r12;
-# - the remaining 44 slots: the r10 cohort — every entry whose last
-#   clean driver row is round 10 (48 entries, minus the retired
-#   matryoshka parent and the three r13 FOLDs: plans/scale.py
-#   FOLDED) — which is exactly what falls out of the 3-round window
-#   when CORRECTNESS_r13 lands. 1+2+3+44 = 50: ZERO deferrals this
-#   round, so the freshness meta-test stays green across the
-#   r13→r14 boundary (the r12 VERDICT/ADVICE ask).
+# each round. Round 14 window (executing the rotation drafted in
+# GATE_LOG "Round-14 rotation plan" and the r13 VERDICT tasks 1+2):
+# - dedup_clusters_cc, dedup_purge_report, split_leakage_safe: the
+#   CC width-cap lift (plans/iterative.py, r14 first commit) edits
+#   connected_components, which sits inside all three entries'
+#   ledger closure — plan edited -> driver re-proof;
+# - sim_ivf_pq_residual_search: takes the index-reuse fix the adc
+#   search got at r13 (_reuse_or_swap over its residual codebook/
+#   codes frames + a fourth corpus-codes slot, plans/staging_r11.py,
+#   same r14 first commit) — plan edited -> driver re-proof;
+# - the remaining 46 slots: the r11 cohort — every entry whose last
+#   clean driver row is round 11 (48 at the r12 snapshot, minus
+#   sim_ivf_pq_adc_search and dedup_clusters_cc which were re-proven
+#   inside the r13 window; dedup_clusters_cc re-enters above as a
+#   fresh plan-edit re-proof, not as cohort). 4 + 46 = 50: ZERO
+#   deferrals again, and the ledger rounds partition the registry
+#   146 across r12/r13/r14 at the boundary.
 # NOTE (process): rotation only picks what the DRIVER re-checks;
 # every round must still pass the full-registry local gate
 # (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
 GATE_PRIORITY = [
-    # --- the r12 deferral (last driver evidence is round 9)
-    "q1_pricing_summary",
-    # --- r12 plan edits riding this window for driver re-proof
-    "sim_ivf_pq_adc_search", "dedup_clusters_cc",
-    # --- round-13 promotions (first driver evidence)
-    "emb_dim_reduction_eval",
-    "emb_pca_power_iteration", "emb_pca_project_scores",
-    # --- last driver evidence is round 10 (the 44 still registered)
-    "corpus_token_coverage", "customer_order_counts",
-    "customers_without_recent_orders", "decontam_ngram_overlap",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "distinct_segment_nation",
-    "emb_quantize_int8", "events_asof_view_before_purchase",
-    "events_daily_rollup_two_level", "events_forward_fill",
-    "events_json_extract", "events_lag_lead_delta",
-    "events_moving_avg_7", "events_outcome_scoring",
-    "events_rank_quartiles", "events_time_grid_3h",
-    "events_top3_winners", "events_user_window_agg",
-    "events_value_histogram", "events_window_function_suite",
-    "latest_events_limit", "orders_date_arithmetic",
-    "orders_pivot_status_by_priority", "part_string_functions",
-    "q12_linestatus_priority_split", "q14_promo_revenue",
-    "q18_large_volume_customers", "q19_bracketed_revenue",
-    "q2_cheapest_supplier_per_part", "q4_order_priority_check",
-    "rollup_revenue_by_nation_segment", "segments_intersect_except",
-    "sim_ann_lsh_hyperplane", "sim_knn_graph", "text_language_id",
-    "text_norm_pandas_udf", "text_quality_score",
-    "text_token_counts", "top_orders_per_customer",
-    "union_by_name_schema_drift", "urgent_order_lines_semi",
+    # --- r14 plan edits riding this window for driver re-proof
+    "dedup_clusters_cc", "dedup_purge_report", "split_leakage_safe",
+    "sim_ivf_pq_residual_search",
+    # --- last clean driver evidence is round 11 (the 46 still registered)
+    "cube_orders_priority_status", "dedup_incremental_minhash",
+    "dedup_minhash_estimator_quality", "dedup_semantic_clusters",
+    "dedup_semantic_purge", "docs_pack_sequences", "events_anomaly_zscore",
+    "events_column_profile", "events_distinct_users_hll",
+    "events_funnel_ordered", "events_grouping_sets_marginals",
+    "events_interval_overlap_join", "events_linear_interpolate",
+    "events_percentiles_approx_sketch", "events_retention_cohorts",
+    "events_session_window_native", "events_sessionize_batch",
+    "events_sliding_24h_range_window", "kmeans_embeddings",
+    "lake_bucketed_copartition_join", "orders_scd2_status_intervals",
+    "orders_status_transitions", "q10_returned_items_customers",
+    "q13_customer_order_distribution", "q16_supplier_part_relationships",
+    "q17_small_quantity_revenue", "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "q6_forecast_revenue_delta", "q7_volume_shipping",
+    "q9_product_type_profit", "sample_stratified_hash", "sim_ann_recall_eval",
+    "sim_incremental_ivf_insert", "sim_ivf_multiprobe", "sim_mmr_rerank",
+    "source_curation_report", "split_train_val_hash",
+    "stream_compaction_report", "stream_windowed_counts",
+    "text_fingerprint_winnow", "text_perplexity_proxy",
+    "text_repetition_ratio", "text_tfidf_topk", "text_token_rarity",
 ]
 
 

@@ -183,12 +183,16 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_EDGES_PER_PARTITION = 8_000_000
 
 
-def _cc_shuffle_width(n_edges: int, session_width: int, narrow: int) -> int:
+def _cc_shuffle_width(n_edges: int, narrow: int) -> int:
     """Width for the per-round propagation shuffles: at least
-    ``narrow`` (the small-graph floor), scaled up by the edge budget,
-    never wider than the session setting."""
+    ``narrow`` (the small-graph floor), scaled up by the edge budget
+    with NO session-width cap (r12 VERDICT task 5): the x200mut
+    robustness point logged GCLocker retry warnings at 27M
+    edges/task under the session-capped width — the per-task edge
+    budget, not the core count, is the binding constraint, and
+    partitions beyond the core count just queue."""
     need = -(-n_edges // CC_EDGES_PER_PARTITION)  # ceil div
-    return min(session_width, max(narrow, need))
+    return max(narrow, need)
 
 
 def connected_components(
@@ -239,14 +243,18 @@ def connected_components(
         ).persist()
         n_edges = both.count()
         if shuffle_partitions is not None:
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(_cc_shuffle_width(n_edges, int(prev_parts), shuffle_partitions)),
-            )
-            # AQE's per-stage barriers and re-planning are pure overhead on
-            # a dozen tiny label-propagation rounds (measured 7s -> 16s
-            # with AQE on); statically planned small shuffles win here
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            width = _cc_shuffle_width(n_edges, shuffle_partitions)
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            if width < int(prev_parts):
+                # narrow small-graph rounds only: AQE's per-stage
+                # barriers and re-planning are pure overhead on a
+                # dozen tiny label-propagation rounds (measured
+                # 7s -> 16s with AQE on). That measurement does NOT
+                # cover dense graphs, so AQE keeps the session
+                # setting when the computed width reaches the session
+                # width — exactly where a giant skewed component
+                # makes AQE's skew-join splitting matter (r12 ADVICE).
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
         nodes = both.select(F.col("src").alias("node")).distinct()
         labels = nodes.select("node", F.col("node").alias("component")).persist()
         labels.count()

@@ -108,6 +108,31 @@ def _reuse_or_swap(slot: list[DataFrame], frame: DataFrame) -> DataFrame:
     return _swap_persisted(slot, frame)
 
 
+def reset_search_index_slots() -> None:
+    """Drop every IVFPQ index slot (adc + residual), forcing the next
+    invocation to pay the full index BUILD (codeword training + corpus
+    code assignment). Benchmark hook: tools/bench_scale.py calls this
+    to record the cold build-inclusive wall beside each repeated-run
+    point, so the reuse lifecycle can never hide the build cost from
+    the scale curve (r13 VERDICT: "the cold number must keep
+    travelling with the curve")."""
+    for slot in (
+        _ADC_SUB_PERSISTED,
+        _ADC_CODEWORDS_PERSISTED,
+        _ADC_CODES_PERSISTED,
+        _RESID_CVECS_PERSISTED,
+        _RESID_RSUB_PERSISTED,
+        _RESID_CODEWORDS_PERSISTED,
+        _RESID_CODES_PERSISTED,
+    ):
+        for frame in slot:
+            try:
+                frame.unpersist()
+            except Exception:  # noqa: BLE001 - stopped-session py4j errors
+                pass
+        slot.clear()
+
+
 # --- sim_ivf_pq_adc_search ----------------------------------------------
 
 # Persisted frames of the LAST invocation (graph_eval lifecycle): the
@@ -528,6 +553,7 @@ RESID_CODES = 4
 _RESID_CVECS_PERSISTED: list[DataFrame] = []
 _RESID_RSUB_PERSISTED: list[DataFrame] = []
 _RESID_CODEWORDS_PERSISTED: list[DataFrame] = []
+_RESID_CODES_PERSISTED: list[DataFrame] = []
 
 _SQL_RESID_SUBS = f"""
     resid AS (
@@ -662,14 +688,14 @@ def sim_ivf_pq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw wall, is the comparable number across box drift). Curve:
     2.66x (x20) -> 1.71x (x100) -> 1.55x (x200)."""
     emb = _embeddings(spark, sf_dir)
-    cvecs = _swap_persisted(_RESID_CVECS_PERSISTED, _centroid_vectors(emb))
+    cvecs = _reuse_or_swap(_RESID_CVECS_PERSISTED, _centroid_vectors(emb))
     resid = emb.join(F.broadcast(cvecs), "label").select(
         "vec_id",
         "label",
         (F.col("vec_id") % RESID_CODES).alias("ckey"),
         F.zip_with("emb", "cvec", lambda x, c: x - c).alias("emb"),
     )
-    rsub = _swap_persisted(
+    rsub = _reuse_or_swap(
         _RESID_RSUB_PERSISTED,
         _pq_subvectors(resid).withColumn("ckey", F.col("vec_id") % RESID_CODES),
     )
@@ -681,7 +707,7 @@ def sim_ivf_pq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("cval")
     )
-    rcodewords = _swap_persisted(
+    rcodewords = _reuse_or_swap(
         _RESID_CODEWORDS_PERSISTED,
         rcodebook.groupBy("s", "code").agg(
             F.transform(
@@ -698,10 +724,11 @@ def sim_ivf_pq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sqdist(F.col("svec"), F.col("cw")).alias("d"),
     )
     rw = Window.partitionBy("vec_id", "s").orderBy("d", "code")
-    codes = (
+    codes = _reuse_or_swap(
+        _RESID_CODES_PERSISTED,
         rdists.withColumn("rn", F.row_number().over(rw))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "s", "code")
+        .select("vec_id", "label", "s", "code"),
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -264,25 +264,29 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
 
 def test_cc_shuffle_width_scales_with_edges():
     """The per-round shuffle width: narrow floor for small candidate
-    graphs, edge-budget-scaled for dense ones, never above the
-    session width (the r12 GCLocker hazard — 53M-edge partitions
-    built ~2 GB join maps that starved the JVM allocator even under
-    a 48 GB heap; see plans/iterative.py CC_EDGES_PER_PARTITION)."""
+    graphs, edge-budget-scaled for dense ones with NO session-width
+    cap (r12 VERDICT task 5: the capped width put 27M edges/task at
+    x200mut and tripped GCLocker allocation retries — the per-task
+    edge budget, not the core count, is the binding constraint; the
+    uncapped 150-partition run beat the capped 32-partition run by
+    19% with zero allocator warnings)."""
     from noaa_data_pipeline_spark.plans.iterative import (
         CC_EDGES_PER_PARTITION,
         _cc_shuffle_width,
     )
 
     # small graphs keep the narrow floor
-    assert _cc_shuffle_width(10, 32, 8) == 8
-    assert _cc_shuffle_width(CC_EDGES_PER_PARTITION, 32, 8) == 8
+    assert _cc_shuffle_width(10, 8) == 8
+    assert _cc_shuffle_width(CC_EDGES_PER_PARTITION, 8) == 8
     # dense graphs widen by the budget...
-    assert _cc_shuffle_width(20 * CC_EDGES_PER_PARTITION, 32, 8) == 20
-    # ...capped at the session width (the x100mut case: 425M edges
-    # want 54 partitions, session gives 32)
-    assert _cc_shuffle_width(425_000_000, 32, 8) == 32
-    # a session narrower than the floor wins outright
-    assert _cc_shuffle_width(10, 4, 8) == 4
+    assert _cc_shuffle_width(20 * CC_EDGES_PER_PARTITION, 8) == 20
+    # ...past the session width (the x100mut case: 425M edges get
+    # their 54 partitions even on a 32-thread session — extra
+    # partitions queue, but each task's join map stays inside the
+    # edge budget)
+    assert _cc_shuffle_width(425_000_000, 8) == 54
+    # the x200mut density tier that motivated the lift
+    assert _cc_shuffle_width(1_200_000_000, 8) == 150
 
 
 def test_connected_components_restores_session_conf(spark):

@@ -180,3 +180,68 @@ def test_gate_priority_covers_all_unchecked_entries():
     assert not missing, f"add to GATE_PRIORITY: {sorted(missing)}"
     # and the priority list itself stays within the observed window
     assert len(GATE_PRIORITY) <= 50
+
+
+def test_shared_helper_edits_require_dated_full_gate():
+    """r13 VERDICT task 5: plans/common.py / operators/textops.py /
+    tables.py sit OUTSIDE every entry's per-plan digest closure by
+    design (an edit there touches ~every entry — no 50-slot driver
+    window can re-prove it; the full-registry local gate is the
+    backstop). This makes the backstop mechanical: the ledger holds a
+    repo-level content hash of those files plus a DATED note naming
+    the full-gate run that covered the last drift. Any edit to a
+    shared helper fails here until
+    `update_plan_ledger.py --shared-gate "<date> <gate run>"` lands
+    in the same commit — which the tool only accepts alongside a
+    recomputed digest, so the note and the drift travel together."""
+    import re
+
+    from tools.plan_ledger import (
+        SHARED_KEY,
+        load_ledger,
+        shared_modules_digest,
+    )
+
+    rec = load_ledger().get(SHARED_KEY)
+    assert rec, (
+        "shared-modules ledger record missing — run "
+        "tools/update_plan_ledger.py --shared-gate '<dated note>'"
+    )
+    assert rec["digest"] == shared_modules_digest(), (
+        "shared helper modules changed since the recorded full-gate "
+        "run — rerun tools/check_correctness.py over the FULL registry "
+        "and record it: update_plan_ledger.py --shared-gate "
+        "'<ISO date> <gate result>' in the same commit"
+    )
+    assert re.match(r"^\d{4}-\d{2}-\d{2}\s+\S", rec.get("full_gate", "")), (
+        "shared-gate note must lead with an ISO date and describe the "
+        f"full-gate run; got: {rec.get('full_gate')!r}"
+    )
+
+
+def test_shared_modules_digest_sees_content_edits(tmp_path, monkeypatch):
+    """The repo-level hash is content- and file-identity-sensitive:
+    editing any byte of any shared module, or re-pointing the module
+    list, changes it (the synthetic-edit proof the per-plan digest has
+    in test_plan_digest_sees_helper_and_constant_edits)."""
+    import tools.plan_ledger as pl
+
+    a = tmp_path / "noaa_data_pipeline_spark"
+    a.mkdir()
+    (a / "x.py").write_text("WIDTH = 8\n")
+    (a / "y.py").write_text("def f():\n    return 1\n")
+    monkeypatch.setattr(pl, "SHARED_MODULES", ("noaa_data_pipeline_spark/x.py",))
+    d0 = pl.shared_modules_digest(repo=tmp_path)
+    assert pl.shared_modules_digest(repo=tmp_path) == d0  # stable
+    (a / "x.py").write_text("WIDTH = 16\n")
+    assert pl.shared_modules_digest(repo=tmp_path) != d0, (
+        "content edit invisible to the hash"
+    )
+    monkeypatch.setattr(
+        pl,
+        "SHARED_MODULES",
+        ("noaa_data_pipeline_spark/x.py", "noaa_data_pipeline_spark/y.py"),
+    )
+    assert pl.shared_modules_digest(repo=tmp_path) != d0, (
+        "module-list change invisible"
+    )

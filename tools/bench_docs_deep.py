@@ -64,12 +64,18 @@ def build(replicas: int) -> str:
             """
         )
         con.close()
+        # publish via link(2), NOT rename(2): on POSIX os.rename
+        # silently REPLACES an existing destination, so a concurrent
+        # builder's complete file would be overwritten (last writer
+        # wins) and the lost-race branch would be dead code (r13
+        # ADVICE). link fails with EEXIST when a winner already
+        # published, which is the semantics the comment always claimed.
         try:
-            os.rename(tmp, dst)
-        except OSError:
-            # lost a publish race to a concurrent builder: keep the
-            # winner's complete file, drop ours
-            os.remove(tmp)
+            os.link(tmp, dst)
+        except FileExistsError:
+            # lost the publish race: the winner's complete file stays
+            pass
+        os.remove(tmp)
     return out
 
 

@@ -67,6 +67,15 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 # corpora, mislabeling the bytes/sec feeding the 100 TB extrapolation)
 THROUGHPUT_BYTES = {"bpe_encode_docs": ("documents", "octet_length(encode(text))")}
 
+# Entries whose timed (warm) pass runs against a reused in-session
+# index (_reuse_or_swap slots in plans/staging_r11.py — the faiss
+# add-once/search-many contract). For these the repeated-run number
+# alone would hide the index BUILD cost, so each scale point also
+# records spark_cold_sec: one build-inclusive run after dropping the
+# slots (r13 VERDICT: no repeated-run-only ratios in the IVFPQ
+# family).
+INDEX_REUSE_ENTRIES = {"sim_ivf_pq_adc_search", "sim_ivf_pq_residual_search"}
+
 
 # Per-replica duplicate rate of the MUTATING replicator (--mutate-dups):
 # a replicated document keeps its base text with this probability and
@@ -287,6 +296,21 @@ def main() -> None:
         }
         if duck_err is not None:
             results[row_name]["duckdb_error"] = duck_err
+        if name in INDEX_REUSE_ENTRIES:
+            # build-inclusive wall: drop the reuse slots so the next
+            # run pays codeword training + corpus code assignment,
+            # the cost a production ingest batch pays once
+            from noaa_data_pipeline_spark.plans.staging_r11 import (
+                reset_search_index_slots,
+            )
+
+            reset_search_index_slots()
+            t0 = time.perf_counter()
+            run_spark()
+            cold_s = round(time.perf_counter() - t0, 3)
+            results[row_name]["spark_cold_sec"] = cold_s
+            if duck_s:
+                results[row_name]["cold_ratio"] = round(cold_s / duck_s, 2)
         if name in THROUGHPUT_BYTES:
             # tokenizer-cost point for the 100 TB story: corpus bytes
             # per second of the BEST timed pass (same protocol as the

@@ -84,16 +84,34 @@ def _module_assignments(mod) -> dict[str, str]:
 
 def _referenced_names(fn) -> set[str]:
     """Every global name the function's code (and nested lambdas /
-    inner defs / comprehensions) references."""
+    inner defs / comprehensions) references, plus its free variables
+    (r13 ADVICE: a same-module helper reached through a closure cell
+    appears in co_freevars, not co_names — without this walk it would
+    escape the digest closure)."""
     names: set[str] = set()
     codes = [fn.__code__]
     while codes:
         c = codes.pop()
         names.update(c.co_names)
+        names.update(c.co_freevars)
         for const in c.co_consts:
             if isinstance(const, types.CodeType):
                 codes.append(const)
     return names
+
+
+def _closure_functions(fn):
+    """Functions captured in ``fn``'s closure cells (same-module
+    helpers bound as freevars rather than globals)."""
+    out = []
+    for cell in fn.__closure__ or ():
+        try:
+            val = cell.cell_contents
+        except ValueError:  # empty cell
+            continue
+        if isinstance(val, types.FunctionType):
+            out.append(val)
+    return out
 
 
 def plan_source_digest(fn) -> str:
@@ -107,7 +125,10 @@ def plan_source_digest(fn) -> str:
     consts: dict[str, str] = {}
     while stack:
         f = stack.pop()
-        key = (f.__module__, f.__qualname__)
+        # key includes firstlineno (r13 ADVICE: two module-level
+        # assigned lambdas are both qualnamed '<lambda>' — a
+        # name-only key would silently drop the second one's source)
+        key = (f.__module__, f.__qualname__, f.__code__.co_firstlineno)
         if key in seen:
             continue
         seen.add(key)
@@ -118,6 +139,9 @@ def plan_source_digest(fn) -> str:
             # contribute its qualname so at least identity changes show
             parts.append(f"<nosource:{f.__module__}.{f.__qualname__}>")
             continue
+        for g in _closure_functions(f):
+            if g.__module__ == fn.__module__:
+                stack.append(g)
         if mod is None:
             continue
         for name in sorted(_referenced_names(f)):
@@ -131,6 +155,38 @@ def plan_source_digest(fn) -> str:
     h = hashlib.sha256()
     for p in parts:
         h.update(p.encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+# Cross-module helpers shared by ~every entry (plans/common.py dsum /
+# exact_agg / prefer_broadcast, the text operators, the table loader).
+# They are DELIBERATELY outside every entry's per-plan digest closure:
+# an edit touches ~all 146 entries at once, which no 50-slot driver
+# window could re-prove — the full-registry local gate is the backstop.
+# r13 VERDICT task 5 makes that backstop mechanical: the ledger holds a
+# repo-level record of these files' content hash, and the meta-test
+# fails on drift until a DATED full-gate record lands in the same
+# commit (tools/update_plan_ledger.py --shared-gate "...").
+SHARED_KEY = "__shared_modules__"
+SHARED_MODULES = (
+    "noaa_data_pipeline_spark/plans/common.py",
+    "noaa_data_pipeline_spark/operators/textops.py",
+    "noaa_data_pipeline_spark/tables.py",
+)
+
+
+def shared_modules_digest(repo: Path | None = None) -> str:
+    """sha256 (16 hex chars) over the raw bytes of the shared helper
+    modules, order-pinned by SHARED_MODULES. ``repo`` overrides the
+    root for synthetic-edit tests."""
+    if repo is None:
+        repo = Path(__file__).resolve().parent.parent
+    h = hashlib.sha256()
+    for rel in SHARED_MODULES:
+        h.update(rel.encode())
+        h.update(b"\x00")
+        h.update((repo / rel).read_bytes())
         h.update(b"\x00")
     return h.hexdigest()[:16]
 

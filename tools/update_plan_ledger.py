@@ -3,20 +3,38 @@
 Usage:
   python tools/update_plan_ledger.py --round N [name ...]
 
-Updates the digest (and driver-round attribution) of the named
-entries — default: every entry currently in GATE_PRIORITY, which is
-exactly the set the round-N driver window will (re-)prove — and
-prunes records of entries no longer in the registry (retired/folded).
-Run it in the rotation commit and again at the end-of-round snapshot
-if late plan edits landed (the meta-test in
-tests/test_registry_oracle.py goes red otherwise, which is the
-point).
+Updates the digest of the named entries — default: every entry
+currently in GATE_PRIORITY, which is exactly the set the round-N
+driver window will (re-)prove — and prunes records of entries no
+longer in the registry (retired/folded). Run it in the rotation
+commit and again at the end-of-round snapshot if late plan edits
+landed (the meta-test in tests/test_registry_oracle.py goes red
+otherwise, which is the point).
+
+Round attribution (r13 ADVICE): each record carries TWO fields —
+``round`` is the last round whose CORRECTNESS_r*.json holds a CLEAN
+driver row for the entry (evidence that exists), ``queued_round`` is
+the window the rotation queued it into (evidence that is scheduled).
+The rotation-time refresh can therefore never overstate proof: an
+entry queued at r14 shows round=<last proven> / queued_round=14 until
+CORRECTNESS_r14 actually lands, at which point the next refresh (or
+the judge reading the history directly) sees round=14. Entries with
+no history at all (first-evidence promotions) get round=null.
 
   python tools/update_plan_ledger.py --round N --baseline
 
 rebuilds the whole ledger from the current source tree (used once at
-r13 to seed it; entries outside the current GATE_PRIORITY inherit
-their last clean driver round from the CORRECTNESS_r*.json history).
+r13 to seed it).
+
+  python tools/update_plan_ledger.py --round N --shared-gate "NOTE"
+
+refreshes the repo-level shared-modules record (plans/common.py,
+operators/textops.py, tables.py — see plan_ledger.SHARED_MODULES).
+NOTE must lead with an ISO date and name the full-registry gate run
+that covered the drift (e.g. "2026-08-16 full local gate 146/146
+sf0.01 post common.py edit"); the meta-test rejects undated notes,
+so a shared-helper edit cannot merge without a dated full-gate record
+in the same commit.
 """
 
 from __future__ import annotations
@@ -30,8 +48,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from noaa_data_pipeline_spark.plans import GATE_PRIORITY, load_all  # noqa: E402
 from tools.plan_ledger import (  # noqa: E402
     LEDGER_PATH,
+    SHARED_KEY,
     plan_source_digest,
     save_ledger,
+    shared_modules_digest,
 )
 
 
@@ -55,28 +75,36 @@ def _last_clean_rounds() -> dict[str, int]:
 def main() -> int:
     args = sys.argv[1:]
     if "--round" not in args:
-        raise SystemExit("usage: update_plan_ledger.py --round N [--baseline] [name ...]")
+        raise SystemExit(
+            "usage: update_plan_ledger.py --round N [--baseline] "
+            '[--shared-gate "DATED NOTE"] [name ...]'
+        )
     rnd = int(args[args.index("--round") + 1])
     baseline = "--baseline" in args
+    shared_note = None
+    if "--shared-gate" in args:
+        shared_note = args[args.index("--shared-gate") + 1]
     names = [
         a
         for i, a in enumerate(args)
-        if not a.startswith("--") and args[i - 1] != "--round"
+        if not a.startswith("--")
+        and args[i - 1] not in ("--round", "--shared-gate")
     ]
 
     registry = load_all()
     ledger = {}
     if LEDGER_PATH.exists():
         ledger = json.load(open(LEDGER_PATH))
-    # prune retired/folded entries
-    ledger = {k: v for k, v in ledger.items() if k in registry}
+    # prune retired/folded entries (the repo-level shared record stays)
+    ledger = {k: v for k, v in ledger.items() if k in registry or k == SHARED_KEY}
 
+    history = _last_clean_rounds()
     if baseline:
-        history = _last_clean_rounds()
         for name, q in registry.items():
             ledger[name] = {
                 "digest": plan_source_digest(q.fn),
-                "round": rnd if name in GATE_PRIORITY else history.get(name, rnd),
+                "round": history.get(name),
+                "queued_round": rnd if name in GATE_PRIORITY else None,
             }
     else:
         targets = names or list(GATE_PRIORITY)
@@ -86,8 +114,15 @@ def main() -> int:
         for name in targets:
             ledger[name] = {
                 "digest": plan_source_digest(registry[name].fn),
-                "round": rnd,
+                "round": history.get(name),
+                "queued_round": rnd,
             }
+
+    if shared_note is not None:
+        ledger[SHARED_KEY] = {
+            "digest": shared_modules_digest(),
+            "full_gate": shared_note,
+        }
 
     save_ledger(ledger)
     print(f"ledger: {len(ledger)} entries -> {LEDGER_PATH}")
