@@ -424,3 +424,244 @@ def emb_pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return comp_rows(1, "v1", "lam1").unionByName(comp_rows(2, "v2", "lam2"))
+
+
+# --- sim_ivf_pq_adc_prebuilt (index-as-data experiment, r14) --------------
+
+# The r13 _reuse_or_swap lifecycle amortizes the PQ index build
+# (codeword training + corpus code assignment — ~27 s of the adc
+# entry's 27.3 s x500 wall) across invocations WITHIN a session. This
+# experiment takes the design to its production conclusion (the r13
+# VERDICT task-6 suggestion): materialize the index AS LAKE TABLES —
+# centroids, codewords, and the corpus codes written as parquet by an
+# explicit build step — so even a COLD session pays only the search.
+# faiss writes its index to disk for exactly this reason; in Spark the
+# natural encoding is "the index is data":
+#
+# - codes are written PARTITIONED BY label (the IVF cell): the
+#   inverted-list file layout. The probed-cell restriction then
+#   becomes storage-level partition pruning — a query that probes 2 of
+#   k cells never reads the other cells' files at all, which at 100 TB
+#   is the difference between scanning the corpus-codes table and
+#   scanning nprobe/k of it. (In-session the same restriction is a
+#   broadcast semi-filter AFTER the scan.)
+# - codewords / centroids are kilobyte tables; they broadcast.
+#
+# Build cost is paid once per ingest batch (the faiss add() contract),
+# publish is atomic (staging dir + rename, the bucketed-layout
+# protocol), and the tag fingerprints the embeddings file so a
+# regenerated lake can never serve a stale index.
+_PQ_INDEX_ROOT = "/tmp/noaa_spark_pq_index"
+
+
+def _pq_index_tag(sf_dir: str) -> str:
+    """Lake-content cache key: basename + hash of (full path, file
+    count, total bytes, max mtime) of the embeddings parquet — the
+    _bucket_tag recipe (plans/scale.py) applied to this index's one
+    source table."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+    import re as _re
+
+    base = _re.sub(r"[^a-z0-9]+", "_", sf_dir.strip("/").split("/")[-1].lower())
+    n_files, total, mtime = 0, 0, 0.0
+    for p in _glob.glob(_os.path.join(sf_dir, "embeddings*")):
+        paths = (
+            [
+                q
+                for q in _glob.glob(_os.path.join(p, "**", "*"), recursive=True)
+                if _os.path.isfile(q)
+            ]
+            if _os.path.isdir(p)
+            else [p]
+        )
+        for q in paths:
+            st = _os.stat(q)
+            n_files += 1
+            total += st.st_size
+            mtime = max(mtime, st.st_mtime)
+    fp = _hashlib.sha256(
+        f"{_os.path.abspath(sf_dir)}|{n_files}|{total}|{mtime}".encode()
+    ).hexdigest()[:12]
+    return f"{base}_{fp}"
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Explicit PQ index BUILD step: train codewords, assign corpus
+    codes, and publish {centroids, codewords, codes} as parquet under
+    a content-fingerprinted directory. Idempotent attach: if the tag
+    is already published, returns immediately without a job. The
+    build persists the subvector explode (three consumers) for the
+    duration of the write and unpersists after — the one-time ingest
+    cost the prebuilt search amortizes across sessions."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from .similarity import (
+        _centroid_vectors,
+        _embeddings,
+        _pq_best_codes,
+        _pq_codewords,
+        _pq_subvectors,
+    )
+
+    tag = _pq_index_tag(sf_dir)
+    final = _os.path.join(_PQ_INDEX_ROOT, tag)
+    manifest = _os.path.join(final, "manifest.json")
+    if _os.path.exists(manifest):
+        return final
+    staging = _os.path.join(_PQ_INDEX_ROOT, f".build_{tag}_{_os.getpid()}")
+    _shutil.rmtree(staging, ignore_errors=True)
+    _os.makedirs(staging, exist_ok=True)
+    emb = _embeddings(spark, sf_dir)
+    sub = _pq_subvectors(emb).persist()
+    codewords = _pq_codewords(sub).persist()
+    try:
+        _centroid_vectors(emb).write.parquet(_os.path.join(staging, "centroids"))
+        codewords.write.parquet(_os.path.join(staging, "codewords"))
+        # inverted-list layout: one partition dir per IVF cell, so the
+        # probed-cell join prunes at the file level (see module note)
+        (
+            _pq_best_codes(sub)
+            .select("vec_id", "s", "code", "label")
+            .write.partitionBy("label")
+            .parquet(_os.path.join(staging, "codes"))
+        )
+        with open(_os.path.join(staging, "manifest.json"), "w") as fh:
+            _json.dump({"sf_dir": _os.path.abspath(sf_dir), "tag": tag}, fh)
+        try:
+            _os.rename(staging, final)
+        except OSError:
+            # lost the publish race to a concurrent builder: keep the
+            # winner's complete index (rename onto an existing
+            # non-empty dir fails on POSIX — unlike file renames, so
+            # link(2) is not needed here)
+            _shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        sub.unpersist()
+        codewords.unpersist()
+    return final
+
+
+# Attached index frames, keyed by (applicationId, published dir):
+# re-attaching the same static index on every construction would
+# re-read the parquet footers (three driver jobs per call — the
+# laziness test catches it); the published dir is immutable once the
+# manifest exists, so the DataFrames are safely reusable for the
+# session's lifetime. Bounded: one published dir per lake fingerprint.
+_PQ_ATTACH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _attach_pq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    import os as _os
+
+    idx = build_pq_index(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, idx)
+    cached = _PQ_ATTACH_CACHE.get(key)
+    if cached is None:
+        cached = (
+            spark.read.parquet(_os.path.join(idx, "codes")),
+            spark.read.parquet(_os.path.join(idx, "codewords")),
+            spark.read.parquet(_os.path.join(idx, "centroids")),
+        )
+        _PQ_ATTACH_CACHE[key] = cached
+    return cached
+
+
+@stage(
+    "sim_ivf_pq_adc_prebuilt",
+    oracle=None,  # set below: byte-for-byte the registered adc oracle
+)
+def sim_ivf_pq_adc_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_pq_adc_search semantics over the MATERIALIZED index:
+    reads centroids/codewords/codes from the published parquet index
+    (building it first if absent) and runs only the search — probe
+    ranking, query ADC tables, the probed-cell candidate scan, top-k.
+    Output is bit-identical to the in-session entry (doubles
+    round-trip parquet exactly; the code/cell integers trivially so),
+    so it shares that entry's DuckDB oracle verbatim.
+
+    Scale story vs the in-session entry: identical search plan, but
+    the candidate scan reads the inverted-list layout, so the
+    probed-cell restriction prunes unread cells at the FILE level and
+    a cold session pays index-scan-not-index-build. Numbers in
+    GATE_LOG (r14 index-as-data comparison)."""
+    from .similarity import (
+        NPROBE,
+        N_QUERIES,
+        TOP_K,
+        _embeddings,
+        _pq_subvectors,
+        _sqdist,
+        _sqdist_dbl,
+    )
+    from pyspark.sql import Window
+
+    codes, codewords, cvecs = _attach_pq_index(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+    )
+    cellrank = q.crossJoin(F.broadcast(cvecs)).select(
+        "query_id",
+        F.col("label").alias("cell"),
+        _sqdist_dbl(F.col("q_emb"), F.col("cvec")).alias("d2"),
+    )
+    cw = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        cellrank.withColumn("crnk", F.row_number().over(cw))
+        .filter(F.col("crnk") <= NPROBE)
+        .select("query_id", "cell")
+    )
+    qdist = (
+        _pq_subvectors(emb.filter(F.col("vec_id") < N_QUERIES))
+        .join(F.broadcast(codewords), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "code",
+            _sqdist(F.col("svec"), F.col("cw")).alias("qd"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(probes), codes.label == F.col("cell"))
+        .join(F.broadcast(qdist), ["query_id", "s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("approx_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("approx_d").cast("string").cast("double").alias("approx_dist_sq"),
+            "rnk",
+        )
+    )
+
+
+def _adopt_adc_oracle() -> None:
+    """The prebuilt search answers the registered adc entry's oracle
+    byte-for-byte (same semantics, same ranking hops); adopting it
+    lazily avoids an import cycle with the registry."""
+    from . import REGISTRY
+    from . import staging_r11 as _s11  # noqa: F401 - ensures registration
+
+    q = STAGED["sim_ivf_pq_adc_prebuilt"]
+    STAGED["sim_ivf_pq_adc_prebuilt"] = Query(
+        name=q.name,
+        fn=q.fn,
+        oracle=REGISTRY["sim_ivf_pq_adc_search"].oracle,
+        doc=q.doc,
+    )
+
+
+_adopt_adc_oracle()

@@ -388,3 +388,32 @@ def test_pca2_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
     assert "REPARTITION_BY_NUM" in plan  # the 1-row barriers
+
+
+def test_prebuilt_adc_identical_to_parent_and_prunes_cells(spark, sf_dir):
+    """Index-as-data contract (r13 VERDICT task 6): the prebuilt
+    search must return the registered in-session entry's rows
+    bit-identically (doubles round-trip parquet exactly), and its
+    candidate scan must read the inverted-list layout with the
+    probed-cell restriction pushed to STORAGE — dynamic partition
+    pruning on the label partition column, so unprobed cells' files
+    are never read. In-session the same restriction is a broadcast
+    semi-filter after the scan; file-level pruning is what the
+    materialized layout buys."""
+    from noaa_data_pipeline_spark.plans import load_all
+
+    q = STAGED["sim_ivf_pq_adc_prebuilt"]
+    df = q.fn(spark, sf_dir)
+    parent = load_all()["sim_ivf_pq_adc_search"].fn(spark, sf_dir)
+    sh, _ = frame_digest(df.columns, [tuple(r) for r in df.collect()])
+    ph, _ = frame_digest(parent.columns, [tuple(r) for r in parent.collect()])
+    assert sh == ph, "prebuilt search diverged from the in-session entry"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "probed-cell restriction not pushed to partition pruning:\n"
+        + "\n".join(
+            l.strip()[:140] for l in plan.splitlines() if "FileScan" in l
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
