@@ -220,9 +220,11 @@ def connected_components(
     ``shuffle_partitions`` is the NARROW FLOOR for the per-round
     shuffles on small candidate graphs (a dozen multi-stage rounds at
     the session's full width is pure scheduling overhead); the actual
-    round width scales with the materialized edge count
-    (_cc_shuffle_width: ~{CC_EDGES_PER_PARTITION} edges per
-    partition, capped at the session setting) so dense graphs keep
+    round width scales with the materialized edge count with NO
+    session-width cap (_cc_shuffle_width: ~{CC_EDGES_PER_PARTITION}
+    edges per partition — r12 VERDICT task 5: the per-task edge
+    budget, not the core count, is the binding constraint, and
+    partitions beyond the core count just queue) so dense graphs keep
     bounded per-task join maps — see the GCLocker hazard note above.
     Pass None on a real cluster to inherit the session setting."""
     spark = edges.sparkSession

@@ -452,6 +452,10 @@ def emb_pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # protocol), and the tag fingerprints the embeddings file so a
 # regenerated lake can never serve a stale index.
 _PQ_INDEX_ROOT = "/tmp/noaa_spark_pq_index"
+# bumped whenever the published layout gains/changes tables (v2 added
+# the residual codebook + residual codes); part of the tag, so stale
+# layouts are simply orphaned, never half-read
+_PQ_INDEX_VERSION = 2
 
 
 def _pq_index_tag(sf_dir: str) -> str:
@@ -482,7 +486,8 @@ def _pq_index_tag(sf_dir: str) -> str:
             total += st.st_size
             mtime = max(mtime, st.st_mtime)
     fp = _hashlib.sha256(
-        f"{_os.path.abspath(sf_dir)}|{n_files}|{total}|{mtime}".encode()
+        f"{_os.path.abspath(sf_dir)}|{n_files}|{total}|{mtime}"
+        f"|v{_PQ_INDEX_VERSION}".encode()
     ).hexdigest()[:12]
     return f"{base}_{fp}"
 
@@ -499,13 +504,18 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
     import shutil as _shutil
 
+    from pyspark.sql import Window as _Window
+
     from .similarity import (
+        _DEC,
         _centroid_vectors,
         _embeddings,
         _pq_best_codes,
         _pq_codewords,
         _pq_subvectors,
+        _sqdist,
     )
+    from .staging_r11 import RESID_CODES
 
     tag = _pq_index_tag(sf_dir)
     final = _os.path.join(_PQ_INDEX_ROOT, tag)
@@ -518,9 +528,51 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
     emb = _embeddings(spark, sf_dir)
     sub = _pq_subvectors(emb).persist()
     codewords = _pq_codewords(sub).persist()
+    cvecs = _centroid_vectors(emb).persist()
+    # residual half (v2): the same expression construction as the
+    # registered sim_ivf_pq_residual_search index frames, so the
+    # parquet round-trip stays bit-identical to the in-session entry
+    resid = emb.join(F.broadcast(cvecs), "label").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % RESID_CODES).alias("ckey"),
+        F.zip_with("emb", "cvec", lambda x, c: x - c).alias("emb"),
+    )
+    rsub = (
+        _pq_subvectors(resid)
+        .withColumn("ckey", F.col("vec_id") % RESID_CODES)
+        .persist()
+    )
+    rcomps = rsub.select("s", "ckey", F.posexplode("svec").alias("dim", "val"))
+    rcodebook = rcomps.groupBy("s", F.col("ckey").alias("code"), "dim").agg(
+        (
+            F.sum(F.col("val").cast(_DEC)).cast("string").cast("double")
+            / F.count("*")
+        ).alias("cval")
+    )
+    rcodewords = rcodebook.groupBy("s", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda st: st["cval"],
+        ).alias("cw")
+    ).persist()
+    rdists = rsub.join(F.broadcast(rcodewords), "s").select(
+        "vec_id",
+        "label",
+        "s",
+        "code",
+        _sqdist(F.col("svec"), F.col("cw")).alias("d"),
+    )
+    rw = _Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    rcodes = (
+        rdists.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code", "label")
+    )
     try:
-        _centroid_vectors(emb).write.parquet(_os.path.join(staging, "centroids"))
+        cvecs.write.parquet(_os.path.join(staging, "centroids"))
         codewords.write.parquet(_os.path.join(staging, "codewords"))
+        rcodewords.write.parquet(_os.path.join(staging, "resid_codewords"))
         # inverted-list layout: one partition dir per IVF cell, so the
         # probed-cell join prunes at the file level (see module note)
         (
@@ -529,8 +581,18 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
             .write.partitionBy("label")
             .parquet(_os.path.join(staging, "codes"))
         )
+        rcodes.write.partitionBy("label").parquet(
+            _os.path.join(staging, "resid_codes")
+        )
         with open(_os.path.join(staging, "manifest.json"), "w") as fh:
-            _json.dump({"sf_dir": _os.path.abspath(sf_dir), "tag": tag}, fh)
+            _json.dump(
+                {
+                    "sf_dir": _os.path.abspath(sf_dir),
+                    "tag": tag,
+                    "version": _PQ_INDEX_VERSION,
+                },
+                fh,
+            )
         try:
             _os.rename(staging, final)
         except OSError:
@@ -540,8 +602,8 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
             # link(2) is not needed here)
             _shutil.rmtree(staging, ignore_errors=True)
     finally:
-        sub.unpersist()
-        codewords.unpersist()
+        for frame in (sub, codewords, cvecs, rsub, rcodewords):
+            frame.unpersist()
     return final
 
 
@@ -551,23 +613,26 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
 # laziness test catches it); the published dir is immutable once the
 # manifest exists, so the DataFrames are safely reusable for the
 # session's lifetime. Bounded: one published dir per lake fingerprint.
-_PQ_ATTACH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+_PQ_ATTACH_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
-def _attach_pq_index(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+def _attach_pq_index(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     import os as _os
 
     idx = build_pq_index(spark, sf_dir)
     key = (spark.sparkContext.applicationId, idx)
     cached = _PQ_ATTACH_CACHE.get(key)
     if cached is None:
-        cached = (
-            spark.read.parquet(_os.path.join(idx, "codes")),
-            spark.read.parquet(_os.path.join(idx, "codewords")),
-            spark.read.parquet(_os.path.join(idx, "centroids")),
-        )
+        cached = {
+            name: spark.read.parquet(_os.path.join(idx, name))
+            for name in (
+                "codes",
+                "codewords",
+                "centroids",
+                "resid_codewords",
+                "resid_codes",
+            )
+        }
         _PQ_ATTACH_CACHE[key] = cached
     return cached
 
@@ -601,7 +666,12 @@ def sim_ivf_pq_adc_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    codes, codewords, cvecs = _attach_pq_index(spark, sf_dir)
+    tables = _attach_pq_index(spark, sf_dir)
+    codes, codewords, cvecs = (
+        tables["codes"],
+        tables["codewords"],
+        tables["centroids"],
+    )
     emb = _embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -648,20 +718,117 @@ def sim_ivf_pq_adc_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _adopt_adc_oracle() -> None:
-    """The prebuilt search answers the registered adc entry's oracle
-    byte-for-byte (same semantics, same ranking hops); adopting it
-    lazily avoids an import cycle with the registry."""
-    from . import REGISTRY
-    from . import staging_r11 as _s11  # noqa: F401 - ensures registration
+@stage(
+    "sim_ivf_pq_residual_prebuilt",
+    oracle=None,  # set below: byte-for-byte the registered residual oracle
+)
+def sim_ivf_pq_residual_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_pq_residual_search semantics over the MATERIALIZED
+    index (the v2 layout adds resid_codewords + resid_codes, the
+    latter as inverted lists): probe ranking against the stored
+    centroids, per-(query, cell) residual ADC tables against the
+    stored residual codebook, candidate scan over the resid_codes
+    partitions with the probed-cell restriction pruning at the file
+    level. Bit-identical to the in-session entry (same construction,
+    doubles round-trip parquet exactly) — shares its DuckDB oracle
+    verbatim. The residual completion of sim_ivf_pq_adc_prebuilt."""
+    from .similarity import (
+        NPROBE,
+        N_QUERIES,
+        TOP_K,
+        _embeddings,
+        _pq_subvectors,
+        _sqdist,
+        _sqdist_dbl,
+    )
+    from pyspark.sql import Window
 
-    q = STAGED["sim_ivf_pq_adc_prebuilt"]
-    STAGED["sim_ivf_pq_adc_prebuilt"] = Query(
-        name=q.name,
-        fn=q.fn,
-        oracle=REGISTRY["sim_ivf_pq_adc_search"].oracle,
-        doc=q.doc,
+    tables = _attach_pq_index(spark, sf_dir)
+    cvecs, rcodewords, rcodes = (
+        tables["centroids"],
+        tables["resid_codewords"],
+        tables["resid_codes"],
+    )
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+    )
+    cellrank = q.crossJoin(F.broadcast(cvecs)).select(
+        "query_id",
+        F.col("label").alias("cell"),
+        "q_emb",
+        _sqdist_dbl(F.col("q_emb"), F.col("cvec")).alias("d2"),
+    )
+    cw = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        cellrank.withColumn("crnk", F.row_number().over(cw))
+        .filter(F.col("crnk") <= NPROBE)
+        .select("query_id", "cell", "q_emb")
+    )
+    qresid = probes.join(
+        F.broadcast(cvecs.select(F.col("label").alias("cell"), "cvec")), "cell"
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("cell").alias("label"),  # rides through _pq_subvectors
+        F.zip_with("q_emb", "cvec", lambda x, c: x - c).alias("emb"),
+    )
+    qrsub = _pq_subvectors(qresid).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("cell"),
+        "s",
+        "svec",
+    )
+    qdist = qrsub.join(F.broadcast(rcodewords), "s").select(
+        "query_id",
+        "cell",
+        "s",
+        "code",
+        _sqdist(F.col("svec"), F.col("cw")).alias("qd"),
+    )
+    adc = (
+        rcodes.join(
+            F.broadcast(qdist),
+            (rcodes.label == qdist.cell)
+            & (rcodes.s == qdist.s)
+            & (rcodes.code == qdist.code),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("approx_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("approx_d").cast("string").cast("double").alias("approx_dist_sq"),
+            "rnk",
+        )
     )
 
 
-_adopt_adc_oracle()
+def _adopt_parent_oracles() -> None:
+    """The prebuilt searches answer their registered in-session
+    parents' oracles byte-for-byte (same semantics, same ranking
+    hops); adopting them lazily avoids an import cycle with the
+    registry."""
+    from . import REGISTRY
+    from . import staging_r11 as _s11  # noqa: F401 - ensures registration
+
+    for staged_name, parent in (
+        ("sim_ivf_pq_adc_prebuilt", "sim_ivf_pq_adc_search"),
+        ("sim_ivf_pq_residual_prebuilt", "sim_ivf_pq_residual_search"),
+    ):
+        q = STAGED[staged_name]
+        STAGED[staged_name] = Query(
+            name=q.name,
+            fn=q.fn,
+            oracle=REGISTRY[parent].oracle,
+            doc=q.doc,
+        )
+
+
+_adopt_parent_oracles()

@@ -390,7 +390,14 @@ def test_pca2_plan_shape(spark, sf_dir):
     assert "REPARTITION_BY_NUM" in plan  # the 1-row barriers
 
 
-def test_prebuilt_adc_identical_to_parent_and_prunes_cells(spark, sf_dir):
+@pytest.mark.parametrize(
+    "name,parent",
+    [
+        ("sim_ivf_pq_adc_prebuilt", "sim_ivf_pq_adc_search"),
+        ("sim_ivf_pq_residual_prebuilt", "sim_ivf_pq_residual_search"),
+    ],
+)
+def test_prebuilt_identical_to_parent_and_prunes_cells(spark, sf_dir, name, parent):
     """Index-as-data contract (r13 VERDICT task 6): the prebuilt
     search must return the registered in-session entry's rows
     bit-identically (doubles round-trip parquet exactly), and its
@@ -402,11 +409,11 @@ def test_prebuilt_adc_identical_to_parent_and_prunes_cells(spark, sf_dir):
     materialized layout buys."""
     from noaa_data_pipeline_spark.plans import load_all
 
-    q = STAGED["sim_ivf_pq_adc_prebuilt"]
+    q = STAGED[name]
     df = q.fn(spark, sf_dir)
-    parent = load_all()["sim_ivf_pq_adc_search"].fn(spark, sf_dir)
+    pdf = load_all()[parent].fn(spark, sf_dir)
     sh, _ = frame_digest(df.columns, [tuple(r) for r in df.collect()])
-    ph, _ = frame_digest(parent.columns, [tuple(r) for r in parent.collect()])
+    ph, _ = frame_digest(pdf.columns, [tuple(r) for r in pdf.collect()])
     assert sh == ph, "prebuilt search diverged from the in-session entry"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), (
