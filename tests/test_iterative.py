@@ -265,11 +265,16 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
 def test_cc_shuffle_width_scales_with_edges():
     """The per-round shuffle width: narrow floor for small candidate
     graphs, edge-budget-scaled for dense ones with NO session-width
-    cap (r12 VERDICT task 5: the capped width put 27M edges/task at
-    x200mut and tripped GCLocker allocation retries — the per-task
-    edge budget, not the core count, is the binding constraint; the
-    uncapped 150-partition run beat the capped 32-partition run by
-    19% with zero allocator warnings)."""
+    cap (r12 VERDICT task 5: the capped width put 37M edges/task at
+    x200mut — inside the documented ~2 GB-join-map GCLocker hazard
+    band, surviving on allocator luck; the lift bounds per-task edge
+    volume at ~8M deterministically. Honesty note, r14 same-day A/B
+    at the matched 48g protocol: the lift COSTS ~14% wall on
+    local[32] at x200mut (690-704 s vs 608 s capped — the overlay's
+    earlier 19%-faster reading was page-cache-confounded); it is
+    kept because deterministic boundedness is the scale-correct
+    invariant and the cap would rarely bind on a real cluster's
+    session width anyway — see GATE_LOG r14)."""
     from noaa_data_pipeline_spark.plans.iterative import (
         CC_EDGES_PER_PARTITION,
         _cc_shuffle_width,
