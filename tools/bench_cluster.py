@@ -151,7 +151,41 @@ def main() -> None:
         "once up front — required for eager entries (CC-based "
         "composites) whose fn() computes at construction",
     )
+    ap.add_argument(
+        "--driver-memory",
+        default=None,
+        help="SPARK_DRIVER_MEMORY for the runs (e.g. 48g). The "
+        "dense-graph tiers (x100mut+) REQUIRE the raised-heap "
+        "profile — 48g local[32], warehouse/bucketed off — or the "
+        "walls measure allocator thrash, not the plan (GATE_LOG r14: "
+        "two runs at the 24g default produced GCLocker retry "
+        "warnings and +10-20%% walls that vanished at 48g). This "
+        "flag puts that protocol in the tool instead of a side "
+        "script.",
+    )
+    ap.add_argument(
+        "--executor-memory",
+        default=None,
+        help="SPARK_EXECUTOR_MEMORY for local-cluster configs "
+        "(e.g. 20g; pairs with --driver-memory for the matched-"
+        "total-memory dense-tier protocol)",
+    )
+    ap.add_argument(
+        "--no-warehouse",
+        action="store_true",
+        help="run with SPARK_GRAFT_WAREHOUSE=0 and "
+        "SPARK_GRAFT_BUCKETED=0 (the dense-tier protocol: the "
+        "bucketed-layout build is irrelevant to CC composites and "
+        "its one-time write perturbs the warm pass)",
+    )
     args = ap.parse_args()
+    if args.driver_memory:
+        os.environ["SPARK_DRIVER_MEMORY"] = args.driver_memory
+    if args.executor_memory:
+        os.environ["SPARK_EXECUTOR_MEMORY"] = args.executor_memory
+    if args.no_warehouse:
+        os.environ["SPARK_GRAFT_WAREHOUSE"] = "0"
+        os.environ["SPARK_GRAFT_BUCKETED"] = "0"
     names = args.queries or QUERIES
     configs = CONFIGS
     if args.configs:
