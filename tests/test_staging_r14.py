@@ -424,3 +424,62 @@ def test_prebuilt_identical_to_parent_and_prunes_cells(spark, sf_dir, name, pare
     )
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(20, 120),
+    n_zero=st.integers(0, 8),
+)
+def test_prebuilt_ivfpq_differential_fuzz(spark, tmp_path_factory, seed, n, n_zero):
+    """The materialized-index searches must hash-match their oracles
+    on the same adversarial lakes the in-session IVFPQ fuzz covers
+    (random fixed-width embeddings, all-zero vectors): this exercises
+    the build/publish path per lake — the content tag isolates every
+    tmp lake into its own published dir — plus codebook training,
+    residual subtraction, and the ADC sums THROUGH the parquet
+    round-trip."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vecs = (rng.standard_normal((n, 64)) * 4).astype(np.float32)
+    vecs[:n_zero] = 0.0
+    vecs = [list(map(float, v)) for v in vecs]
+
+    tmp = str(tmp_path_factory.mktemp("prebuilt_fuzz"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+            }
+        ),
+        f"{tmp}/embeddings.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp}/embeddings.parquet')"
+    )
+    for name in ("sim_ivf_pq_adc_prebuilt", "sim_ivf_pq_residual_prebuilt"):
+        q = STAGED[name]
+        sdf = q.fn(spark, tmp)
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(q.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        assert sorted(sdf.columns) == sorted(ocols)
+        assert len(srows) == len(orows), name
+        sh, _ = frame_digest(sdf.columns, srows)
+        oh, _ = frame_digest(ocols, orows)
+        assert sh == oh, f"{name} value-hash mismatch on fuzz lake"
+    con.close()
