@@ -39,52 +39,53 @@ PLAN_MODULES = [
 
 # The driver gate records exactly the first 50 registry entries, so
 # iteration order decides which entries get fresh driver evidence
-# each round. Round 14 window (executing the rotation drafted in
-# GATE_LOG "Round-14 rotation plan" and the r13 VERDICT tasks 1+2):
-# - dedup_clusters_cc, dedup_purge_report, split_leakage_safe: the
-#   CC width-cap lift (plans/iterative.py, r14 first commit) edits
-#   connected_components, which sits inside all three entries'
-#   ledger closure — plan edited -> driver re-proof;
-# - sim_ivf_pq_residual_search: takes the index-reuse fix the adc
-#   search got at r13 (_reuse_or_swap over its residual codebook/
-#   codes frames + a fourth corpus-codes slot, plans/staging_r11.py,
-#   same r14 first commit) — plan edited -> driver re-proof;
-# - the remaining 46 slots: the r11 cohort — every entry whose last
-#   clean driver row is round 11 (48 at the r12 snapshot, minus
-#   sim_ivf_pq_adc_search and dedup_clusters_cc which were re-proven
-#   inside the r13 window; dedup_clusters_cc re-enters above as a
-#   fresh plan-edit re-proof, not as cohort). 4 + 46 = 50: ZERO
-#   deferrals again, and the ledger rounds partition the registry
-#   146 across r12/r13/r14 at the boundary.
+# each round. Round 15 window (executing the rotation pinned in
+# GATE_LOG "r15 cohort pinned by name" under its standing plan-edit
+# rule, and the r14 VERDICT tasks 1+2):
+# - sim_ivf_pq_adc_search, sim_ivf_pq_residual_search: both entries
+#   now ROUTE through the materialized PQ index when a declared
+#   published layout matches the lake (plans/staging_r11.py bodies
+#   edited, r14 VERDICT task 2) — plan edited -> driver re-proof;
+# - dedup_containment_ngram: promoted from staging_r12 (first driver
+#   evidence);
+# - the remaining 47 slots: the pinned r12 cohort — every entry whose
+#   last clean driver row is round 12 and which is not in the r14
+#   window. 2 + 1 + 47 = 50: ZERO cohort deferrals. Per the standing
+#   window rule ("if an r15 plan edit flags a registered entry, the
+#   tvd promotion slides to r16"), the TWO plan-edit slots defer the
+#   sample_weighted_priority and docs_token_drift_tvd promotions to
+#   the r16 window — the r14 VERDICT task-2 wording ("routed entries
+#   green in the r15/r16 window") anticipates exactly this trade.
 # NOTE (process): rotation only picks what the DRIVER re-checks;
 # every round must still pass the full-registry local gate
 # (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
 GATE_PRIORITY = [
-    # --- r14 plan edits riding this window for driver re-proof
-    "dedup_clusters_cc", "dedup_purge_report", "split_leakage_safe",
-    "sim_ivf_pq_residual_search",
-    # --- last clean driver evidence is round 11 (the 46 still registered)
-    "cube_orders_priority_status", "dedup_incremental_minhash",
-    "dedup_minhash_estimator_quality", "dedup_semantic_clusters",
-    "dedup_semantic_purge", "docs_pack_sequences", "events_anomaly_zscore",
-    "events_column_profile", "events_distinct_users_hll",
-    "events_funnel_ordered", "events_grouping_sets_marginals",
-    "events_interval_overlap_join", "events_linear_interpolate",
-    "events_percentiles_approx_sketch", "events_retention_cohorts",
-    "events_session_window_native", "events_sessionize_batch",
-    "events_sliding_24h_range_window", "kmeans_embeddings",
-    "lake_bucketed_copartition_join", "orders_scd2_status_intervals",
-    "orders_status_transitions", "q10_returned_items_customers",
-    "q13_customer_order_distribution", "q16_supplier_part_relationships",
-    "q17_small_quantity_revenue", "q20_excess_stock_suppliers",
-    "q21_waiting_suppliers", "q22_global_sales_opportunity",
-    "q6_forecast_revenue_delta", "q7_volume_shipping",
-    "q9_product_type_profit", "sample_stratified_hash", "sim_ann_recall_eval",
-    "sim_incremental_ivf_insert", "sim_ivf_multiprobe", "sim_mmr_rerank",
-    "source_curation_report", "split_train_val_hash",
-    "stream_compaction_report", "stream_windowed_counts",
-    "text_fingerprint_winnow", "text_perplexity_proxy",
-    "text_repetition_ratio", "text_tfidf_topk", "text_token_rarity",
+    # --- r15 plan edits (materialized-index routing) riding this
+    #     window for driver re-proof
+    "sim_ivf_pq_adc_search", "sim_ivf_pq_residual_search",
+    # --- r15 promotion (first driver evidence)
+    "dedup_containment_ngram",
+    # --- the pinned r12 cohort (last clean driver evidence is r12)
+    "bpe_encode_docs", "bpe_train_merges", "dedup_simhash",
+    "docs_chunk_overlap", "docs_curation_pipeline_e2e",
+    "docs_domain_mixture_resample", "docs_embed_hash",
+    "docs_exact_substring_purge", "docs_gopher_rule_filter",
+    "emb_pq_codes", "events_dq_report", "events_heavy_hitters_cms",
+    "events_incremental_rollup_merge", "events_kmv_theta_sketch_overlap",
+    "events_user_sequences", "graph_quality_smoothing",
+    "ivf_cell_rebalance", "ivf_centroid_drift_report",
+    "ivf_retrain_centroids", "lake_zorder_key", "mm_binary_metadata",
+    "mm_feature_extract_pandas", "mm_frame_sample", "mm_resize_dims",
+    "orders_customer_full_outer_recon", "orders_unpivot_measures",
+    "q11_important_stock_value", "q15_top_supplier",
+    "q3_shipping_priority", "q5_regional_revenue",
+    "q8_national_market_share", "sim_ann_lsh_multiprobe",
+    "sim_block_matmul_topk", "sim_cosine_range_search",
+    "sim_cosine_topk_brute", "sim_ivf_probe1", "sim_pq_adc_topk",
+    "sim_pq_recall_eval", "sql_adhoc_guarded", "stream_dedup_keys",
+    "stream_dedup_within_watermark", "stream_sessionize_state",
+    "stream_static_enrich", "stream_stream_interval_join",
+    "text_bigram_topk", "text_dup_span_ratio", "text_mask_numbers",
 ]
 
 

@@ -257,7 +257,24 @@ def sim_ivf_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k is a WindowGroupLimit. The corpus never shuffles
     and the scored volume drops from corpus x queries (sim_pq_adc_topk)
     to corpus x queries x nprobe / k — the IVF contract applied to
-    the compressed domain."""
+    the compressed domain.
+
+    Routing (r15, the r14 VERDICT task-2 close): when a DECLARED
+    materialized index matches this lake's content+construction
+    fingerprint (plans/staging_r14.pq_index_available — the
+    bucketed_lake_available ladder), the entry serves the SAME rows
+    from the published parquet layout instead of building the index
+    in-session: probed-cell restriction becomes storage-level dynamic
+    partition pruning on the inverted-list files, and a cold session
+    pays search-only cost (GATE_LOG r14 index-as-data numbers:
+    ~27 s build vs ~0.9 s prebuilt search at x500). Output is
+    bit-identical (fuzz-proven through the parquet round-trip), so
+    the oracle covers both legs; SPARK_GRAFT_PQ_INDEX=0/1 pins the
+    leg deterministically for gates and benches."""
+    from .staging_r14 import pq_index_available, sim_ivf_pq_adc_prebuilt
+
+    if pq_index_available(spark, sf_dir):
+        return sim_ivf_pq_adc_prebuilt(spark, sf_dir)
     emb = _embeddings(spark, sf_dir)
     sub = _reuse_or_swap(_ADC_SUB_PERSISTED, _pq_subvectors(emb))
     codewords = _reuse_or_swap(_ADC_CODEWORDS_PERSISTED, _pq_codewords(sub))
@@ -686,7 +703,19 @@ def sim_ivf_pq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same box state; an earlier 10.5 s/2.11x pre-persist pair sat
     on a DuckDB page-cache-cold 5.0 s denominator — the ratio, not
     the raw wall, is the comparable number across box drift). Curve:
-    2.66x (x20) -> 1.71x (x100) -> 1.55x (x200)."""
+    2.66x (x20) -> 1.71x (x100) -> 1.55x (x200).
+
+    Routing (r15, the r14 VERDICT task-2 close): identical ladder to
+    sim_ivf_pq_adc_search — a DECLARED materialized index (v2 layout:
+    resid_codewords + resid_codes inverted lists) serves the same
+    rows with file-level partition pruning and search-only cold cost;
+    SPARK_GRAFT_PQ_INDEX pins the leg; outputs are bit-identical
+    through the parquet round-trip (fuzz-proven), so the oracle
+    covers both legs."""
+    from .staging_r14 import pq_index_available, sim_ivf_pq_residual_prebuilt
+
+    if pq_index_available(spark, sf_dir):
+        return sim_ivf_pq_residual_prebuilt(spark, sf_dir)
     emb = _embeddings(spark, sf_dir)
     cvecs = _reuse_or_swap(_RESID_CVECS_PERSISTED, _centroid_vectors(emb))
     resid = emb.join(F.broadcast(cvecs), "label").select(

@@ -106,7 +106,7 @@ _SQL_CONTAINMENT_PAIRS = f"""
 """
 
 
-@stage(
+@register(
     "dedup_containment_ngram",
     oracle=f"""
     WITH {_SQL_CONTAINMENT_PAIRS}

@@ -449,26 +449,114 @@ def emb_pca_top2_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Build cost is paid once per ingest batch (the faiss add() contract),
 # publish is atomic (staging dir + rename, the bucketed-layout
-# protocol), and the tag fingerprints the embeddings file so a
-# regenerated lake can never serve a stale index.
-_PQ_INDEX_ROOT = "/tmp/noaa_spark_pq_index"
+# protocol), and the tag fingerprints the embeddings file AND the
+# construction source so neither a regenerated lake nor drifted build
+# code can ever serve a stale index.
+#
+# Root (r14 ADVICE, r14 VERDICT task 5): per-user and env-overridable,
+# NOT a fixed world-writable /tmp path — a shared predictable root let
+# any local user pre-create a tag dir and poison the manifest, and
+# made makedirs fail when another uid owned it. The default lives
+# under tempdir with a uid suffix and 0o700; deployments point
+# SPARK_GRAFT_PQ_INDEX_ROOT at a lake-adjacent durable path (the
+# bucketed warehouse precedent).
+_PQ_ROOT_ENV = "SPARK_GRAFT_PQ_INDEX_ROOT"
 # bumped whenever the published layout gains/changes tables (v2 added
 # the residual codebook + residual codes); part of the tag, so stale
 # layouts are simply orphaned, never half-read
 _PQ_INDEX_VERSION = 2
 
 
+def _pq_index_root() -> str:
+    """Resolve (and create, 0o700) the index root. Refuses a root
+    owned by another uid: a poisoned pre-created root must fail loudly
+    rather than serve someone else's manifests."""
+    import os as _os
+    import tempfile as _tempfile
+
+    root = _os.environ.get(_PQ_ROOT_ENV)
+    if not root:
+        uid = _os.getuid() if hasattr(_os, "getuid") else "win"
+        root = _os.path.join(
+            _tempfile.gettempdir(), f"noaa_spark_pq_index_{uid}"
+        )
+    _os.makedirs(root, mode=0o700, exist_ok=True)
+    if hasattr(_os, "getuid"):
+        st = _os.stat(root)
+        if st.st_uid != _os.getuid():
+            raise RuntimeError(
+                f"PQ index root {root!r} is owned by uid {st.st_uid}, "
+                f"not {_os.getuid()} — refusing to trust its manifests "
+                f"(set {_PQ_ROOT_ENV} to a directory you own)"
+            )
+    return root
+
+
+# Computed once per process: the construction-source fingerprint that
+# rides the tag (r14 ADVICE). The published dir outlives the session
+# AND the commit that built it, so the tag must change whenever the
+# build ALGORITHM changes — not only when _PQ_INDEX_VERSION is
+# remembered to be bumped. plan_source_digest already walks the
+# transitive same-module closure (helpers + referenced constants), so
+# hashing it for build_pq_index plus the cross-module similarity
+# helpers it composes (and staging_r11.RESID_CODES, reached via a
+# function-local import the closure walk cannot see) covers every
+# constant that shapes the stored bytes: PQ_M/PQ_SUBDIM/_DEC inside
+# the similarity closures, RESID_CODES explicitly.
+_PQ_CODE_DIGEST: list[str] = []
+
+
+def _pq_index_code_digest() -> str:
+    import hashlib as _hashlib
+
+    if _PQ_CODE_DIGEST:
+        return _PQ_CODE_DIGEST[0]
+    try:
+        from tools.plan_ledger import plan_source_digest
+    except ImportError:  # deployed without the repo's tools/ package
+        import inspect as _inspect
+
+        def plan_source_digest(fn):  # entry-fn source only: weaker but safe
+            return _hashlib.sha256(
+                _inspect.getsource(fn).encode()
+            ).hexdigest()[:16]
+
+    from . import staging_r11 as _s11
+    from . import similarity as _sim
+
+    parts = [f"RESID_CODES={_s11.RESID_CODES}"]
+    for fn in (
+        build_pq_index,
+        _sim._pq_subvectors,
+        _sim._pq_codewords,
+        _sim._pq_best_codes,
+        _sim._centroid_vectors,
+        _sim._sqdist,
+        _sim._embeddings,
+    ):
+        parts.append(plan_source_digest(fn))
+    h = _hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+    _PQ_CODE_DIGEST.append(h)
+    return h
+
+
+def _pq_lake_base(sf_dir: str) -> str:
+    import re as _re
+
+    return _re.sub(r"[^a-z0-9]+", "_", sf_dir.strip("/").split("/")[-1].lower())
+
+
 def _pq_index_tag(sf_dir: str) -> str:
-    """Lake-content cache key: basename + hash of (full path, file
-    count, total bytes, max mtime) of the embeddings parquet — the
-    _bucket_tag recipe (plans/scale.py) applied to this index's one
-    source table."""
+    """Cache key: lake basename + hash of (full path, file count,
+    total bytes, max mtime) of the embeddings parquet — the
+    _bucket_tag recipe (plans/scale.py) — folded with the layout
+    version AND the construction-source digest, so lake regeneration
+    and build-code drift each orphan the published dir automatically."""
     import glob as _glob
     import hashlib as _hashlib
     import os as _os
-    import re as _re
 
-    base = _re.sub(r"[^a-z0-9]+", "_", sf_dir.strip("/").split("/")[-1].lower())
+    base = _pq_lake_base(sf_dir)
     n_files, total, mtime = 0, 0, 0.0
     for p in _glob.glob(_os.path.join(sf_dir, "embeddings*")):
         paths = (
@@ -487,19 +575,50 @@ def _pq_index_tag(sf_dir: str) -> str:
             mtime = max(mtime, st.st_mtime)
     fp = _hashlib.sha256(
         f"{_os.path.abspath(sf_dir)}|{n_files}|{total}|{mtime}"
-        f"|v{_PQ_INDEX_VERSION}".encode()
+        f"|v{_PQ_INDEX_VERSION}|code{_pq_index_code_digest()}".encode()
     ).hexdigest()[:12]
     return f"{base}_{fp}"
 
 
-def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
+def _read_pq_manifest(tag: str) -> dict | None:
+    """Manifest of a published index dir, or None when absent or
+    unreadable/mismatched (a half-deleted or foreign dir reads as
+    no index — the bucketed half-deleted-layout rule)."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(_pq_index_root(), tag, "manifest.json")
+    try:
+        with open(path) as fh:
+            m = _json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if m.get("tag") != tag or m.get("version") != _PQ_INDEX_VERSION:
+        return None
+    return m
+
+
+def build_pq_index(
+    spark: SparkSession, sf_dir: str, declare: bool | None = None
+) -> str:
     """Explicit PQ index BUILD step: train codewords, assign corpus
     codes, and publish {centroids, codewords, codes} as parquet under
     a content-fingerprinted directory. Idempotent attach: if the tag
     is already published, returns immediately without a job. The
     build persists the subvector explode (three consumers) for the
     duration of the write and unpersists after — the one-time ingest
-    cost the prebuilt search amortizes across sessions."""
+    cost the prebuilt search amortizes across sessions.
+
+    ``declare`` marks the manifest as a DECLARED serving index (the
+    bucketed warehouse:true precedent, plans/scale.py): only declared
+    indexes flip env-unset routing in :func:`pq_index_available`, so
+    an INCIDENTAL build (a fuzz test, a one-off staged run) never
+    changes which physical plan a later cold session executes.
+    Default: declared iff SPARK_GRAFT_PQ_INDEX=1 (the warehouse
+    profile). A successful publish also garbage-collects orphans —
+    same-lake dirs with a different fingerprint, wrong-version or
+    wrong-code-digest layouts, abandoned staging dirs — bounding the
+    root's growth (r14 VERDICT task 5)."""
     import json as _json
     import os as _os
     import shutil as _shutil
@@ -517,12 +636,24 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
     )
     from .staging_r11 import RESID_CODES
 
+    if declare is None:
+        declare = _os.environ.get("SPARK_GRAFT_PQ_INDEX") == "1"
+    root = _pq_index_root()
     tag = _pq_index_tag(sf_dir)
-    final = _os.path.join(_PQ_INDEX_ROOT, tag)
-    manifest = _os.path.join(final, "manifest.json")
-    if _os.path.exists(manifest):
+    final = _os.path.join(root, tag)
+    existing = _read_pq_manifest(tag)
+    if existing is not None:
+        if declare and not existing.get("declared"):
+            # durable declaration upgrade without a rebuild: atomic
+            # manifest swap (write-new + rename) inside the published
+            # dir, so concurrent readers see old-or-new, never half
+            existing["declared"] = True
+            tmp = _os.path.join(final, ".manifest.json.tmp")
+            with open(tmp, "w") as fh:
+                _json.dump(existing, fh)
+            _os.replace(tmp, _os.path.join(final, "manifest.json"))
         return final
-    staging = _os.path.join(_PQ_INDEX_ROOT, f".build_{tag}_{_os.getpid()}")
+    staging = _os.path.join(root, f".build_{tag}_{_os.getpid()}")
     _shutil.rmtree(staging, ignore_errors=True)
     _os.makedirs(staging, exist_ok=True)
     emb = _embeddings(spark, sf_dir)
@@ -590,6 +721,8 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
                     "sf_dir": _os.path.abspath(sf_dir),
                     "tag": tag,
                     "version": _PQ_INDEX_VERSION,
+                    "code_digest": _pq_index_code_digest(),
+                    "declared": bool(declare),
                 },
                 fh,
             )
@@ -604,7 +737,97 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
     finally:
         for frame in (sub, codewords, cvecs, rsub, rcodewords):
             frame.unpersist()
+    _gc_pq_index_root(keep_tag=tag, lake_base=_pq_lake_base(sf_dir))
     return final
+
+
+def declare_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (if absent) and durably DECLARE the lake's serving index:
+    after this, a cold env-unset session routes the registered IVFPQ
+    searches through the materialized layout — the declare_warehouse
+    twin (plans/scale.py) for the vector index."""
+    return build_pq_index(spark, sf_dir, declare=True)
+
+
+def pq_index_available(spark: SparkSession, sf_dir: str) -> bool:
+    """Index-layout router predicate (the bucketed_lake_available
+    ladder, plans/scale.py):
+
+    1. ``SPARK_GRAFT_PQ_INDEX=1`` — warehouse profile: route through
+       the materialized index; the first consumer builds/publishes it
+       via :func:`build_pq_index`.
+    2. ``SPARK_GRAFT_PQ_INDEX=0`` — pin the in-session build (the
+       correctness gates set this leg explicitly so oracle evidence
+       deterministically covers the un-routed plans).
+    3. env unset — route iff a DECLARED manifest for this exact lake
+       fingerprint + construction-source digest exists on disk. An
+       incidental (undeclared) publish never flips routing; a
+       declared one serves cold sessions with search-only cost.
+    """
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_PQ_INDEX")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    m = _read_pq_manifest(_pq_index_tag(sf_dir))
+    return bool(m and m.get("declared"))
+
+
+# staging dirs older than this are abandoned (a crashed builder's pid
+# may have been recycled, so age — not liveness — is the tombstone)
+_PQ_GC_STAGING_AGE_S = 3600.0
+
+
+def _gc_pq_index_root(keep_tag: str, lake_base: str) -> None:
+    """Prune orphans under the index root after a successful publish:
+
+    - same-lake dirs (``{lake_base}_*``) whose tag differs from the
+      one just published — superseded by lake regeneration or build-
+      code drift (the content tag makes them unreachable anyway);
+    - any published dir whose manifest is missing, unreadable, or
+      carries a stale version / construction digest — unreachable by
+      every current reader (:func:`_read_pq_manifest` rejects them);
+    - abandoned ``.build_*`` staging dirs older than an hour.
+
+    Never touches the just-published ``keep_tag`` or other lakes'
+    current-version dirs (sf0.001/sf0.01/sf0.1 coexist)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    root = _pq_index_root()
+    now = _time.time()
+    for name in _os.listdir(root):
+        path = _os.path.join(root, name)
+        if name == keep_tag or not _os.path.isdir(path):
+            continue
+        if name.startswith(".build_"):
+            try:
+                age = now - _os.stat(path).st_mtime
+            except OSError:
+                continue
+            if age > _PQ_GC_STAGING_AGE_S:
+                _shutil.rmtree(path, ignore_errors=True)
+            continue
+        try:
+            with open(_os.path.join(path, "manifest.json")) as fh:
+                m = _json.load(fh)
+        except (OSError, ValueError):
+            m = None
+        stale = (
+            m is None
+            or m.get("tag") != name
+            or m.get("version") != _PQ_INDEX_VERSION
+            or m.get("code_digest") != _pq_index_code_digest()
+            # source lake gone (fuzz tmp dirs): the content tag can
+            # never be recomputed to reach this dir again
+            or not _os.path.isdir(m.get("sf_dir", ""))
+        )
+        if stale or name.startswith(f"{lake_base}_"):
+            _shutil.rmtree(path, ignore_errors=True)
 
 
 # Attached index frames, keyed by (applicationId, published dir):

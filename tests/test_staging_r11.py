@@ -252,7 +252,17 @@ def test_adc_codeword_cache_actually_hits(spark, sf_dir):
             _cache_scans(ch.apply(i), out)
         return out
 
-    df = _lookup("sim_ivf_pq_adc_search").fn(spark, sf_dir)
+    # r15: pin the in-session leg — a declared materialized index on
+    # this box would route the entry to the parquet layout, which has
+    # no codeword cache to hit (tests/test_staging_r14.py covers the
+    # routed plan's own contract)
+    import os
+
+    os.environ["SPARK_GRAFT_PQ_INDEX"] = "0"
+    try:
+        df = _lookup("sim_ivf_pq_adc_search").fn(spark, sf_dir)
+    finally:
+        del os.environ["SPARK_GRAFT_PQ_INDEX"]
     scans = _cache_scans(df._jdf.queryExecution().executedPlan(), [])
     codeword_reads = [s for s in scans if s == ("s", "code", "cw")]
     assert len(codeword_reads) == 2, (
@@ -398,7 +408,7 @@ def test_candidate_construction_laziness(spark, sf_dir):
             assert after == before, f"{name} construction launched a job"
 
 
-def test_residual_slots_reuse_on_same_lake(spark, sf_dir):
+def test_residual_slots_reuse_on_same_lake(spark, sf_dir, monkeypatch):
     """r14: the residual search's index frames get the same
     _reuse_or_swap lifecycle the adc search received at r13 — a
     repeat invocation on the SAME lake returns the warm persisted
@@ -407,6 +417,8 @@ def test_residual_slots_reuse_on_same_lake(spark, sf_dir):
     identical across the reuse."""
     from noaa_data_pipeline_spark.plans import staging_r11 as s11
 
+    # the in-session leg is what owns these slots (routing pins: r15)
+    monkeypatch.setenv("SPARK_GRAFT_PQ_INDEX", "0")
     s11.reset_search_index_slots()
     fn = _lookup("sim_ivf_pq_residual_search").fn
     df = fn(spark, sf_dir)
@@ -426,7 +438,7 @@ def test_residual_slots_reuse_on_same_lake(spark, sf_dir):
     assert second_digest == first_digest
 
 
-def test_reset_search_index_slots_forces_rebuild(spark, sf_dir):
+def test_reset_search_index_slots_forces_rebuild(spark, sf_dir, monkeypatch):
     """The bench hook really drops the index: after reset every slot
     is empty, the cached blocks are unregistered, and the next
     invocation rebuilds fresh frames (this is what makes the
@@ -434,6 +446,8 @@ def test_reset_search_index_slots_forces_rebuild(spark, sf_dir):
     mislabeled warm run)."""
     from noaa_data_pipeline_spark.plans import staging_r11 as s11
 
+    # the in-session leg is what owns these slots (routing pins: r15)
+    monkeypatch.setenv("SPARK_GRAFT_PQ_INDEX", "0")
     fn = _lookup("sim_ivf_pq_adc_search").fn
     fn(spark, sf_dir).collect()
     assert s11._ADC_CODES_PERSISTED, "adc index slot not populated"

@@ -34,10 +34,12 @@ from tools.check_correctness import frame_digest
 
 
 # Promoted at r13 into the capacity the consolidation freed (r12
-# VERDICT task 3); resolved from the registry post-promotion.
+# VERDICT task 3), plus the r15 rotation promotion (r14 VERDICT task
+# 1 standing order); resolved from the registry post-promotion.
 CANDIDATES = [
     "emb_pca_power_iteration",
     "emb_pca_project_scores",
+    "dedup_containment_ngram",
 ]
 
 
@@ -189,7 +191,7 @@ def test_containment_agrees_with_jaccard_family(spark, duck, sf_dir):
     always), flagged near_dup."""
     got = {
         (r.doc_a, r.doc_b): r
-        for r in STAGED["dedup_containment_ngram"].fn(spark, sf_dir).collect()
+        for r in _lookup("dedup_containment_ngram").fn(spark, sf_dir).collect()
     }
     jacc = load_all()["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
     for r in jacc:

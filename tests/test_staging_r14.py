@@ -397,7 +397,9 @@ def test_pca2_plan_shape(spark, sf_dir):
         ("sim_ivf_pq_residual_prebuilt", "sim_ivf_pq_residual_search"),
     ],
 )
-def test_prebuilt_identical_to_parent_and_prunes_cells(spark, sf_dir, name, parent):
+def test_prebuilt_identical_to_parent_and_prunes_cells(
+    spark, sf_dir, name, parent, monkeypatch
+):
     """Index-as-data contract (r13 VERDICT task 6): the prebuilt
     search must return the registered in-session entry's rows
     bit-identically (doubles round-trip parquet exactly), and its
@@ -409,6 +411,10 @@ def test_prebuilt_identical_to_parent_and_prunes_cells(spark, sf_dir, name, pare
     materialized layout buys."""
     from noaa_data_pipeline_spark.plans import load_all
 
+    # r15: the parent is ROUTED through this very layout when a
+    # declared index exists — pin its in-session leg so this compare
+    # keeps covering build-in-session vs read-from-parquet
+    monkeypatch.setenv("SPARK_GRAFT_PQ_INDEX", "0")
     q = STAGED[name]
     df = q.fn(spark, sf_dir)
     pdf = load_all()[parent].fn(spark, sf_dir)
@@ -483,3 +489,168 @@ def test_prebuilt_ivfpq_differential_fuzz(spark, tmp_path_factory, seed, n, n_ze
         oh, _ = frame_digest(ocols, orows)
         assert sh == oh, f"{name} value-hash mismatch on fuzz lake"
     con.close()
+
+
+# --- materialized-index lifecycle + routing (r15, r14 VERDICT t2/t5) ----
+
+
+def _isolated_root(monkeypatch, tmp_path):
+    """Point the index machinery at a private root and clear the
+    per-process caches that key on the published path."""
+    from noaa_data_pipeline_spark.plans import staging_r14 as s14
+
+    monkeypatch.setenv(s14._PQ_ROOT_ENV, str(tmp_path / "pqroot"))
+    monkeypatch.delenv("SPARK_GRAFT_PQ_INDEX", raising=False)
+    return s14
+
+
+def test_pq_root_env_override_and_mode(spark, sf_dir, monkeypatch, tmp_path):
+    """SPARK_GRAFT_PQ_INDEX_ROOT relocates the root (lake-adjacent
+    deployments); the default is per-user under tempdir, created
+    0o700 — not the r14 fixed world-predictable /tmp path."""
+    import os
+    import tempfile
+
+    s14 = _isolated_root(monkeypatch, tmp_path)
+    root = s14._pq_index_root()
+    assert root == str(tmp_path / "pqroot")
+    assert os.path.isdir(root)
+    monkeypatch.delenv(s14._PQ_ROOT_ENV)
+    default = s14._pq_index_root()
+    assert default.startswith(tempfile.gettempdir())
+    assert str(os.getuid()) in os.path.basename(default)
+    assert (os.stat(default).st_mode & 0o777) == 0o700
+
+
+def test_pq_incidental_build_does_not_flip_routing(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """An undeclared publish (fuzz run, staged one-off) must not
+    change which physical plan a later env-unset session executes —
+    the bucketed warehouse:false rule."""
+    s14 = _isolated_root(monkeypatch, tmp_path)
+    assert not s14.pq_index_available(spark, sf_dir)
+    s14.build_pq_index(spark, sf_dir)  # undeclared
+    assert not s14.pq_index_available(spark, sf_dir)
+    m = s14._read_pq_manifest(s14._pq_index_tag(sf_dir))
+    assert m is not None and m["declared"] is False
+
+
+def test_pq_declared_index_routes_registered_entries_with_dpp(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The task-2 close: after declare_pq_index, the REGISTERED
+    searches serve the materialized layout — executed plan shows
+    dynamic partition pruning on the inverted-list scan — and their
+    rows hash-match the pinned in-session leg bit-for-bit."""
+    from noaa_data_pipeline_spark.plans import load_all
+
+    s14 = _isolated_root(monkeypatch, tmp_path)
+    s14.declare_pq_index(spark, sf_dir)
+    assert s14.pq_index_available(spark, sf_dir)
+    # declaring again is an idempotent no-rebuild attach
+    assert s14.declare_pq_index(spark, sf_dir) == s14.build_pq_index(spark, sf_dir)
+    registry = load_all()
+    for name in ("sim_ivf_pq_adc_search", "sim_ivf_pq_residual_search"):
+        routed = registry[name].fn(spark, sf_dir)
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), f"{name}: no DPP on routed scan"
+        monkeypatch.setenv("SPARK_GRAFT_PQ_INDEX", "0")
+        insession = registry[name].fn(spark, sf_dir)
+        monkeypatch.delenv("SPARK_GRAFT_PQ_INDEX")
+        rh, _ = frame_digest(routed.columns, [tuple(r) for r in routed.collect()])
+        ih, _ = frame_digest(
+            insession.columns, [tuple(r) for r in insession.collect()]
+        )
+        assert rh == ih, f"{name}: routed leg diverged from in-session leg"
+
+
+def test_pq_env_pins_beat_declared_manifest(spark, sf_dir, monkeypatch, tmp_path):
+    """Gate determinism: =0 pins in-session even when declared
+    (tools/check_correctness default); =1 forces routing even when
+    nothing is published yet (warehouse profile, builds on demand)."""
+    s14 = _isolated_root(monkeypatch, tmp_path)
+    monkeypatch.setenv("SPARK_GRAFT_PQ_INDEX", "1")
+    assert s14.pq_index_available(spark, sf_dir)
+    s14.declare_pq_index(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_PQ_INDEX", "0")
+    assert not s14.pq_index_available(spark, sf_dir)
+
+
+def test_pq_gc_prunes_orphans_keeps_live(spark, sf_dir, monkeypatch, tmp_path):
+    """Publish-time GC: stale-version layouts, code-drift layouts,
+    vanished-lake layouts, and hour-old abandoned staging dirs go;
+    the just-published tag and other lakes' current layouts stay."""
+    import json
+    import os
+    import time
+
+    s14 = _isolated_root(monkeypatch, tmp_path)
+    root = s14._pq_index_root()
+
+    def plant(name, manifest):
+        os.makedirs(os.path.join(root, name), exist_ok=True)
+        if manifest is not None:
+            with open(os.path.join(root, name, "manifest.json"), "w") as fh:
+                json.dump(manifest, fh)
+
+    live_other = {
+        "sf_dir": sf_dir,  # exists
+        "tag": "otherlake_aaaaaaaaaaaa",
+        "version": s14._PQ_INDEX_VERSION,
+        "code_digest": s14._pq_index_code_digest(),
+        "declared": True,
+    }
+    plant("otherlake_aaaaaaaaaaaa", live_other)
+    plant(
+        "stale_version_dir",
+        {**live_other, "tag": "stale_version_dir", "version": -1},
+    )
+    plant(
+        "code_drift_dir",
+        {**live_other, "tag": "code_drift_dir", "code_digest": "0" * 12},
+    )
+    plant(
+        "vanished_lake_dir",
+        {**live_other, "tag": "vanished_lake_dir", "sf_dir": str(tmp_path / "gone")},
+    )
+    plant("no_manifest_dir", None)
+    old_staging = os.path.join(root, ".build_dead_123")
+    os.makedirs(old_staging)
+    past = time.time() - 7200
+    os.utime(old_staging, (past, past))
+    fresh_staging = os.path.join(root, ".build_alive_456")
+    os.makedirs(fresh_staging)
+    # a stale same-lake fingerprint (regenerated lake): valid manifest,
+    # current code, but its tag prefix matches the lake being built
+    base = s14._pq_lake_base(sf_dir)
+    stale_same_lake = f"{base}_{'f' * 12}"
+    plant(stale_same_lake, {**live_other, "tag": stale_same_lake})
+
+    s14.build_pq_index(spark, sf_dir)
+
+    kept = set(os.listdir(root))
+    assert s14._pq_index_tag(sf_dir) in kept
+    assert "otherlake_aaaaaaaaaaaa" in kept
+    assert ".build_alive_456" in kept
+    for gone in (
+        "stale_version_dir",
+        "code_drift_dir",
+        "vanished_lake_dir",
+        "no_manifest_dir",
+        ".build_dead_123",
+        stale_same_lake,
+    ):
+        assert gone not in kept, f"orphan {gone} survived GC"
+
+
+def test_pq_tag_folds_construction_source(monkeypatch, tmp_path):
+    """The r14 ADVICE close: the tag must change when the build code
+    changes (not only on a manual version bump), so a drifted
+    algorithm can never read a stale published index."""
+    s14 = _isolated_root(monkeypatch, tmp_path)
+    sf = "/root/testdata/sf0.001"
+    t0 = s14._pq_index_tag(sf)
+    assert s14._pq_index_code_digest() in ("", s14._PQ_CODE_DIGEST[0])
+    monkeypatch.setattr(s14, "_PQ_CODE_DIGEST", ["simulated_code_drift"])
+    assert s14._pq_index_tag(sf) != t0

@@ -171,6 +171,18 @@ def main() -> None:
         "total-memory dense-tier protocol)",
     )
     ap.add_argument(
+        "--cc-cap-width",
+        type=int,
+        default=None,
+        help="A/B harness hook (r14 VERDICT task 4): cap the CC "
+        "propagation-round shuffle width at N by wrapping "
+        "plans.iterative._cc_shuffle_width with min(width, N) — the "
+        "pre-lift behavior — and suffix result rows with _cap<N>. "
+        "Measurement-only: the registered plans are untouched; this "
+        "exists so the width lift's free-on-cluster claim gets its "
+        "measured point without editing the entry closures mid-round",
+    )
+    ap.add_argument(
         "--no-warehouse",
         action="store_true",
         help="run with SPARK_GRAFT_WAREHOUSE=0 and "
@@ -186,6 +198,18 @@ def main() -> None:
     if args.no_warehouse:
         os.environ["SPARK_GRAFT_WAREHOUSE"] = "0"
         os.environ["SPARK_GRAFT_BUCKETED"] = "0"
+    cap_suffix = ""
+    if args.cc_cap_width is not None:
+        from noaa_data_pipeline_spark.plans import iterative as _iter
+
+        _orig_width = _iter._cc_shuffle_width
+        cap = args.cc_cap_width
+
+        def _capped(n_edges: int, narrow: int) -> int:
+            return min(_orig_width(n_edges, narrow), cap)
+
+        _iter._cc_shuffle_width = _capped
+        cap_suffix = f"_cap{cap}"
     names = args.queries or QUERIES
     configs = CONFIGS
     if args.configs:
@@ -200,7 +224,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for label, master, shuffle in configs:
-        results[label] = run_config(
+        timings = run_config(
             label,
             master,
             shuffle,
@@ -209,6 +233,9 @@ def main() -> None:
             reps=args.reps,
             fresh_frames=args.fresh_frames,
         )
+        if cap_suffix:
+            timings = {f"{n}{cap_suffix}": v for n, v in timings.items()}
+        results[label] = timings
 
     base = results.get("local32_s32", {})
     ratios = {

@@ -175,6 +175,17 @@ def main() -> None:
         "<name>_unrouted — the fallback plan beside the routed "
         "warehouse default",
     )
+    ap.add_argument(
+        "--pq-routed",
+        action="store_true",
+        help="run with SPARK_GRAFT_PQ_INDEX=1 (the registered IVFPQ "
+        "searches serve the MATERIALIZED index — r15 routing) and "
+        "record rows under <name>_routed. The warmup pass pays the "
+        "one-time index build/publish (the ingest contract); the "
+        "cold leg then measures a fresh ATTACH (search-only), which "
+        "is exactly what a cold session pays once the index is "
+        "published",
+    )
     args = ap.parse_args()
 
     sf_dir = build_scaled_lake(args.replicas, mutate_dups=args.mutate_dups)
@@ -186,6 +197,10 @@ def main() -> None:
         os.environ["SPARK_GRAFT_BUCKETED"] = "0"
     else:
         os.environ.setdefault("SPARK_GRAFT_BUCKETED", "1")
+    # Default-pin the in-session IVFPQ leg so existing scale rows
+    # keep their meaning on a box with a declared index; --pq-routed
+    # flips to the materialized-index leg explicitly.
+    os.environ["SPARK_GRAFT_PQ_INDEX"] = "1" if args.pq_routed else "0"
 
     from noaa_data_pipeline_spark.plans import load_all
     from noaa_data_pipeline_spark.session import get_spark
@@ -289,6 +304,8 @@ def main() -> None:
         spark_s = time_best_of(run_spark, n=args.reps)
         duck_s = time_best_of(run_duck, n=args.reps) if duck_err is None else None
         row_name = f"{name}_unrouted" if args.unrouted else name
+        if args.pq_routed and name in INDEX_REUSE_ENTRIES:
+            row_name = f"{name}_routed"
         results[row_name] = {
             "spark_sec": spark_s,
             "duckdb_sec": duck_s,
@@ -299,12 +316,22 @@ def main() -> None:
         if name in INDEX_REUSE_ENTRIES:
             # build-inclusive wall: drop the reuse slots so the next
             # run pays codeword training + corpus code assignment,
-            # the cost a production ingest batch pays once
+            # the cost a production ingest batch pays once. Under
+            # --pq-routed the build lives in the PUBLISHED layout, so
+            # "cold" means a fresh session ATTACH (drop the attach
+            # cache too): the next run re-reads footers + runs the
+            # search, never the build — the r15 routing contract.
             from noaa_data_pipeline_spark.plans.staging_r11 import (
                 reset_search_index_slots,
             )
 
             reset_search_index_slots()
+            if args.pq_routed:
+                from noaa_data_pipeline_spark.plans.staging_r14 import (
+                    _PQ_ATTACH_CACHE,
+                )
+
+                _PQ_ATTACH_CACHE.clear()
             t0 = time.perf_counter()
             run_spark()
             cold_s = round(time.perf_counter() - t0, 3)

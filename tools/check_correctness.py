@@ -73,6 +73,13 @@ def main() -> int:
     # twins' plans — output-identical, but then the un-bucketed
     # physical plans would silently lose their oracle coverage).
     os.environ["SPARK_GRAFT_BUCKETED"] = "0"
+    # Same rule for the materialized PQ index (r15): default-pin the
+    # in-session IVFPQ plans so the full gate's evidence is
+    # deterministic regardless of what indexes are published on this
+    # box; setdefault (not assignment) so an explicit
+    # SPARK_GRAFT_PQ_INDEX=1 run gates the ROUTED leg against the
+    # same oracles (both legs are oracle-covered — see GATE_LOG r15).
+    os.environ.setdefault("SPARK_GRAFT_PQ_INDEX", "0")
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
