@@ -178,8 +178,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # starve the JVM's GCLocker ("Retried waiting for GCLocker too often"
 # -> UNABLE_TO_ACQUIRE_MEMORY), killing the round even under a 48 GB
 # heap. 8M edges/partition keeps the maps in the hundreds of MB;
-# width still caps at the session setting, so small graphs keep the
-# narrow-shuffle optimization and big graphs keep the session width.
+# the narrow value stays the small-graph FLOOR, and the width scales
+# with the edge budget with NO session-width ceiling (r12 VERDICT
+# task 5 / r14 lift — see _cc_shuffle_width): the per-task edge
+# budget, not the core count, is the binding constraint.
 CC_EDGES_PER_PARTITION = 8_000_000
 
 

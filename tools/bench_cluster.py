@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -221,6 +222,22 @@ def main() -> None:
     # warehouse profile, same as bench.py
     os.environ.setdefault("SPARK_GRAFT_BUCKETED", "1")
     os.environ.setdefault("SPARK_GRAFT_WAREHOUSE", "1")
+
+    if args.executor_memory:
+        # a local-cluster master pins MiB/worker in its third field;
+        # keep it consistent with the requested executor heap or the
+        # context refuses to launch ("Asked to launch cluster with
+        # 8192 MiB/worker but requested N MiB/executor")
+        mem = args.executor_memory.lower().rstrip("gm")
+        mib = int(float(mem) * (1024 if args.executor_memory.lower().endswith("g") else 1))
+        configs = [
+            (
+                label,
+                re.sub(r"(local-cluster\[\d+,\d+,)\d+(\])", rf"\g<1>{mib}\g<2>", master),
+                shuffle,
+            )
+            for label, master, shuffle in configs
+        ]
 
     results: dict[str, dict] = {}
     for label, master, shuffle in configs:
