@@ -232,6 +232,9 @@ def connected_components(
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled"
+    )
     both = None
     try:
         # materialize the edge list once: every round consumes it, and
@@ -259,6 +262,19 @@ def connected_components(
                 # width — exactly where a giant skewed component
                 # makes AQE's skew-join splitting matter (r12 ADVICE).
                 spark.conf.set("spark.sql.adaptive.enabled", "false")
+            else:
+                # dense branch: AQE stays ON for skew-join splitting,
+                # but its partition COALESCING is pinned off — AQE
+                # sizes merges on compressed shuffle bytes, and the
+                # edge-budget partitions are ~16-byte rows that
+                # compress far below the 64MB advisory target, so
+                # coalescing would quietly merge them back past the
+                # ~8M-edges/task bound the width lift exists to
+                # enforce (r14 ADVICE). The computed width is a
+                # floor, not a hint.
+                spark.conf.set(
+                    "spark.sql.adaptive.coalescePartitions.enabled", "false"
+                )
         nodes = both.select(F.col("src").alias("node")).distinct()
         labels = nodes.select("node", F.col("node").alias("component")).persist()
         labels.count()
@@ -329,6 +345,9 @@ def connected_components(
             both.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
+        )
 
 
 def _cc_labels_cte() -> str:

@@ -295,17 +295,82 @@ def test_cc_shuffle_width_scales_with_edges():
 
 
 def test_connected_components_restores_session_conf(spark):
-    """The width narrowing must not leak: session shuffle width and
-    AQE flag are restored after the call (including the new
-    count-then-set ordering)."""
+    """The width narrowing must not leak: session shuffle width, AQE
+    flag, and the AQE-coalesce flag are restored after the call
+    (including the new count-then-set ordering)."""
     from noaa_data_pipeline_spark.plans.iterative import connected_components
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     df = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
     connected_components(df).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
     assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == prev_coal
+    )
+
+
+def test_connected_components_dense_branch_pins_coalesce_off(spark):
+    """r14 ADVICE: when the computed width reaches the session width
+    (the dense branch), AQE stays ON for skew-join splitting but its
+    partition COALESCING must be pinned off — AQE sizes merges on
+    compressed shuffle bytes, and edge-budget partitions of ~16-byte
+    rows compress far below the 64MB advisory target, so coalescing
+    would merge them back past the ~8M-edges/task bound the width
+    lift enforces. Driven at toy scale by narrowing the SESSION width
+    below the floor, so width >= session takes the dense branch; the
+    conf.set calls are recorded through a wrapper and the labels are
+    value-checked so the branch's semantics stay pinned too."""
+    import unittest.mock as mock
+
+    from noaa_data_pipeline_spark.plans.iterative import connected_components
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    calls = []
+    orig_set = type(spark.conf).set
+
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+
+    def recording_set(self, key, value):
+        calls.append((key, str(value)))
+        orig_set(self, key, value)
+
+    with mock.patch.object(type(spark.conf), "set", recording_set):
+        got = {
+            r.node: r.component
+            for r in connected_components(df, shuffle_partitions=8).collect()
+        }
+    # dense branch taken: width floor (8) >= session width (4); the
+    # operator's own sets are the first two calls (the tail is the
+    # finally-block restore, which legitimately re-sets whatever the
+    # session had — including adaptive.enabled on AQE-off fixtures)
+    assert calls[0] == ("spark.sql.shuffle.partitions", "8"), calls
+    assert calls[1] == (
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "false",
+    ), calls
+    # AQE itself must NOT have been disabled by the dense branch: the
+    # only adaptive.enabled set allowed is the finally restore to the
+    # session's previous value
+    pre_restore = calls[: calls.index(("spark.sql.shuffle.partitions", "4"))]
+    assert ("spark.sql.adaptive.enabled", "false") not in pre_restore, calls
+    # labels still correct
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # session conf fully restored (finally-block)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == prev_coal
+    )
 
 
 def test_connected_components_random_graphs_match_union_find(spark):
