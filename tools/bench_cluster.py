@@ -50,7 +50,14 @@ CONFIGS = [
     ("local32_s64", "local[32]", 64),
     ("local32_s128", "local[32]", 128),
     ("cluster2x16_s32", "local-cluster[2,16,8192]", 32),
+    # dense-tier two-JVM profile (x100mut+ graphs): pair with
+    # --executor-memory 20g --driver-memory 48g (the r12/r14
+    # raised-heap protocol; the master capacity field is auto-synced
+    # to the requested executor heap by the flag). Not part of the
+    # default sweep: select it explicitly via --configs.
+    ("cluster2x16_mem20_s32", "local-cluster[2,16,20480]", 32),
 ]
+DEFAULT_SWEEP = [label for label, _, _ in CONFIGS if label != "cluster2x16_mem20_s32"]
 
 
 def run_config(
@@ -212,7 +219,7 @@ def main() -> None:
         _iter._cc_shuffle_width = _capped
         cap_suffix = f"_cap{cap}"
     names = args.queries or QUERIES
-    configs = CONFIGS
+    configs = [c for c in CONFIGS if c[0] in DEFAULT_SWEEP]
     if args.configs:
         unknown_cfg = set(args.configs) - {label for label, _, _ in CONFIGS}
         if unknown_cfg:
@@ -263,10 +270,22 @@ def main() -> None:
         for label, timings in results.items()
         if label != "local32_s32"
     }
+    run_configs = {
+        label: {
+            "master": m,
+            "shuffle_partitions": s,
+            **(
+                {"executor_memory": args.executor_memory}
+                if args.executor_memory and "local-cluster" in m
+                else {}
+            ),
+        }
+        for label, m, s in configs
+    }
     out = {
         "metric": "cluster_and_shuffle_sweep_vs_local32",
         "sf_dir": args.sf_dir,
-        "configs": {label: {"master": m, "shuffle_partitions": s} for label, m, s in CONFIGS},
+        "configs": run_configs,
         "timings_sec": results,
         "ratio_vs_local32_s32": ratios,
     }
@@ -283,14 +302,18 @@ def main() -> None:
             merged["lakes"][os.path.basename(prior["sf_dir"].rstrip("/"))] = prior
     key = os.path.basename(args.sf_dir.rstrip("/"))
     prior_lake = merged["lakes"].get(key)
-    if prior_lake and prior_lake.get("configs") == out["configs"]:
-        # same config matrix: extend per-query instead of clobbering
-        # the lake record (a --queries subset run must not erase the
-        # other queries' evidence)
+    if prior_lake:
+        # extend the lake record per-config/per-query instead of
+        # clobbering it (a --queries or --configs subset run must not
+        # erase the other rows' evidence); the per-label config dict
+        # is refreshed so a label always describes its latest rows
+        prior_lake["configs"] = {**prior_lake.get("configs", {}), **run_configs}
         for label, t in out["timings_sec"].items():
             prior_lake["timings_sec"].setdefault(label, {}).update(t)
         for label, rr in out["ratio_vs_local32_s32"].items():
-            prior_lake["ratio_vs_local32_s32"].setdefault(label, {}).update(rr)
+            prior_lake.setdefault("ratio_vs_local32_s32", {}).setdefault(
+                label, {}
+            ).update(rr)
     else:
         merged["lakes"][key] = out
     with open(path, "w") as fh:
