@@ -116,6 +116,22 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Generated-class cache (static conf, JVM-global LRU; default
+        # 100). A registry-sized workload compiles far more than 100
+        # codegen units (each query holds several WholeStageCodegen +
+        # expression units), so at the default every re-execution of
+        # a prepared plan misses the cache and pays a synchronous
+        # janino compile plus a fresh C2 JIT of the new class — r15
+        # measured 18 interleaved headline queries at 11.7 s vs 7.0 s
+        # with the cache sized to the working set (GC delta nil, JIT
+        # time -4x at the timed minima). Driver-side and
+        # scale-independent: a cluster driver serving a real query
+        # mix thrashes the same LRU. Entries are source+class (KBs);
+        # 5000 bounds the cache at low hundreds of MB worst-case.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_CODEGEN_CACHE_ENTRIES", "5000"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
