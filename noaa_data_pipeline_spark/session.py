@@ -84,6 +84,32 @@ def package_zip() -> str:
     return zip_path
 
 
+def _default_local_dir() -> str | None:
+    """Shuffle/spill scratch location (``spark.local.dir``).
+
+    Spark's own tuning guidance is to point this at the fastest
+    local disks available; on this box the root fs is ext4 on a
+    virtio disk whose small-file write latency dominated every
+    exchange (r15 task metrics: 5.8 s of Shuffle Write Time across
+    32 tasks to write 6.6 MB — ~40% of the map stage's executor
+    time), while /dev/shm is a RAM-backed tmpfs. Production tuning
+    is unchanged in kind: you provision NVMe for shuffle and set
+    spark.local.dir/SPARK_LOCAL_DIRS accordingly; tmpfs is simply
+    this sandbox's fast device. Resolution order: explicit
+    SPARK_GRAFT_LOCAL_DIR env wins; else tmpfs when present and
+    writable; else None (Spark's default /tmp). Shuffle files are
+    transient (removed when the context stops), so tmpfs occupancy
+    is bounded by the largest live shuffle, which at gate/bench
+    scale is MBs; heavy scale tools can override via the env."""
+    explicit = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if explicit:
+        return explicit
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "noaa_spark_local")
+    return None
+
+
 def get_spark(
     app_name: str = "noaa-data-pipeline-spark",
     master: str | None = None,
@@ -133,6 +159,9 @@ def get_spark(
             os.environ.get("SPARK_CODEGEN_CACHE_ENTRIES", "5000"),
         )
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if not master.startswith("local["):
