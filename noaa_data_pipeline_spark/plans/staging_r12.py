@@ -536,15 +536,19 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the production path computes per-partition numpy partials
     via mapInPandas and merges d^2 scalars (float partials, outside
     the hash gate — the documented trade), or samples vectors. The
-    iteration is 1-row work behind explicit 1-row repartition
-    barriers: without them Catalyst's filter-inference/pushdown
-    inlines the whole recurrence into ONE interpreted predicate whose
-    nested array constructions re-evaluate per element access
-    (measured: unbounded; with barriers: ~1.3 s at sf0.1). The final
-    per-dim rows come from a range(d) x 1-row broadcast instead of
-    posexplode for the same reason (a Generate node infers a
-    size()>0 filter that gets pushed into the join condition carrying
-    the full recurrence).
+    iteration is 1-row work in a single unbarriered Project chain:
+    each step's intermediates (w_k, n_k) are referenced more than
+    once, so CollapseProject's multi-reference guard keeps the
+    per-step Projects separate operators and each value is computed
+    once per step (r15 A/B: the former per-step repartition(1)
+    barriers cost 25 one-row exchange stages of pure scheduling —
+    1.42 s vs 0.90 s at sf0.1, bit-identical output; the historical
+    unbounded-inlining hazard belonged to the old posexplode output
+    shape, whose Generate-inferred size()>0 filter carried the whole
+    recurrence — hence the range(d) x 1-row broadcast below, which
+    stays). The deflation sibling (staging_r14) keeps its own 1-row
+    barriers: its lam1 IS single-referenced inside a d^2-cell lambda,
+    the exact shape the guard does not protect.
 
     Reference anchor (spec, not code): extends SURVEY.md's
     embedding/similarity lifecycle family (kmeans_embeddings,
@@ -572,7 +576,8 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pca_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-row frame (rows, mu, v{PCA_ITERS}, lam, trace): the learned
     component plus the statistics both PCA entries read. See
-    emb_pca_power_iteration's docstring for the barrier rationale."""
+    emb_pca_power_iteration's docstring for why the recurrence needs
+    no 1-row barriers (and which sibling shape still does)."""
     emb = _embeddings(spark, sf_dir)
     lvl1 = emb.select(F.posexplode("emb").alias("i", "xi"), "emb")
     pairs = lvl1.select("i", "xi", F.posexplode("emb").alias("j", "xj"))
@@ -613,11 +618,7 @@ def _pca_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "- element_at(mu, i + 1) * element_at(mu, j + 1)))"
             ),
         )
-        # 1-row barrier: materialize the matrix as a column VALUE so
-        # downstream lambdas read it instead of re-evaluating its
-        # construction per element access (see docstring)
         .select("rows", "mu")
-        .repartition(1)
     )
     matvec = (
         f"transform(sequence(0, {DIM - 1}), i -> aggregate(sequence(0, {DIM - 1}), "
@@ -643,7 +644,6 @@ def _pca_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .select("rows", "mu", f"v{k}")
-            .repartition(1)  # per-step 1-row barrier (see docstring)
         )
     vN = f"v{PCA_ITERS}"
     cur = (
@@ -678,7 +678,7 @@ def emb_pca_project_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one 64-float vector + mean) crosses onto the corpus as a 1-row
     broadcast and every score is a map-side fixed-order fold; the
     corpus never shuffles. Training cost is emb_pca_power_iteration's
-    (shared plan subtree, same barriers); apply cost is linear and
+    (shared plan subtree, same barrier-free chain); apply cost is linear and
     embarrassingly parallel. Cross-engine exactness inherits the
     power-iteration argument (same IEEE ops, same fold order; see
     emb_pca_power_iteration)."""
