@@ -514,15 +514,50 @@ def emb_dim_reduction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal folds parallelize across isolated heaps
     (BENCH_CLUSTER)."""
     emb = _embeddings(spark, sf_dir)
+    # Prefix norms precomputed ONCE PER VECTOR in the persisted corpus
+    # frame (r15, guide §1.2): the per-pair cosine used to re-derive
+    # sqrt(dot(prefix, prefix)) for both sides inside every scored
+    # pair — ~half the pair stage's decimal-fold volume was these
+    # norms, recomputed corpus-many times for each query vector and
+    # query-many times for each corpus vector. The value is the same
+    # expression on the same slice, so the pair result is
+    # bit-identical. r15 same-session A/B at sf0.1 with the persisted
+    # frames dropped before each run (i.e. timing the real pair
+    # compute, which the bench's warm-cache protocol does not):
+    # 1.78 s -> 1.54 s, identical result hash.
+    def pre_norm(col: str, axis: str, r: int):
+        s = F.slice(col, 1, r)
+        return F.sqrt(_dot(s, s)).alias(f"n_{axis}_{r}")
+
     corpus = _swap_persisted(
         _DRE_CORPUS_PERSISTED,
-        emb.select("vec_id", "emb", "norm", _jl_project().alias("pemb")),
+        emb.select(
+            "vec_id",
+            "emb",
+            "norm",
+            _jl_project().alias("pemb"),
+        ).select(
+            "vec_id",
+            "emb",
+            "norm",
+            "pemb",
+            *[
+                pre_norm("emb" if a == "mrl" else "pemb", a, r)
+                for a in ("mrl", "jl")
+                for r in JL_DIMS
+            ],
+        ),
     )
     q = corpus.filter(F.col("vec_id") < JL_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("norm").alias("q_norm"),
         F.col("pemb").alias("q_pemb"),
+        *[
+            F.col(f"n_{a}_{r}").alias(f"q_n_{a}_{r}")
+            for a in ("mrl", "jl")
+            for r in JL_DIMS
+        ],
     )
 
     def axis_cos(axis: str, r: int):
@@ -532,7 +567,9 @@ def emb_dim_reduction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             qs, cs = F.slice("q_pemb", 1, r), F.slice("pemb", 1, r)
         return (
             _dot(qs, cs)
-            / F.nullif(F.sqrt(_dot(qs, qs)) * F.sqrt(_dot(cs, cs)), F.lit(0.0))
+            / F.nullif(
+                F.col(f"q_n_{axis}_{r}") * F.col(f"n_{axis}_{r}"), F.lit(0.0)
+            )
         ).alias(f"cos_{axis}_{r}")
 
     pairs = _swap_persisted(
