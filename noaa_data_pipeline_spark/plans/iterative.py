@@ -245,9 +245,23 @@ def connected_components(
         # wants full parallelism — it is the dozen label-propagation
         # rounds the narrowing targets — and the count's result sizes
         # the round width below.
-        both = edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).persist()
+        # Mirror via explode, not a two-leg union (r15): each union
+        # leg re-ran the upstream candidate-generation pipeline that
+        # produced the pairs, so the one-time materialization paid
+        # the expensive verify subtree twice. Explode emits both
+        # directions from a single evaluated row — same multiset of
+        # edges (union here was bag-semantics UNION ALL), half the
+        # build cost; rounds are unchanged.
+        both = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst").persist()
         n_edges = both.count()
         if shuffle_partitions is not None:
             width = _cc_shuffle_width(n_edges, shuffle_partitions)
