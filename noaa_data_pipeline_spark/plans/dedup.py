@@ -314,20 +314,29 @@ def minhash_lsh_pairs(
         # instead of re-running the band join per consumer
         .persist()
     )
+    # candidate cardinality scales with the corpus's near-dup rate,
+    # so no forced broadcast; the shuffle_hash hints below replace
+    # sort-merge with shuffled-hash on the verification joins (guide
+    # §3.1, the docs_exact_substring_purge precedent): build sides
+    # are partition-bounded candidate sets, so the per-task hash map
+    # stays inside the session's shuffle sizing, and skipping the
+    # md5-string sorts is a measured win (r15 same-session A/B at
+    # sf0.1: 1.50 s -> 1.24 s steady-state, identical output hash;
+    # drop the hints to fall back to sort-merge on a deployment with
+    # oversized partitions).
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select("doc_b"))
         .distinct()
+        .hint("shuffle_hash")
     )
-    # candidate cardinality scales with the corpus's near-dup rate,
-    # so no forced broadcast
     cand_sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = cand_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa = cand_sh.alias("a")
     sb = cand_sh.alias("b")
     overlap = (
         sa.join(
-            sb,
+            sb.hint("shuffle_hash"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -350,7 +359,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return candidates.join(verified, ["doc_a", "doc_b"]).select(
+    return candidates.join(verified.hint("shuffle_hash"), ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "jaccard"
     )
 
