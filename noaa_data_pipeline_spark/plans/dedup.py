@@ -729,17 +729,20 @@ def dedup_minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFra
         .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", (agree / F.lit(float(k))).alias("est_jaccard"))
     )
+    # shuffle_hash on the verification joins — the minhash_lsh_pairs
+    # rationale and fallback note apply verbatim (r15)
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select("doc_b"))
         .distinct()
+        .hint("shuffle_hash")
     )
     cand_sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = cand_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sa, sb = cand_sh.alias("a"), cand_sh.alias("b")
     overlap = (
         sa.join(
-            sb,
+            sb.hint("shuffle_hash"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -761,7 +764,7 @@ def dedup_minhash_estimator_quality(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return (
-        est.join(exact, ["doc_a", "doc_b"], "left")
+        est.join(exact.hint("shuffle_hash"), ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
             "doc_b",

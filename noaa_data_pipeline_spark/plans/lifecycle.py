@@ -555,10 +555,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()  # feeds the semi-join reduction and the final join
     )
+    # shuffle_hash on the verification joins — the minhash_lsh_pairs
+    # rationale and fallback note apply verbatim (r15)
     cand_docs = (
         candidates.select(F.col("new_doc_id").alias("doc_id"))
         .union(candidates.select("index_doc_id"))
         .distinct()
+        .hint("shuffle_hash")
     )
     cand_sh = sh.join(cand_docs, "doc_id", "left_semi").withColumn(
         "is_new", _doc_pct() >= NEW_BATCH_PCT
@@ -567,7 +570,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = cand_sh.filter(F.col("is_new")).alias("a")
     sb = cand_sh.filter(~F.col("is_new")).alias("b")
     overlap = (
-        sa.join(sb, F.col("a.shingle") == F.col("b.shingle"))
+        sa.join(sb.hint("shuffle_hash"), F.col("a.shingle") == F.col("b.shingle"))
         .groupBy(
             F.col("a.doc_id").alias("new_doc_id"),
             F.col("b.doc_id").alias("index_doc_id"),
@@ -590,9 +593,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return candidates.join(verified, ["new_doc_id", "index_doc_id"]).select(
-        "new_doc_id", "index_doc_id", "jaccard"
-    )
+    return candidates.join(
+        verified.hint("shuffle_hash"), ["new_doc_id", "index_doc_id"]
+    ).select("new_doc_id", "index_doc_id", "jaccard")
 
 
 # --- incremental IVF: insert + search a new vector batch --------------
