@@ -114,7 +114,15 @@ def get_spark(
     app_name: str = "noaa-data-pipeline-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_configs: dict[str, str] | None = None,
 ) -> SparkSession:
+    """``extra_configs`` lets measurement tooling (e.g. the event-log
+    configs tools/profile_floor.py needs) ride THIS factory instead of
+    hand-assembling a builder that silently misses the engine's
+    session defaults (r15: the profiler's own builder lacked the
+    codegen-cache sizing and fast spark.local.dir, so its walls
+    disagreed with bench.py by ~2x). Applied last, so an explicit
+    entry can also override a default for an experiment."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     is_local = master.startswith("local")
@@ -162,6 +170,8 @@ def get_spark(
     local_dir = _default_local_dir()
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    for key, value in (extra_configs or {}).items():
+        builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if not master.startswith("local["):

@@ -29,27 +29,27 @@ _EVT_DIR = "/tmp/profile_floor_events"
 
 
 def _session():
+    """The ENGINE session (session.get_spark) plus event logging.
+
+    r15 fix: this tool used to assemble its own builder, which
+    silently missed configs the engine factory sets (codegen cache
+    sizing, the fast spark.local.dir) — its walls then disagreed with
+    bench.py by ~2x and the stage/gap split described a session the
+    engine never runs. Event-log configs ride the same builder via
+    getOrCreate on a fresh JVM (this tool owns its process)."""
     os.environ.setdefault("SPARK_GRAFT_BUCKETED", "1")
     os.environ.setdefault("SPARK_GRAFT_WAREHOUSE", "1")
     os.makedirs(_EVT_DIR, exist_ok=True)
-    from pyspark.sql import SparkSession
+    from noaa_data_pipeline_spark.session import get_spark
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("profile_floor")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", _EVT_DIR)
-        .config("spark.eventLog.compress", "false")
-        .config("spark.eventLog.rolling.enabled", "false")
-        .getOrCreate()
+    return get_spark(
+        "profile_floor",
+        extra_configs={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": _EVT_DIR,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
     )
 
 
