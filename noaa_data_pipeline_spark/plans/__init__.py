@@ -63,6 +63,19 @@ GATE_PRIORITY = [
     # --- r15 plan edits (materialized-index routing) riding this
     #     window for driver re-proof
     "sim_ivf_pq_adc_search", "sim_ivf_pq_residual_search",
+    # NOTE (r15 OPTIMIZATION round, 2026-08-17): ten registered plans
+    # were performance-edited this round (sim_knn_graph, the PCA
+    # triple, emb_dim_reduction_eval, the minhash triple, the CC
+    # consumers dedup_clusters_cc / dedup_purge_report /
+    # split_leakage_safe, graph_quality_smoothing). They are NOT
+    # inserted here: the optimization round's driver gate re-runs
+    # EVERY declared query (not a 50-slot window), all ten already
+    # hold clean r12-r14 driver rows for the pre-edit plans, and the
+    # full-registry local gate covers the edited plans (GATE_LOG
+    # "r15 optimization" note). Keeping this list at the pinned 50
+    # preserves the drafted rotation even if a 50-entry window is
+    # recorded; the ledger carries digest=current / queued_round=15
+    # for all ten.
     # --- r15 promotion (first driver evidence)
     "dedup_containment_ngram",
     # --- the pinned r12 cohort (last clean driver evidence is r12)
