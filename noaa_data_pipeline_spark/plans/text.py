@@ -1234,13 +1234,30 @@ def docs_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"
     )
+    # shuffle_hash on the label side (the dedup-family precedent):
+    # SMJ would sort the CORPUS side within every partition per
+    # reference; the build side is the dup-cluster label set — 16-byte
+    # (node, component) rows, partition-bounded under scale-adaptive
+    # widths — and the hint degrades to SMJ wherever a planner deems
+    # partitions oversized
     survivors = (
-        docs.join(labels, "doc_id", "left")
+        docs.join(labels.hint("shuffle_hash"), "doc_id", "left")
         .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
         .select("doc_id", "source", "n_chars")
     )
     wt = F.when(F.col("source").isin(MIX_BOOSTED), MIX_BOOST_W).otherwise(1)
-    counts = survivors.groupBy("source").agg(F.count("*").alias("n_in")).withColumn("wt", wt)
+    # persist (lazy, the registry convention): counts is one row per
+    # SOURCE (constant-bounded at any corpus scale), but its three
+    # consumers below (tot, tmin, rates) each re-ran the whole
+    # corpus ⋈ labels survivor subtree — the r15 sweep plan showed
+    # that join evaluated 4x per execution (3x under this aggregate,
+    # 1x for the kept branch). Caching the few-row aggregate makes
+    # rate derivation a cache read; the corpus is scanned twice total
+    # (counts + kept), the docs_domain_mixture_resample contract.
+    counts = (
+        survivors.groupBy("source").agg(F.count("*").alias("n_in")).withColumn("wt", wt)
+        .persist()
+    )
     tot = counts.agg(F.sum("wt").cast("double").alias("w_total"))
     with_tot = counts.crossJoin(F.broadcast(tot))
     tmin = with_tot.agg(F.min(F.col("n_in") * F.col("w_total") / F.col("wt")).alias("t"))
