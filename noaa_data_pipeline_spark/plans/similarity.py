@@ -754,9 +754,13 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
     n_cand = cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
+    # shuffle_hash (r15): both recall joins planned as SortMergeJoin,
+    # sorting every side; the candidate list is partition-bounded (the
+    # probe's own per-bucket cost) so hashing it beats sorting the
+    # topk side, and the hint degrades cleanly on oversized partitions
     hits = (
         topk.join(
-            cand.withColumnRenamed("query_id", "c_query_id"),
+            cand.withColumnRenamed("query_id", "c_query_id").hint("shuffle_hash"),
             (F.col("query_id") == F.col("c_query_id"))
             & (F.col("neighbor_id") == F.col("cand_id")),
             "left",
@@ -764,8 +768,10 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("cand_id").alias("n_hit"))
     )
+    # n_cand is one row per QUERY (N_QUERIES is a constant at any
+    # corpus scale) — broadcast is definitional, not size-estimated
     return (
-        hits.join(n_cand, "query_id", "left")
+        hits.join(F.broadcast(n_cand), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
