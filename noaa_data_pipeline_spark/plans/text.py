@@ -191,23 +191,43 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile table, argmax hits per doc, 'und' when nothing matches.
     Scale: the profile table broadcasts; one groupBy on (doc, lang)
     with map-side combine; the corpus is never self-joined."""
+    # r15: pure map-side rewrite. The former plan exploded every token
+    # (posexplode -> row volume = token count), broadcast-joined the
+    # profile table, paid a (doc, lang) aggregation exchange, a window
+    # exchange for the per-doc argmax, and a corpus-side SortMergeJoin
+    # to re-attach 'und' docs — 4 Exchanges total. Per-doc profile-hit
+    # counting is a higher-order-function fold over the SAME token
+    # array (split(norm_text) — identical tokenizer), and the argmax
+    # over a CONSTANT set of languages is a greatest + first-match
+    # CASE with the same (n_hits DESC, lang ASC) tie-break, so the
+    # whole query is one projection over the scan: zero Exchanges,
+    # zero joins, and at scale the token-explosion shuffle is gone.
     docs = load_table(spark, sf_dir, "documents")
-    profiles = spark.createDataFrame(
-        [(lang, w) for lang, words in sorted(LANG_PROFILES.items()) for w in words],
-        "plang string, word string",  # plang: avoid the corpus's own lang column
+    toks = F.split(textops.norm_text(F.col("text")), " ")
+    langs = sorted(LANG_PROFILES)  # ASC — the window's tie-break order
+    counts = {
+        lang: F.coalesce(
+            F.size(F.filter(toks, lambda t: t.isin(*LANG_PROFILES[lang]))),
+            F.lit(0),
+        ).cast("long")
+        for lang in langs
+    }
+    # two-level Project: each count column is referenced several times
+    # below (greatest + both CASE chains), and CollapseProject's
+    # multi-reference guard keeps the levels separate, so every token
+    # fold runs exactly once per row instead of once per reference
+    counted = docs.select(
+        "doc_id", *[counts[lang].alias(f"_c_{lang}") for lang in langs]
     )
-    hits = (
-        textops.tokens_df(docs)
-        .join(F.broadcast(profiles), F.col("tok") == F.col("word"))
-        .groupBy("doc_id", "plang")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("plang"))
-    best = hits.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
-    return docs.join(best, "doc_id", "left").select(
+    ccols = {lang: F.col(f"_c_{lang}") for lang in langs}
+    best = F.greatest(*ccols.values())
+    detected = F.lit("und")
+    for lang in reversed(langs):  # build the ASC-first-match chain
+        detected = F.when(ccols[lang] == best, F.lit(lang)).otherwise(detected)
+    return counted.select(
         "doc_id",
-        F.coalesce(F.col("plang"), F.lit("und")).alias("detected_lang"),
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.when(best > 0, detected).otherwise(F.lit("und")).alias("detected_lang"),
+        F.when(best > 0, best).otherwise(F.lit(0).cast("long")).alias("n_hits"),
     )
 
 

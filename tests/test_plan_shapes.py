@@ -510,3 +510,54 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_language_id_is_map_only(spark, sf_dir):
+    # r15 rewrite: profile-hit counting folds over the token array in
+    # a single projection — no explode, no profile join, no argmax
+    # window, zero shuffles. A reappearing Exchange/Join means the
+    # rewrite regressed to the explode->join->window shape.
+    plan = plan_of(spark, sf_dir, "text_language_id")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # the old posexplode node
+
+
+def test_language_id_tiebreak_and_edges(spark):
+    # value pin for the map-side argmax: (n_hits DESC, lang ASC)
+    # tie-break, zero-hit docs -> ('und', 0), empty/NULL text safe
+    from pyspark.sql import Row
+
+    from noaa_data_pipeline_spark.plans.text import text_language_id
+
+    rows = [
+        Row(doc_id=1, text="the la of to and is in"),   # en 7? no: 7 tokens, en hits
+        Row(doc_id=2, text="el la de que y los"),        # es sweep
+        Row(doc_id=3, text="la de"),                     # es vs fr tie -> es (ASC)
+        Row(doc_id=4, text="zzz qqq"),                   # zero hits -> und
+        Row(doc_id=5, text=""),                          # empty
+        Row(doc_id=6, text=None),                        # null
+    ]
+    import noaa_data_pipeline_spark.tables as tables
+
+    df = spark.createDataFrame(rows)
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda *_a, **_k: df
+        from noaa_data_pipeline_spark.plans import text as textmod
+
+        orig_mod = textmod.load_table
+        textmod.load_table = lambda *_a, **_k: df
+        got = {
+            r["doc_id"]: (r["detected_lang"], r["n_hits"])
+            for r in text_language_id(spark, "unused").collect()
+        }
+        textmod.load_table = orig_mod
+    finally:
+        tables.load_table = orig
+    assert got[1] == ("en", 6)   # 'la' is es/fr, the 6 en stopwords win
+    assert got[2] == ("es", 6)
+    assert got[3] == ("es", 2)   # es before fr on the ASC tie-break
+    assert got[4] == ("und", 0)
+    assert got[5] == ("und", 0)
+    assert got[6] == ("und", 0)
