@@ -1138,7 +1138,16 @@ def docs_domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_pct bit-identical."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     wt = F.when(F.col("source").isin(MIX_BOOSTED), MIX_BOOST_W).otherwise(1)
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_in")).withColumn("wt", wt)
+    # persist (lazy, r15 — the docs_curation_pipeline_e2e fix applied
+    # to its sibling): counts is one row per SOURCE, but its three
+    # consumers (tot, tmin, rates) each re-ran the per-source count
+    # scan — the sweep plan showed 4 corpus scans and 14 stages for a
+    # two-scan contract. Cached, rate derivation is a cache read and
+    # the corpus is scanned twice (counts + the kept filter).
+    counts = (
+        docs.groupBy("source").agg(F.count("*").alias("n_in")).withColumn("wt", wt)
+        .persist()
+    )
     tot = counts.agg(F.sum("wt").cast("double").alias("w_total"))
     with_tot = counts.crossJoin(F.broadcast(tot))
     tmin = with_tot.agg(
@@ -1157,8 +1166,11 @@ def docs_domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"))
     )
+    # kept is one aggregated row per source — broadcast is
+    # definitional (constant-bounded at any corpus scale), replacing
+    # a SortMergeJoin of two tiny frames
     return (
-        rates.join(kept, "source", "left")
+        rates.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             F.col("n_in").cast("long").alias("n_in"),
