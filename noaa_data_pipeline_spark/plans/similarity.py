@@ -916,9 +916,23 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = pool.select(F.col("query_id"), F.col("neighbor_id").alias("d"))
     b = pool.select(F.col("query_id").alias("qb"), F.col("neighbor_id").alias("s"))
+    # r15: every frame below pool is bounded by N_QUERIES * MMR_POOL
+    # (constants at any corpus scale), yet all six selection joins
+    # planned as SortMergeJoin. Definitional broadcasts — the small
+    # side is constant-sized by CONSTRUCTION, not by estimate — flip
+    # the whole selection cascade to BroadcastHashJoin: the corpus
+    # emb frame is probed, never sorted or shuffled, and the pool
+    # pair table rides the driver.
     pairsim = (
-        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("d") != F.col("s")))
-        .join(ea, F.col("d") == F.col("a_id"))
+        F.broadcast(
+            F.broadcast(
+                a.join(
+                    F.broadcast(b),
+                    (F.col("query_id") == F.col("qb")) & (F.col("d") != F.col("s")),
+                )
+            )
+            .join(ea, F.col("d") == F.col("a_id"))
+        )
         .join(eb, F.col("s") == F.col("b_id"))
         .select(
             "query_id",
@@ -950,11 +964,12 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c2 = (
         pool.join(
-            s1.select(F.col("query_id"), F.col("neighbor_id").alias("pick1")), "query_id"
+            F.broadcast(s1.select(F.col("query_id"), F.col("neighbor_id").alias("pick1"))),
+            "query_id"
         )
         .filter(F.col("neighbor_id") != F.col("pick1"))
         .join(
-            ps1,
+            F.broadcast(ps1),
             (F.col("q1") == F.col("query_id"))
             & (F.col("d1") == F.col("neighbor_id"))
             & (F.col("sel1") == F.col("pick1")),
@@ -971,11 +986,12 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c3 = (
         c2.join(
-            s2.select(F.col("query_id"), F.col("neighbor_id").alias("pick2")), "query_id"
+            F.broadcast(s2.select(F.col("query_id"), F.col("neighbor_id").alias("pick2"))),
+            "query_id"
         )
         .filter(F.col("neighbor_id") != F.col("pick2"))
         .join(
-            ps2,
+            F.broadcast(ps2),
             (F.col("q2") == F.col("query_id"))
             & (F.col("d2") == F.col("neighbor_id"))
             & (F.col("sel2") == F.col("pick2")),
