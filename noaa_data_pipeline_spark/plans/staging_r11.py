@@ -509,8 +509,11 @@ def events_kmv_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_union"))
     )
+    # broadcast (r15): ub is a sketch-sample frame (k x pairs rows,
+    # kilobytes at any corpus size — the docstring's own bound); this
+    # was the one post-sketch join still planning as SortMergeJoin
     inter = (
-        ua.join(ub.withColumnRenamed("h", "hb"), ["type_a", "type_b"])
+        ua.join(F.broadcast(ub.withColumnRenamed("h", "hb")), ["type_a", "type_b"])
         .filter(F.col("h") == F.col("hb"))
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_inter"))
