@@ -130,12 +130,25 @@ def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     path drops the exact column and keeps only the sketch;
     tests/test_scale_ops.py additionally bounds the error directly."""
     ev = load_table(spark, sf_dir, "events")
+    # r15: two-level aggregation. Planned directly, the one-distinct
+    # rewrite keys the PARTIAL aggregate on (event_type, user_id) and
+    # ships the 411-word HLL register buffer with EVERY distinct pair
+    # through the exchange (~3.3 KB/row of mostly-zero registers, and
+    # an ObjectHashAggregate that blocks codegen on the corpus-sized
+    # stage). Level 1 below is a plain codegen'd count per pair
+    # (8-byte state); level 2 runs the HLL over the deduped pairs —
+    # bit-identical registers, because HLL++ is max-merge and
+    # duplicate-insensitive — plus exact_users as a pair count and
+    # n_events as the count rollup. ~100x fewer shuffle bytes per
+    # distinct pair; NULL user_ids stay excluded from both user
+    # counts and included in n_events, as before.
+    pairs = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
     return (
-        ev.groupBy("event_type")
+        pairs.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
-            F.count("*").alias("n_events"),
-            F.count_distinct("user_id").alias("exact_users"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.when(F.col("user_id").isNotNull(), 1)).alias("exact_users"),
         )
         .select(
             "event_type",
