@@ -1042,21 +1042,32 @@ def docs_exact_substring_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos", F.md5("span").alias("span"))
         .repartition(n_part, "span")
     )
-    per_span = spans.groupBy("span").agg(
+    # Keep-first via an order-preserving DECIMAL pack (r15): the old
+    # min(struct(doc_id, pos)) buffer is struct-typed, which cannot
+    # hash-aggregate, so the plan fell back to SortAggregate and
+    # SORTED the corpus-pair-scale span frame per partition before
+    # aggregating (min_by has the same struct buffer and the same
+    # fallback — measured). doc_id * 10^10 + pos over decimals is
+    # monotone in the lexicographic (doc_id, pos) order whenever
+    # 0 <= pos < 10^10 — pos is a token index within ONE document, so
+    # the bound holds for any physically possible doc — and a decimal
+    # min is a fixed-width mutable buffer, so the aggregate runs as a
+    # plain HashAggregate: no per-partition sort, same exchange, same
+    # keep-first row. The struct itself is gone: purge only needs
+    # "am I the minimum occurrence", i.e. one packed comparison.
+    _packed = (
+        F.col("doc_id").cast("decimal(20,0)") * F.lit(10_000_000_000)
+        + F.col("pos").cast("decimal(20,0)")
+    ).alias("packed")
+    per_span = spans.select("span", _packed).groupBy("span").agg(
         F.count("*").alias("n_occ"),
-        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.min("packed").alias("first_packed"),
     ).hint("shuffle_hash")
     occ = spans.join(per_span, "span").select(
         "doc_id",
         "pos",
         "n_occ",
-        (
-            (F.col("n_occ") > 1)
-            & ~(
-                (F.col("doc_id") == F.col("first.doc_id"))
-                & (F.col("pos") == F.col("first.pos"))
-            )
-        ).alias("is_purged"),
+        ((F.col("n_occ") > 1) & (_packed != F.col("first_packed"))).alias("is_purged"),
     ).repartition(n_part, "doc_id")
     acct = occ.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),

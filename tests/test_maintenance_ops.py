@@ -404,6 +404,11 @@ def test_substring_purge_plan_reuses_both_exchanges(spark, sf_dir):
     assert plan.count("ReusedExchange") == 2
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # r15: keep-first is a DECIMAL-packed min, so the per-span
+    # aggregate hash-aggregates; a reappearing SortAggregate means
+    # the struct-min fallback (a per-partition sort of the pair-scale
+    # span frame) crept back in
+    assert "SortAggregate" not in plan
 
 
 def test_substring_purge_keep_first_semantics(spark, tmp_path_factory):
