@@ -481,8 +481,13 @@ def dedup_purge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"), F.lit(1).alias("is_removed"))
     )
+    # shuffle_hash on the removed side (the docs_curation_pipeline_e2e
+    # precedent): SMJ sorted the CORPUS side within every partition;
+    # the build side is the non-canonical dup-doc id set — 8-byte rows,
+    # partition-bounded under scale-adaptive widths — and the hint
+    # degrades to SMJ wherever a planner deems partitions oversized.
     return (
-        docs.join(removed, "doc_id", "left")
+        docs.join(removed.hint("shuffle_hash"), "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("docs_before"),
@@ -884,7 +889,12 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"
     )
-    canon = docs.join(labels, "doc_id", "left").select(
+    # shuffle_hash on the label side (the docs_curation_pipeline_e2e
+    # precedent): SMJ sorted the CORPUS side within every partition;
+    # the build side is the dup-cluster label set — 16-byte (node,
+    # component) rows, partition-bounded — and the hint degrades
+    # cleanly.
+    canon = docs.join(labels.hint("shuffle_hash"), "doc_id", "left").select(
         "n_chars",
         F.coalesce("component", "doc_id").alias("canon_id"),
         F.col("component").isNotNull().cast("int").alias("is_dup"),

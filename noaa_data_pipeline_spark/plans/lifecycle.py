@@ -450,8 +450,13 @@ def dedup_semantic_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("vec_id"), F.lit(1).alias("is_removed"))
     )
+    # shuffle_hash on the removed side (the docs_curation_pipeline_e2e
+    # precedent): SMJ sorted the CORPUS-scale embeddings side within
+    # every partition; the build side is the non-canonical dup-vec id
+    # set — 8-byte rows, partition-bounded — and the hint degrades
+    # cleanly.
     return (
-        emb.join(removed, "vec_id", "left")
+        emb.join(removed.hint("shuffle_hash"), "vec_id", "left")
         .groupBy("label")
         .agg(
             F.count("*").alias("vecs_before"),

@@ -286,37 +286,65 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling (the deequ/profiler stage every
     training pipeline runs before ingest): per-column row/non-null/
     distinct counts and min/max, one row per profiled column. Scale:
-    ONE pass computes every column's aggregates together (the unioned
-    oracle shows the semantics; Spark evaluates all aggregate
-    expressions in a single scan + global combine); exact
-    COUNT(DISTINCT) expands to the two-phase exact aggregate — swap
-    in approx_count_distinct at 100 TB when cardinality tolerance
-    allows. Numeric and string min/max occupy typed columns (a shared
-    VARCHAR rendering would hang engine-specific double formatting
-    into the hash gate)."""
+    ONE corpus scan computes every column's profile (r15: the
+    previous per-column ``ev.agg(...)`` union really planned THREE
+    scans, each a corpus-wide Sort + SortAggregate chain — the
+    string-typed min/max buffer disqualifies hash aggregation, the
+    same fallback docs_exact_substring_purge hit): the scan unpivots
+    to one typed (column_name, dval, lval, sval) row per profiled
+    cell via ``inline``, level 1 hash-aggregates occurrence counts
+    per distinct typed value (fixed-width long buffer — map-side
+    combine ships only distinct values, exactly what the two-phase
+    exact COUNT(DISTINCT) shipped), and level 2 reduces the deduped
+    value table — rows/non-null/distinct counts from the occurrence
+    counts, min/max straight off the group keys (grouping on the
+    typed slots keeps SQL double semantics: -0.0/NaN normalize the
+    same way COUNT(DISTINCT value) always normalized them). The
+    only SortAggregate left runs on the vocabulary-sized level-2
+    input; swap in approx_count_distinct at 100 TB when cardinality
+    tolerance allows. Numeric and string min/max occupy typed
+    columns (a shared VARCHAR rendering would hang engine-specific
+    double formatting into the hash gate)."""
     ev = load_table(spark, sf_dir, "events")
 
-    def profile(col: str, numeric: bool):
-        num = F.col(col).cast("double") if numeric else F.lit(None).cast("double")
-        txt = F.col(col) if not numeric else F.lit(None).cast("string")
-        return [
-            F.count("*").alias("n_rows"),
-            F.count(col).alias("n_nonnull"),
-            F.count_distinct(F.col(col)).alias("n_distinct"),
-            F.min(num).alias("min_num"),
-            F.max(num).alias("max_num"),
-            F.min(txt).alias("min_str"),
-            F.max(txt).alias("max_str"),
-        ]
+    def slot(name: str, dval: F.Column, lval: F.Column, sval: F.Column):
+        return F.struct(
+            F.lit(name).alias("column_name"),
+            dval.alias("dval"),
+            lval.alias("lval"),
+            sval.alias("sval"),
+        )
 
-    frames = [
-        ev.agg(*profile(c, numeric)).select(F.lit(c).alias("column_name"), "*")
-        for c, numeric in [("value", True), ("event_type", False), ("user_id", True)]
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    null_d = F.lit(None).cast("double")
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    cells = ev.select(
+        F.inline(
+            F.array(
+                slot("value", F.col("value"), null_l, null_s),
+                slot("event_type", null_d, null_l, F.col("event_type")),
+                slot("user_id", null_d, F.col("user_id"), null_s),
+            )
+        )
+    )
+    vals = cells.groupBy("column_name", "dval", "lval", "sval").agg(
+        F.count("*").alias("cnt")
+    )
+    nonnull = (
+        F.col("dval").isNotNull()
+        | F.col("lval").isNotNull()
+        | F.col("sval").isNotNull()
+    )
+    num = F.coalesce(F.col("dval"), F.col("lval").cast("double"))
+    return vals.groupBy("column_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(nonnull, F.col("cnt")).otherwise(F.lit(0))).alias("n_nonnull"),
+        F.count(F.when(nonnull, F.lit(1))).alias("n_distinct"),
+        F.min(num).alias("min_num"),
+        F.max(num).alias("max_num"),
+        F.min("sval").alias("min_str"),
+        F.max("sval").alias("max_str"),
+    )
 
 
 N_BUCKETS = 8

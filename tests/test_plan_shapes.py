@@ -561,3 +561,74 @@ def test_language_id_tiebreak_and_edges(spark):
     assert got[4] == ("und", 0)
     assert got[5] == ("und", 0)
     assert got[6] == ("und", 0)
+
+
+def test_cc_label_joins_hash_not_sort(spark, sf_dir):
+    """r15: the corpus-vs-CC-label accounting joins (purge report,
+    leakage-safe split, semantic purge) must build a hash table on
+    the partition-bounded label/removed side instead of sorting the
+    corpus side per partition (the docs_curation_pipeline_e2e
+    precedent applied to the remaining three consumers)."""
+    for name in (
+        "dedup_purge_report",
+        "split_leakage_safe",
+        "dedup_semantic_purge",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" in plan, name
+
+
+def test_column_profile_single_scan_hash_agg(spark, sf_dir):
+    """r15 rewrite: the previous per-column agg union planned THREE
+    corpus scans, each a Sort + SortAggregate chain (the string
+    min/max buffer disqualifies hash aggregation). The unpivoted
+    two-level form must scan once and hash-aggregate the corpus
+    stage; SortAggregate may only appear above the first exchange,
+    i.e. on the deduped value table."""
+    plan = plan_of(spark, sf_dir, "events_column_profile")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    # toString prints root-first, so the text after the LAST exchange
+    # is the corpus-side stage: Generate + partial HashAggregate only
+    corpus_stage = plan.rsplit("Exchange hashpartitioning", 1)[1]
+    assert "HashAggregate" in corpus_stage
+    assert "SortAggregate" not in corpus_stage
+    assert "Generate" in corpus_stage
+
+
+def test_column_profile_null_and_dup_semantics(spark):
+    """Value pin for the r15 single-scan rewrite: nulls count in
+    n_rows but never in n_nonnull/n_distinct/min/max; duplicate
+    values collapse in n_distinct; typed min/max stay per-column."""
+    import noaa_data_pipeline_spark.plans.scale as scalemod
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "a"),
+            (1, 2.5, "b"),
+            (2, None, "a"),
+            (None, -1.0, None),
+        ],
+        "user_id long, value double, event_type string",
+    )
+    orig = scalemod.load_table
+    try:
+        scalemod.load_table = lambda *_a, **_k: df
+        got = {
+            r["column_name"]: r.asDict()
+            for r in scalemod.events_column_profile(spark, "unused").collect()
+        }
+    finally:
+        scalemod.load_table = orig
+    v = got["value"]
+    assert (v["n_rows"], v["n_nonnull"], v["n_distinct"]) == (4, 3, 2)
+    assert (v["min_num"], v["max_num"]) == (-1.0, 2.5)
+    assert v["min_str"] is None and v["max_str"] is None
+    e = got["event_type"]
+    assert (e["n_rows"], e["n_nonnull"], e["n_distinct"]) == (4, 3, 2)
+    assert (e["min_str"], e["max_str"]) == ("a", "b")
+    assert e["min_num"] is None and e["max_num"] is None
+    u = got["user_id"]
+    assert (u["n_rows"], u["n_nonnull"], u["n_distinct"]) == (4, 3, 2)
+    assert (u["min_num"], u["max_num"]) == (1.0, 2.0)
