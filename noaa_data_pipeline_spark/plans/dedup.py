@@ -551,15 +551,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
+    # explode-as-barrier (r15, the ann_lsh_pairs note): keeps the
+    # threshold pushdown from folding the decimal cosine into the
+    # block-join condition, which evaluated it twice per candidate.
     return (
         a.join(b, ["blk"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            (_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))).alias(
-                "cosine"
-            ),
+            F.explode(
+                F.array(
+                    _dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b"))
+                )
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= EMB_COSINE_MIN)
     )

@@ -305,6 +305,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("norm").alias("norm_b")
     )
+    # explode-as-barrier (r15, the ann_lsh_pairs note): keeps the
+    # exact-confirm threshold from being pushed into the embedding
+    # attach joins, which evaluated the decimal fold twice per
+    # numpy-prefiltered candidate.
     return (
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -312,9 +316,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             "vec_a",
             "vec_b",
-            (_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))).alias(
-                "cosine"
-            ),
+            F.explode(
+                F.array(
+                    _dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b"))
+                )
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= SEM_COSINE_MIN)
     )

@@ -280,15 +280,27 @@ def ann_lsh_pairs(
     eb = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("norm").alias("norm_b")
     )
+    # explode-as-barrier (r15): a plain select+filter lets the
+    # optimizer push `cosine >= min` through the projection into the
+    # join CONDITION, so every candidate pair paid the 64-term decimal
+    # fold TWICE (once deciding the join, once re-computed for the
+    # surviving row's output) and the inferred isnotnull(norm)
+    # constraints re-ran the norm fold on each broadcast build side.
+    # Filters cannot cross a Generate's output, so exploding the
+    # 1-element scored array pins the fold to exactly one evaluation
+    # per candidate; the filter stays map-side above it.
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            (_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))).alias(
-                "cosine"
-            ),
+            F.explode(
+                F.array(
+                    _dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b"))
+                )
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= cosine_min)
         .select("vec_a", "vec_b", "cosine")
@@ -1043,14 +1055,20 @@ def sim_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
+    # explode-as-barrier (r15, the ann_lsh_pairs note): keeps the
+    # threshold from being pushed into the broadcast-nested-loop join
+    # condition, which evaluated the decimal fold twice per pair.
     return (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm"))).alias(
-                "cosine"
-            ),
+            F.explode(
+                F.array(
+                    _dot(F.col("q_emb"), F.col("emb"))
+                    / (F.col("q_norm") * F.col("norm"))
+                )
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= RANGE_THRESHOLD)
     )

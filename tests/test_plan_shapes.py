@@ -632,3 +632,21 @@ def test_column_profile_null_and_dup_semantics(spark):
     u = got["user_id"]
     assert (u["n_rows"], u["n_nonnull"], u["n_distinct"]) == (4, 3, 2)
     assert (u["min_num"], u["max_num"]) == (1.0, 2.0)
+
+
+def test_cosine_verify_single_fold_eval(spark, sf_dir):
+    """r15 explode-as-barrier: the cosine threshold must NOT be pushed
+    through the scoring projection into a join condition — that made
+    every candidate pair pay the decimal fold twice and re-derived the
+    norm fold behind inferred isnotnull(SQRT(...)) constraints. The
+    Generate barrier keeps the fold at one evaluation; the inferred
+    constraint's disappearance is the pushdown's signature."""
+    for name in (
+        "sim_ann_lsh_hyperplane",
+        "sim_cosine_range_search",
+        "dedup_embedding_cosine",
+        "dedup_semantic_clusters",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Generate" in plan, name
+        assert "isnotnull(SQRT" not in plan, name
