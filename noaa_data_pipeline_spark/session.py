@@ -96,17 +96,31 @@ def _default_local_dir() -> str | None:
     is unchanged in kind: you provision NVMe for shuffle and set
     spark.local.dir/SPARK_LOCAL_DIRS accordingly; tmpfs is simply
     this sandbox's fast device. Resolution order: explicit
-    SPARK_GRAFT_LOCAL_DIR env wins; else tmpfs when present and
-    writable; else None (Spark's default /tmp). Shuffle files are
-    transient (removed when the context stops), so tmpfs occupancy
-    is bounded by the largest live shuffle, which at gate/bench
-    scale is MBs; heavy scale tools can override via the env."""
+    SPARK_GRAFT_LOCAL_DIR env wins; else tmpfs when present,
+    writable, AND comfortably empty; else None (Spark's default
+    /tmp). Shuffle files are transient (removed when the context
+    stops), so tmpfs occupancy is bounded by the largest live
+    shuffle, which at gate/bench scale is MBs.
+
+    The capacity guard (r15 VERDICT item 1): tmpfs is RAM — a
+    multi-GB spill lands in the same physical memory as the JVM
+    heap, and tmpfs is typically capped at 50% of RAM, so a
+    heavy-tier run that spills tens of GB would ENOSPC mid-job
+    (and its pages would compete with a 48g heap exactly in the
+    GC hazard band). Tmpfs is only auto-selected when at least
+    SPARK_GRAFT_TMPFS_MIN_FREE_GB (default 32) GiB are free —
+    orders of magnitude above any gate/bench shuffle, and a run
+    that expects to spill more than that must pin a disk via
+    SPARK_GRAFT_LOCAL_DIR (the scale tools do exactly that)."""
     explicit = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if explicit:
         return explicit
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return os.path.join(shm, "noaa_spark_local")
+        min_free_gb = float(os.environ.get("SPARK_GRAFT_TMPFS_MIN_FREE_GB", "32"))
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize >= min_free_gb * 1024**3:
+            return os.path.join(shm, "noaa_spark_local")
     return None
 
 

@@ -199,6 +199,11 @@ def main() -> None:
         "its one-time write perturbs the warm pass)",
     )
     args = ap.parse_args()
+    # Heavy tiers spill real GBs: pin the shuffle scratch to DISK so
+    # it never lands on the session default's RAM tmpfs (/dev/shm),
+    # where a big spill ENOSPCs and competes with the raised heap
+    # (r15 VERDICT item 1). An explicit env still wins.
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/tmp/noaa_spark_scale_local")
     if args.driver_memory:
         os.environ["SPARK_DRIVER_MEMORY"] = args.driver_memory
     if args.executor_memory:

@@ -188,6 +188,12 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # Scale tiers spill real GBs: pin the shuffle scratch to DISK so
+    # it never lands on the session default's RAM tmpfs (/dev/shm),
+    # where a big spill ENOSPCs and competes with the raised heap
+    # (r15 VERDICT item 1). An explicit env still wins.
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/tmp/noaa_spark_scale_local")
+
     sf_dir = build_scaled_lake(args.replicas, mutate_dups=args.mutate_dups)
 
     # Warehouse profile (see bench.py): q9/q21 route to the bucketed
