@@ -124,6 +124,54 @@ def _default_local_dir() -> str | None:
     return None
 
 
+def _derived_shuffle_partitions(cpus: int) -> int | None:
+    """Lake-size-derived shuffle width for LOCAL sessions (r15 VERDICT
+    item 4: "derive widths from input size with the core count as a
+    cap").
+
+    The old default (= core count) over-shards toy inputs: the r15
+    driver's 8-core scaling run beat the 32-core run on four headline
+    queries (q9 0.87, q21 0.86, decontam 0.84, minhash_lsh 0.82),
+    and a same-box width sweep reproduced it at 32 cores — width 16
+    vs 32 at sf0.1: decontam 0.22-0.24 vs 0.43-0.57 s, minhash_lsh
+    0.42-0.49 vs 0.61-0.75 s, q21 0.24-0.26 vs 0.33-0.44 s, q9
+    0.26-0.30 vs 0.30-0.37 s, with every other headline entry inside
+    noise. The fix is scale-adaptive, not a constant: width =
+    clamp(lake_bytes / SPARK_GRAFT_SHUFFLE_TARGET_MB, 4, cpus), so
+    partitions carry enough bytes to amortize per-task scheduling.
+    Any real lake saturates the core cap (at the 1 MB local target a
+    32-wide session needs only 32 MB of lake), so this changes
+    nothing at scale — production clusters run the AQE profile where
+    the static conf is a ceiling AQE coalesces from, and both the
+    env and the explicit argument still override.
+
+    Returns None (caller falls back to the core count) when no lake
+    is declared via SPARK_GRAFT_SF_DIR."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not sf_dir or not os.path.isdir(sf_dir):
+        return None
+    total = 0
+    try:
+        for name in os.listdir(sf_dir):
+            if name.endswith(".parquet"):
+                p = os.path.join(sf_dir, name)
+                total += (
+                    os.stat(p).st_size
+                    if os.path.isfile(p)
+                    else sum(
+                        os.stat(os.path.join(p, f)).st_size
+                        for f in os.listdir(p)
+                        if f.endswith(".parquet")
+                    )
+                )
+    except OSError:
+        return None
+    if total <= 0:
+        return None
+    target = float(os.environ.get("SPARK_GRAFT_SHUFFLE_TARGET_MB", "1"))
+    return max(4, min(-(-total // int(target * 1024 * 1024)), cpus))
+
+
 def get_spark(
     app_name: str = "noaa-data-pipeline-spark",
     master: str | None = None,
@@ -141,7 +189,14 @@ def get_spark(
     master = master or f"local[{cpus}]"
     is_local = master.startswith("local")
     aqe = (not is_local) or os.environ.get("SPARK_GRAFT_AQE") == "1"
-    shuffle = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    shuffle = shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS")
+    if shuffle is None and master.startswith("local["):
+        # plain local[...] only: a cluster profile's static width is
+        # an AQE-coalesced ceiling and must not be lowered to a toy
+        # lake's derived value (and bench_cluster pins its widths
+        # explicitly per config)
+        shuffle = _derived_shuffle_partitions(int(cpus))
+    shuffle = str(shuffle or cpus)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

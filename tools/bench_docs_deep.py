@@ -101,6 +101,9 @@ def main() -> None:
     entry = sys.argv[2] if len(sys.argv) > 2 else "sample_weighted_priority"
     lake = build(replicas)
     os.environ["SPARK_GRAFT_BUCKETED"] = "0"  # no fact layout in this tier
+    # the session derives its local shuffle width from the lake the
+    # env points at — point it at the deep-docs lake, not the base SF
+    os.environ["SPARK_GRAFT_SF_DIR"] = lake
     from noaa_data_pipeline_spark.session import get_spark
 
     q = lookup(entry)

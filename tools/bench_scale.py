@@ -195,6 +195,9 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/tmp/noaa_spark_scale_local")
 
     sf_dir = build_scaled_lake(args.replicas, mutate_dups=args.mutate_dups)
+    # the session derives its local shuffle width from the lake the
+    # env points at — point it at the SCALED lake, not the base SF
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
 
     # Warehouse profile (see bench.py): q9/q21 route to the bucketed
     # lake layout; the one-time layout build lands in the warmup pass.

@@ -81,6 +81,10 @@ def main() -> int:
     # same oracles (both legs are oracle-covered — see GATE_LOG r15).
     os.environ.setdefault("SPARK_GRAFT_PQ_INDEX", "0")
 
+    # the session derives its local shuffle width from the lake the
+    # env points at — sync it to the gated lake (argv wins over a
+    # stale env from the caller's shell)
+    os.environ["SPARK_GRAFT_SF_DIR"] = SF_DIR
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
