@@ -39,66 +39,70 @@ PLAN_MODULES = [
 
 # The driver gate records exactly the first 50 registry entries, so
 # iteration order decides which entries get fresh driver evidence
-# each round. Round 15 window (executing the rotation pinned in
-# GATE_LOG "r15 cohort pinned by name" under its standing plan-edit
-# rule, and the r14 VERDICT tasks 1+2):
-# - sim_ivf_pq_adc_search, sim_ivf_pq_residual_search: both entries
-#   now ROUTE through the materialized PQ index when a declared
-#   published layout matches the lake (plans/staging_r11.py bodies
-#   edited, r14 VERDICT task 2) — plan edited -> driver re-proof;
-# - dedup_containment_ngram: promoted from staging_r12 (first driver
-#   evidence);
-# - the remaining 47 slots: the pinned r12 cohort — every entry whose
-#   last clean driver row is round 12 and which is not in the r14
-#   window. 2 + 1 + 47 = 50: ZERO cohort deferrals. Per the standing
-#   window rule ("if an r15 plan edit flags a registered entry, the
-#   tvd promotion slides to r16"), the TWO plan-edit slots defer the
-#   sample_weighted_priority and docs_token_drift_tvd promotions to
-#   the r16 window — the r14 VERDICT task-2 wording ("routed entries
-#   green in the r15/r16 window") anticipates exactly this trade.
+# each round. (The driver's window is 50 slots in EVERY round type —
+# the r15 belief that optimization rounds re-run the full registry
+# was wrong, CORRECTNESS_r15 was a 50-slot window like every other
+# round; the r15 VERDICT flags this and item 6 drafts this rotation.
+# Full-registry coverage still exists each round through the local
+# gates AND the driver's own pytest run: test_registry_oracle
+# parametrizes over all registry entries at sf0.001.)
+#
+# Round 16 window:
+# - 20 slots: every r15 performance-edited entry that had no
+#   POST-edit driver row (the r15 windows held the r12 cohort, so
+#   these edits were only covered by the pytest sf0.001 sweep and
+#   the local full gates — r15 VERDICT item 6 queues them here):
+#   the minhash triple, the CC builder + its three consumers, the
+#   PCA pair + dim-reduction eval, knn-graph, mmr, hll,
+#   column-profile, language-id, the four cosine-fold entries, and
+#   recall-eval.
+# - 1 slot: text_tfidf_topk (r16 hot-key-split edit) — plus any
+#   further r16 plan edit rides this window (see end-of-round note
+#   in GATE_LOG).
+# - 29 slots: the oldest-evidence cohort — entries whose last clean
+#   driver row is round 11 (ledger `round` field), alphabetical,
+#   with text_perplexity_proxy pulled in (r16 examined/edited).
+#   Eight r11 entries don't fit the window
+#   (sample_stratified_hash, sim_incremental_ivf_insert,
+#   sim_ivf_multiprobe, source_curation_report, split_train_val_hash,
+#   stream_compaction_report, stream_windowed_counts,
+#   text_repetition_ratio — none edited since r11; all covered by
+#   the pytest oracle sweep and the full local gates each round).
+# - The sample_weighted_priority / docs_token_drift_tvd promotions
+#   deferred from r15 are NOT taken: promotions add registry
+#   surface, and optimization rounds add no features.
 # NOTE (process): rotation only picks what the DRIVER re-checks;
 # every round must still pass the full-registry local gate
 # (tools/check_correctness.py, see GATE_LOG.md) before snapshot.
 GATE_PRIORITY = [
-    # --- r15 plan edits (materialized-index routing) riding this
-    #     window for driver re-proof
-    "sim_ivf_pq_adc_search", "sim_ivf_pq_residual_search",
-    # NOTE (r15 OPTIMIZATION round, 2026-08-17): ten registered plans
-    # were performance-edited this round (sim_knn_graph, the PCA
-    # triple, emb_dim_reduction_eval, the minhash triple, the CC
-    # consumers dedup_clusters_cc / dedup_purge_report /
-    # split_leakage_safe, graph_quality_smoothing). They are NOT
-    # inserted here: the optimization round's driver gate re-runs
-    # EVERY declared query (not a 50-slot window), all ten already
-    # hold clean r12-r14 driver rows for the pre-edit plans, and the
-    # full-registry local gate covers the edited plans (GATE_LOG
-    # "r15 optimization" note). Keeping this list at the pinned 50
-    # preserves the drafted rotation even if a 50-entry window is
-    # recorded; the ledger carries digest=current / queued_round=15
-    # for all ten.
-    # --- r15 promotion (first driver evidence)
-    "dedup_containment_ngram",
-    # --- the pinned r12 cohort (last clean driver evidence is r12)
-    "bpe_encode_docs", "bpe_train_merges", "dedup_simhash",
-    "docs_chunk_overlap", "docs_curation_pipeline_e2e",
-    "docs_domain_mixture_resample", "docs_embed_hash",
-    "docs_exact_substring_purge", "docs_gopher_rule_filter",
-    "emb_pq_codes", "events_dq_report", "events_heavy_hitters_cms",
-    "events_incremental_rollup_merge", "events_kmv_theta_sketch_overlap",
-    "events_user_sequences", "graph_quality_smoothing",
-    "ivf_cell_rebalance", "ivf_centroid_drift_report",
-    "ivf_retrain_centroids", "lake_zorder_key", "mm_binary_metadata",
-    "mm_feature_extract_pandas", "mm_frame_sample", "mm_resize_dims",
-    "orders_customer_full_outer_recon", "orders_unpivot_measures",
-    "q11_important_stock_value", "q15_top_supplier",
-    "q3_shipping_priority", "q5_regional_revenue",
-    "q8_national_market_share", "sim_ann_lsh_multiprobe",
-    "sim_block_matmul_topk", "sim_cosine_range_search",
-    "sim_cosine_topk_brute", "sim_ivf_probe1", "sim_pq_adc_topk",
-    "sim_pq_recall_eval", "sql_adhoc_guarded", "stream_dedup_keys",
-    "stream_dedup_within_watermark", "stream_sessionize_state",
-    "stream_static_enrich", "stream_stream_interval_join",
-    "text_bigram_topk", "text_dup_span_ratio", "text_mask_numbers",
+    # --- r15 performance edits lacking a post-edit driver row
+    "dedup_minhash_lsh", "dedup_minhash_estimator_quality",
+    "dedup_incremental_minhash", "dedup_clusters_cc",
+    "dedup_purge_report", "split_leakage_safe", "dedup_semantic_purge",
+    "sim_knn_graph", "emb_pca_power_iteration", "emb_pca_project_scores",
+    "emb_dim_reduction_eval", "sim_mmr_rerank",
+    "events_distinct_users_hll", "events_column_profile",
+    "text_language_id", "sim_ann_lsh_hyperplane",
+    "dedup_embedding_cosine", "dedup_semantic_clusters",
+    "sim_ann_recall_eval", "sim_cosine_range_search",
+    # --- r16 plan edits
+    "text_tfidf_topk",
+    # --- oldest driver evidence (r11 cohort), alphabetical
+    "cube_orders_priority_status", "docs_pack_sequences",
+    "events_anomaly_zscore", "events_funnel_ordered",
+    "events_grouping_sets_marginals", "events_interval_overlap_join",
+    "events_linear_interpolate", "events_percentiles_approx_sketch",
+    "events_retention_cohorts", "events_session_window_native",
+    "events_sessionize_batch", "events_sliding_24h_range_window",
+    "kmeans_embeddings", "lake_bucketed_copartition_join",
+    "orders_scd2_status_intervals", "orders_status_transitions",
+    "q10_returned_items_customers", "q13_customer_order_distribution",
+    "q16_supplier_part_relationships", "q17_small_quantity_revenue",
+    "q20_excess_stock_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "q6_forecast_revenue_delta",
+    "q7_volume_shipping", "q9_product_type_profit",
+    "text_fingerprint_winnow", "text_perplexity_proxy",
+    "text_token_rarity",
 ]
 
 

@@ -484,8 +484,12 @@ def dedup_purge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle_hash on the removed side (the docs_curation_pipeline_e2e
     # precedent): SMJ sorted the CORPUS side within every partition;
     # the build side is the non-canonical dup-doc id set — 8-byte rows,
-    # partition-bounded under scale-adaptive widths — and the hint
-    # degrades to SMJ wherever a planner deems partitions oversized.
+    # partition-bounded under scale-adaptive widths. NOTE (r15 ADVICE):
+    # Spark honors a SHUFFLE_HASH hint UNCONDITIONALLY when the side is
+    # buildable — there is no size-based fallback and AQE cannot demote
+    # SHJ back to SMJ — so safety rests entirely on the build side
+    # being id-only with partition count scaling with data; an
+    # oversized build partition OOMs rather than degrading.
     return (
         docs.join(removed.hint("shuffle_hash"), "doc_id", "left")
         .groupBy("source")
@@ -892,8 +896,10 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle_hash on the label side (the docs_curation_pipeline_e2e
     # precedent): SMJ sorted the CORPUS side within every partition;
     # the build side is the dup-cluster label set — 16-byte (node,
-    # component) rows, partition-bounded — and the hint degrades
-    # cleanly.
+    # component) rows, partition-bounded. NOTE (r15 ADVICE): the hint
+    # is honored unconditionally when buildable (no size fallback,
+    # no AQE demotion) — safety rests on the label side staying
+    # partition-bounded.
     canon = docs.join(labels.hint("shuffle_hash"), "doc_id", "left").select(
         "n_chars",
         F.coalesce("component", "doc_id").alias("canon_id"),

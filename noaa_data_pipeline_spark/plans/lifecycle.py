@@ -460,8 +460,10 @@ def dedup_semantic_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle_hash on the removed side (the docs_curation_pipeline_e2e
     # precedent): SMJ sorted the CORPUS-scale embeddings side within
     # every partition; the build side is the non-canonical dup-vec id
-    # set — 8-byte rows, partition-bounded — and the hint degrades
-    # cleanly.
+    # set — 8-byte rows, partition-bounded. NOTE (r15 ADVICE): the
+    # hint is honored unconditionally when buildable (no size
+    # fallback, no AQE demotion) — safety rests on the id side staying
+    # partition-bounded.
     return (
         emb.join(removed.hint("shuffle_hash"), "vec_id", "left")
         .groupBy("label")

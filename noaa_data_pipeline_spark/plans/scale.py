@@ -304,7 +304,18 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     input; swap in approx_count_distinct at 100 TB when cardinality
     tolerance allows. Numeric and string min/max occupy typed
     columns (a shared VARCHAR rendering would hang engine-specific
-    double formatting into the hash gate)."""
+    double formatting into the hash gate).
+
+    Documented preconditions (r15 ADVICE, both unreachable in any
+    shipped lake): (1) NON-EMPTY events — the unpivoted groupBy
+    returns 0 rows on an empty table where the oracle's UNION ALL of
+    global aggregates returns 3 zero-count rows; (2) NO -0.0 values —
+    grouping on the raw double slot normalizes -0.0 to 0.0 before
+    min/max (NormalizeFloatingNumbers rewrites group keys), so
+    min_num could render '0' where the oracle's row-level MIN keeps
+    '-0'. If either ever enters the lake, right-join the three
+    column_name literals resp. normalize the oracle side
+    (MIN(value + 0.0))."""
     ev = load_table(spark, sf_dir, "events")
 
     def slot(name: str, dval: F.Column, lval: F.Column, sval: F.Column):

@@ -769,7 +769,9 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle_hash (r15): both recall joins planned as SortMergeJoin,
     # sorting every side; the candidate list is partition-bounded (the
     # probe's own per-bucket cost) so hashing it beats sorting the
-    # topk side, and the hint degrades cleanly on oversized partitions
+    # topk side. NOTE (r15 ADVICE): the hint is honored
+    # unconditionally when buildable (no size fallback, no AQE
+    # demotion) — safety rests on the candidate side staying bounded
     hits = (
         topk.join(
             cand.withColumnRenamed("query_id", "c_query_id").hint("shuffle_hash"),

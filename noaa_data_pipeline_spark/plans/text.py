@@ -1330,8 +1330,10 @@ def docs_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SMJ would sort the CORPUS side within every partition per
     # reference; the build side is the dup-cluster label set — 16-byte
     # (node, component) rows, partition-bounded under scale-adaptive
-    # widths — and the hint degrades to SMJ wherever a planner deems
-    # partitions oversized
+    # widths. NOTE (r15 ADVICE): the hint is honored unconditionally
+    # when buildable (no size fallback, no AQE demotion) — safety
+    # rests on the build side staying partition-bounded, not on any
+    # planner fallback
     survivors = (
         docs.join(labels.hint("shuffle_hash"), "doc_id", "left")
         .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
