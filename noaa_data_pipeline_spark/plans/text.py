@@ -648,32 +648,6 @@ def text_mask_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TFIDF_TOPK = 3
 
-# A token present in at least this fraction of documents is part of
-# the Zipf head for the df join's hot-key split (see text_tfidf_topk).
-# Purely a routing knob between two exact join legs — any value
-# produces identical results; it trades broadcast size (bounded by
-# avg_doc_len / frac tokens) against residual shuffle skew (keys up
-# to frac x n_docs rows wide pass through the tail exchange).
-TFIDF_HOT_DF_FRAC = 0.05
-# Bytes of corpus text per document assumed when converting the
-# fraction into a concrete df threshold from the source's file size
-# (a pure-Python stat — a one-row count subquery measured +0.15 s of
-# BroadcastNestedLoopJoin at sf0.1 for a number that only routes).
-# Estimate error moves keys between two EXACT legs, nothing else.
-TFIDF_EST_DOC_BYTES = 300
-
-
-def _tfidf_hot_df_min(sf_dir: str) -> int:
-    import os as _os
-
-    try:
-        n_docs_est = _os.stat(
-            _os.path.join(sf_dir, "documents.parquet")
-        ).st_size // TFIDF_EST_DOC_BYTES
-    except OSError:
-        n_docs_est = 0
-    return max(64, int(n_docs_est * TFIDF_HOT_DF_FRAC))
-
 
 @register(
     "text_tfidf_topk",
@@ -709,27 +683,23 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: tf is one map-side-combined shuffle on (doc_id, tok); df
     reduces the tf frame again on tok (vocabulary-sized partial rows,
-    no second corpus scan). The df join back to tf is the 100 TB
-    hazard: keyed by tok, its exchange inherits the corpus's Zipf
-    head — a stopword's every (doc, tok) row lands on one reducer.
-    Fix (guide §2.5 "special-case the hot keys", exact): split the
-    vocabulary into a HOT head (df >= {TFIDF_HOT_DF_FRAC:.0%} of the
-    file-size-estimated corpus doc count — see ``_tfidf_hot_df_min``;
-    the estimate only routes keys between two exact legs) and the
-    tail. The head is broadcast — its size
-    is self-bounding at avg_doc_len/{TFIDF_HOT_DF_FRAC} tokens
-    regardless of corpus size (sum(df) = total (doc,tok) pairs =
-    avg_doc_len x n_docs, so at most that many tokens can each hold
-    df >= {TFIDF_HOT_DF_FRAC} x n_docs) — so every hot tf row joins
-    map-side, keeping the doc_id clustering all the way into the
-    final window. Tail tf rows are pre-dropped of hot keys by a
-    broadcast anti-join BEFORE their exchange, so the remaining
-    tok-keyed shuffle carries only sub-threshold keys — unskewed by
-    construction. Hot and tail key sets are disjoint and cover the
-    vocabulary, and df rides along unchanged, so the union is
-    row-identical to the single join (the oracle computes the single
-    join; tests/test_plan_shapes.py exercises both legs on a corpus
-    where the registry lakes leave the tail empty)."""
+    no second corpus scan); the df join back to tf broadcasts the
+    vocabulary (plan-verified at the bench SF) and the per-doc window
+    then rides tf's doc_id clustering with no further exchange.
+
+    The tok-keyed Zipf-head skew this join would develop if the
+    vocabulary ever outgrew the broadcast threshold (the planner
+    flips to SMJ on tok) was attacked in r16 with an exact hot/tail
+    vocabulary split (guide §2.5: broadcast the self-bounded df-head,
+    anti-join-prefilter the tail) — implemented, oracle-gated at all
+    three SFs, and REVERTED on measurement: the split's extra tf
+    passes and dfreq builds cost +25% at sf0.1 and +120% at x100mut
+    even in a forced-SMJ regime, while in every reachable regime the
+    single join broadcasts, and on the cluster profile (AQE on) the
+    skew-join splitter already handles an oversized tok partition by
+    duplicating the one-row build side. Evidence:
+    OPTIMIZATION_r16.md opt-2,
+    plans/r16/text_tfidf_topk_rejected_split.txt."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         textops.tokens_df(docs, partitions=spark.sparkContext.defaultParallelism)
@@ -738,14 +708,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    hot = F.col("df") >= F.lit(_tfidf_hot_df_min(sf_dir))
-    hot_df = dfreq.filter(hot)
-    tail_df = dfreq.filter(~hot)
-    scored_hot = tf.join(F.broadcast(hot_df), "tok")
-    scored_tail = tf.join(
-        F.broadcast(hot_df.select("tok")), "tok", "left_anti"
-    ).join(tail_df, "tok")
-    scored = scored_hot.unionByName(scored_tail).select(
+    scored = tf.join(dfreq, "tok").select(
         "doc_id",
         "tok",
         "tf",

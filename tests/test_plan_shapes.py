@@ -650,50 +650,3 @@ def test_cosine_verify_single_fold_eval(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "Generate" in plan, name
         assert "isnotnull(SQRT" not in plan, name
-
-
-def test_tfidf_hot_key_split_plan_and_values(spark, sf_dir):
-    """r16: the df join is split into a broadcast hot-head leg and an
-    anti-join-pre-filtered tail leg (guide §2.5 hot-key special-case).
-    Plan fact: the tf frame joins df via BroadcastHashJoin on both the
-    hot join and the anti filter, so no tok-keyed exchange of tf rows
-    carries a Zipf-head key. Value fact: a corpus whose vocabulary
-    straddles the 5% threshold produces rows through BOTH legs,
-    identical to the single-join definition."""
-    from pyspark.sql import Row
-
-    from noaa_data_pipeline_spark.plans import text as textmod
-
-    plan = plan_of(spark, sf_dir, "text_tfidf_topk")
-    assert "BroadcastHashJoin" in plan
-    assert "LeftAnti" in plan
-
-    # 40 docs: 'common' in every doc (df=40, >= 5%); per-doc unique
-    # tokens (df=1, < 2 = 5% of 40) go through the tail leg.
-    rows = [
-        Row(doc_id=i, text=f"common uniq{i}a uniq{i}a uniq{i}b")
-        for i in range(40)
-    ]
-    df = spark.createDataFrame(rows)
-    orig = textmod.load_table
-    orig_thr = textmod._tfidf_hot_df_min
-    try:
-        textmod.load_table = lambda *_a, **_k: df
-        textmod._tfidf_hot_df_min = lambda *_a: 2  # 5% of 40 docs
-        got = textmod.text_tfidf_topk(spark, "unused").collect()
-    finally:
-        textmod.load_table = orig
-        textmod._tfidf_hot_df_min = orig_thr
-    by_doc = {}
-    for r in got:
-        by_doc.setdefault(r["doc_id"], []).append(r)
-    assert len(by_doc) == 40
-    for i, doc_rows in by_doc.items():
-        ranked = sorted(doc_rows, key=lambda r: r["rnk"])
-        # scores: uniq{i}a tf=2/df=1 -> 2.0, uniq{i}b 1/1 -> 1.0,
-        # common 1/40 -> 0.025 (hot leg row present in the output)
-        assert [(r["tok"], r["tf"], r["df"], r["score"]) for r in ranked] == [
-            (f"uniq{i}a", 2, 1, 2.0),
-            (f"uniq{i}b", 1, 1, 1.0),
-            ("common", 1, 40, 1.0 / 40),
-        ]
