@@ -56,18 +56,20 @@ PLAN_MODULES = [
 #   PCA pair + dim-reduction eval, knn-graph, mmr, hll,
 #   column-profile, language-id, the four cosine-fold entries, and
 #   recall-eval.
-# - 1 slot: text_tfidf_topk (r16 hot-key-split edit) — plus any
-#   further r16 plan edit rides this window (see end-of-round note
-#   in GATE_LOG).
-# - 29 slots: the oldest-evidence cohort — entries whose last clean
+# - 3 slots: the r16 plan edits (text_tfidf_topk,
+#   dedup_containment_ngram, docs_curation_pipeline_e2e — see the
+#   inline notes).
+# - 27 slots: the oldest-evidence cohort — entries whose last clean
 #   driver row is round 11 (ledger `round` field), alphabetical,
 #   with text_perplexity_proxy pulled in (r16 examined/edited).
-#   Eight r11 entries don't fit the window
+#   Nine r11 entries don't fit the window
 #   (sample_stratified_hash, sim_incremental_ivf_insert,
 #   sim_ivf_multiprobe, source_curation_report, split_train_val_hash,
 #   stream_compaction_report, stream_windowed_counts,
-#   text_repetition_ratio — none edited since r11; all covered by
-#   the pytest oracle sweep and the full local gates each round).
+#   text_repetition_ratio, text_token_rarity,
+#   q22_global_sales_opportunity — none edited since
+#   r11; all covered by the pytest oracle sweep and the full local
+#   gates each round).
 # - The sample_weighted_priority / docs_token_drift_tvd promotions
 #   deferred from r15 are NOT taken: promotions add registry
 #   surface, and optimization rounds add no features.
@@ -85,8 +87,18 @@ GATE_PRIORITY = [
     "text_language_id", "sim_ann_lsh_hyperplane",
     "dedup_embedding_cosine", "dedup_semantic_clusters",
     "sim_ann_recall_eval", "sim_cosine_range_search",
-    # --- r16 plan edits
-    "text_tfidf_topk",
+    # --- r16 plan edits (text_tfidf_topk: split tried + reverted —
+    #     final body identical to its r15-gated form, re-proof cheap;
+    #     dedup_containment_ngram: self-join shuffle_hash hint; its
+    #     slot displaces text_token_rarity from the r11 cohort, which
+    #     slides to the not-fitting list below)
+    "text_tfidf_topk", "dedup_containment_ngram",
+    # docs_curation_pipeline_e2e: r16 comment-only edit inside its
+    # function body (the SHUFFLE_HASH fallback correction) — the
+    # digest meta-test demands re-proof for ANY source change; its
+    # slot displaces q22_global_sales_opportunity (r11 cohort,
+    # unedited, slides to the not-fitting list)
+    "docs_curation_pipeline_e2e",
     # --- oldest driver evidence (r11 cohort), alphabetical
     "cube_orders_priority_status", "docs_pack_sequences",
     "events_anomaly_zscore", "events_funnel_ordered",
@@ -99,10 +111,9 @@ GATE_PRIORITY = [
     "q10_returned_items_customers", "q13_customer_order_distribution",
     "q16_supplier_part_relationships", "q17_small_quantity_revenue",
     "q20_excess_stock_suppliers", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity", "q6_forecast_revenue_delta",
+    "q6_forecast_revenue_delta",
     "q7_volume_shipping", "q9_product_type_profit",
     "text_fingerprint_winnow", "text_perplexity_proxy",
-    "text_token_rarity",
 ]
 
 
